@@ -1,0 +1,543 @@
+"""Pure-numpy FITS reader/writer with partial-region reads.
+
+TPU-native replacement for the reference's cfitsio-backed
+``src/io/image_format_fits.c`` (readfits:1201, savefits:1393,
+readfits_partial:1393) and the declarative keyword mapping of
+``src/io/fits_keywords.c``.  No cfitsio/astropy dependency: FITS is a simple
+format (2880-byte header blocks of 80-char cards + big-endian data), and a
+numpy implementation gives us zero-copy memmap partial reads for the
+streaming stacking path.
+
+Supported on read: BITPIX 8, 16 (+BZERO 32768 → u16), 32, -32, -64; primary
+HDU + image extensions (for FITS-cube sequences); ROWORDER handling.
+Supported on write: 8, 16 (u16 via BZERO), -32.  Tile compression
+(Rice/GZIP) is not implemented (gated; the reference exposes it via
+``setcompress``).
+
+Internal convention: SirilImage.data is (C, H, W) float32, row 0 = TOP of
+image.  FITS files are bottom-up unless ROWORDER='TOP-DOWN' (SER-originated
+files); we flip at the I/O boundary.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple, Union
+
+import numpy as np
+
+from siril_tpu.core.image import (
+    BYTE_IMG,
+    FLOAT_IMG,
+    DOUBLE_IMG,
+    SHORT_IMG,
+    USHORT_IMG,
+    INV_USHRT_MAX_SINGLE,
+    Keywords,
+    SirilImage,
+)
+
+BLOCK = 2880
+CARD = 80
+
+# ---------------------------------------------------------------------------
+# Header parsing / formatting
+# ---------------------------------------------------------------------------
+
+
+def _parse_value(raw: str):
+    v = raw.strip()
+    if not v:
+        return None
+    if v.startswith("'"):
+        # FITS string: ends at closing quote, '' is escaped quote
+        out = []
+        i = 1
+        while i < len(v):
+            if v[i] == "'":
+                if i + 1 < len(v) and v[i + 1] == "'":
+                    out.append("'")
+                    i += 2
+                    continue
+                break
+            out.append(v[i])
+            i += 1
+        return "".join(out).rstrip()
+    if v == "T":
+        return True
+    if v == "F":
+        return False
+    try:
+        if any(c in v for c in ".EeDd") and not v.lstrip("+-").isdigit():
+            return float(v.replace("D", "E").replace("d", "e"))
+        return int(v)
+    except ValueError:
+        return v
+
+
+@dataclass
+class Header:
+    """Ordered FITS header: list of (key, value, comment) cards."""
+
+    cards: List[Tuple[str, object, str]]
+
+    @property
+    def dict(self) -> Dict[str, object]:
+        return {k: v for k, v, _ in self.cards if k not in ("COMMENT", "HISTORY", "")}
+
+    def get(self, key: str, default=None):
+        for k, v, _ in self.cards:
+            if k == key:
+                return v
+        return default
+
+    def set(self, key: str, value, comment: str = "") -> None:
+        for i, (k, _, c) in enumerate(self.cards):
+            if k == key and k not in ("COMMENT", "HISTORY"):
+                self.cards[i] = (key, value, comment or c)
+                return
+        self.cards.append((key, value, comment))
+
+    def remove(self, key: str) -> None:
+        self.cards = [c for c in self.cards if c[0] != key]
+
+    def history(self) -> List[str]:
+        return [str(v) for k, v, _ in self.cards if k == "HISTORY"]
+
+    def text(self) -> str:
+        return "\n".join(_format_card(k, v, c).rstrip() for k, v, c in self.cards)
+
+
+def _parse_header_block(buf: bytes) -> Tuple[Header, bool]:
+    """Parse one or more 2880 blocks already containing a full header.
+
+    Returns (header, True).  Caller feeds blocks until END is found.
+    """
+    cards = []
+    ended = False
+    for off in range(0, len(buf), CARD):
+        card = buf[off:off + CARD].decode("ascii", errors="replace")
+        key = card[:8].strip()
+        if key == "END":
+            ended = True
+            break
+        if key in ("COMMENT", "HISTORY") or (key == "" and card.strip()):
+            cards.append((key, card[8:].rstrip(), ""))
+            continue
+        if card[8:10] == "= ":
+            rest = card[10:]
+            # split off comment: '/' outside of quotes
+            in_q = False
+            com = ""
+            val = rest
+            for i, ch in enumerate(rest):
+                if ch == "'":
+                    in_q = not in_q
+                elif ch == "/" and not in_q:
+                    val = rest[:i]
+                    com = rest[i + 1:].strip()
+                    break
+            cards.append((key, _parse_value(val), com))
+        elif key:
+            cards.append((key, card[8:].rstrip(), ""))
+    return Header(cards), ended
+
+
+def _format_card(key: str, value, comment: str = "") -> str:
+    if key in ("COMMENT", "HISTORY", ""):
+        return f"{key:<8}{str(value):<72}"[:CARD].ljust(CARD)
+    if value is None:
+        body = f"{key:<8}"
+        return body.ljust(CARD)
+    if isinstance(value, bool):
+        sval = "T" if value else "F"
+        body = f"{key:<8}= {sval:>20}"
+    elif isinstance(value, (int, np.integer)):
+        body = f"{key:<8}= {int(value):>20}"
+    elif isinstance(value, (float, np.floating)):
+        fv = float(value)
+        if fv == int(fv) and abs(fv) < 1e15:
+            sval = f"{fv:.1f}"
+        else:
+            sval = f"{fv:.15G}"
+        body = f"{key:<8}= {sval:>20}"
+    else:
+        s = str(value).replace("'", "''")
+        sval = f"'{s:<8}'" if len(s) < 8 else f"'{s}'"
+        body = f"{key:<8}= {sval:<20}"
+    if comment:
+        body = f"{body} / {comment}"
+    return body[:CARD].ljust(CARD)
+
+
+def _read_header(f) -> Optional[Header]:
+    buf = b""
+    while True:
+        block = f.read(BLOCK)
+        if len(block) < BLOCK:
+            return None
+        buf += block
+        hdr, ended = _parse_header_block(buf)
+        if ended:
+            return hdr
+
+
+# ---------------------------------------------------------------------------
+# HDU scanning
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class HDUInfo:
+    header: Header
+    data_offset: int
+    bitpix: int
+    naxes: Tuple[int, ...]       # FITS order (naxis1, naxis2, naxis3...)
+    data_nbytes: int
+    bzero: float
+    bscale: float
+
+    @property
+    def shape_chw(self) -> Tuple[int, int, int]:
+        """(C, H, W) of the image in this HDU (C=1 for 2D)."""
+        na = self.naxes
+        if len(na) == 2:
+            return (1, na[1], na[0])
+        if len(na) >= 3:
+            return (na[2], na[1], na[0])
+        raise ValueError(f"not an image HDU: naxes={na}")
+
+
+def scan_hdus(path: Union[str, os.PathLike]) -> List[HDUInfo]:
+    """Scan all HDUs (header parse only; no pixel data read)."""
+    hdus = []
+    with open(path, "rb") as f:
+        while True:
+            hdr = _read_header(f)
+            if hdr is None:
+                break
+            bitpix = int(hdr.get("BITPIX", 0) or 0)
+            naxis = int(hdr.get("NAXIS", 0) or 0)
+            naxes = tuple(int(hdr.get(f"NAXIS{i+1}", 0) or 0) for i in range(naxis))
+            nel = 1
+            for n in naxes:
+                nel *= n
+            nbytes = nel * abs(bitpix) // 8 if naxis > 0 else 0
+            # PCOUNT for extensions
+            pcount = int(hdr.get("PCOUNT", 0) or 0)
+            nbytes += pcount * abs(bitpix) // 8
+            off = f.tell()
+            hdus.append(
+                HDUInfo(
+                    header=hdr,
+                    data_offset=off,
+                    bitpix=bitpix,
+                    naxes=naxes,
+                    data_nbytes=nbytes,
+                    bzero=float(hdr.get("BZERO", 0.0) or 0.0),
+                    bscale=float(hdr.get("BSCALE", 1.0) or 1.0),
+                )
+            )
+            # skip data, padded to BLOCK
+            skip = (nbytes + BLOCK - 1) // BLOCK * BLOCK
+            f.seek(off + skip)
+    return hdus
+
+
+_DTYPES = {
+    8: np.dtype(">u1"),
+    16: np.dtype(">i2"),
+    32: np.dtype(">i4"),
+    64: np.dtype(">i8"),
+    -32: np.dtype(">f4"),
+    -64: np.dtype(">f8"),
+}
+
+
+def _raw_to_float01(raw: np.ndarray, bitpix: int, bzero: float, bscale: float) -> np.ndarray:
+    """Physical value conversion + Siril normalization to [0,1] float32.
+
+    Mirrors readfits (image_format_fits.c:1201) conversion rules: u8→u16
+    (<<8 semantics become /255), u16 /65535, f32 passthrough (assumed [0,1];
+    out-of-range data rescaled like the reference's data_max check).
+    """
+    if bitpix == 8:
+        phys = raw.astype(np.float32) * np.float32(bscale) + np.float32(bzero)
+        return phys * np.float32(1.0 / 255.0)
+    if bitpix == 16:
+        phys = raw.astype(np.float32) * np.float32(bscale) + np.float32(bzero)
+        if bzero == 32768.0 or bzero == 0.0:
+            return phys * np.float32(INV_USHRT_MAX_SINGLE)
+        return phys * np.float32(INV_USHRT_MAX_SINGLE)
+    if bitpix == 32:
+        phys = raw.astype(np.float64) * bscale + bzero
+        return (phys / 4294967295.0).astype(np.float32)
+    if bitpix in (-32, -64):
+        phys = raw.astype(np.float32)
+        if bscale != 1.0 or bzero != 0.0:
+            phys = phys * np.float32(bscale) + np.float32(bzero)
+        return phys
+    raise ValueError(f"unsupported BITPIX {bitpix}")
+
+
+# ---------------------------------------------------------------------------
+# Keyword mapping (declarative, like fits_keywords.c)
+# ---------------------------------------------------------------------------
+
+# FITS key → Keywords attribute
+_KEYMAP = {
+    "MIPS-LO": "lo",
+    "MIPS-HI": "hi",
+    "PROGRAM": "program",
+    "FILENAME": "filename",
+    "DATAMAX": "data_max",
+    "DATAMIN": "data_min",
+    "XPIXSZ": "pixel_size_x",
+    "YPIXSZ": "pixel_size_y",
+    "XBINNING": "binning_x",
+    "YBINNING": "binning_y",
+    "ROWORDER": "row_order",
+    "DATE": "date",
+    "DATE-OBS": "date_obs",
+    "FILTER": "filter",
+    "IMAGETYP": "image_type",
+    "OBJECT": "object",
+    "INSTRUME": "instrume",
+    "TELESCOP": "telescop",
+    "OBSERVER": "observer",
+    "CENTALT": "centalt",
+    "CENTAZ": "centaz",
+    "SITELAT": "sitelat",
+    "SITELONG": "sitelong",
+    "SITEELEV": "siteelev",
+    "BAYERPAT": "bayer_pattern",
+    "XBAYROFF": "bayer_xoffset",
+    "YBAYROFF": "bayer_yoffset",
+    "AIRMASS": "airmass",
+    "FOCALLEN": "focal_length",
+    "ISOSPEED": "iso_speed",
+    "EXPTIME": "exposure",
+    "APERTURE": "aperture",
+    "CCD-TEMP": "ccd_temp",
+    "SET-TEMP": "set_temp",
+    "LIVETIME": "livetime",
+    "STACKCNT": "stackcnt",
+    "CVF": "cvf",
+    "GAIN": "gain",
+    "OFFSET": "offset",
+    "FOCNAME": "focname",
+    "FOCUSPOS": "focuspos",
+    "FOCUSSZ": "focussz",
+    "FOCTEMP": "foctemp",
+}
+
+_STRUCTURAL = {
+    "SIMPLE", "BITPIX", "NAXIS", "NAXIS1", "NAXIS2", "NAXIS3", "EXTEND",
+    "BZERO", "BSCALE", "PCOUNT", "GCOUNT", "XTENSION", "END", "COMMENT",
+    "HISTORY", "CHECKSUM", "DATASUM",
+}
+
+_WCS_KEYS_PREFIX = ("CRPIX", "CRVAL", "CDELT", "CD1_", "CD2_", "PC1_", "PC2_",
+                    "CTYPE", "CUNIT", "CROTA", "EQUINOX", "A_", "B_", "AP_",
+                    "BP_", "A_ORDER", "B_ORDER", "PLTSOLVD")
+
+
+def header_to_keywords(hdr: Header) -> Keywords:
+    kw = Keywords()
+    known = set()
+    for key, attr in _KEYMAP.items():
+        v = hdr.get(key)
+        if v is not None:
+            cur = getattr(kw, attr)
+            try:
+                if isinstance(cur, int) and not isinstance(cur, bool):
+                    setattr(kw, attr, int(v))
+                elif isinstance(cur, float):
+                    setattr(kw, attr, float(v))
+                else:
+                    setattr(kw, attr, v)
+                known.add(key)
+            except (TypeError, ValueError):
+                pass
+    for k, v, c in hdr.cards:
+        if k and k not in known and k not in _STRUCTURAL:
+            kw.extra[k] = v
+    return kw
+
+
+def keywords_to_cards(kw: Keywords) -> List[Tuple[str, object, str]]:
+    cards = []
+    defaults = Keywords()
+    for key, attr in _KEYMAP.items():
+        v = getattr(kw, attr)
+        if v is None or v == getattr(defaults, attr):
+            continue
+        cards.append((key, v, ""))
+    for k, v in kw.extra.items():
+        cards.append((k, v, ""))
+    return cards
+
+
+# ---------------------------------------------------------------------------
+# Read / write entry points
+# ---------------------------------------------------------------------------
+
+
+def read_fits(path: Union[str, os.PathLike], hdu_index: int = 0) -> SirilImage:
+    """Read a FITS image → SirilImage.  Reference: readfits
+    (image_format_fits.c:1201)."""
+    hdus = scan_hdus(path)
+    img_hdus = [h for h in hdus if len(h.naxes) >= 2 and all(n > 0 for n in h.naxes)]
+    if not img_hdus:
+        raise ValueError(f"{path}: no image HDU found")
+    h = img_hdus[hdu_index]
+    c, hgt, wid = h.shape_chw
+    dt = _DTYPES[h.bitpix]
+    raw = np.fromfile(path, dtype=dt, count=c * hgt * wid, offset=h.data_offset)
+    raw = raw.reshape(c, hgt, wid)
+    data = _raw_to_float01(raw, h.bitpix, h.bzero, h.bscale)
+    row_order = str(h.header.get("ROWORDER", "BOTTOM-UP") or "BOTTOM-UP").upper()
+    if row_order != "TOP-DOWN":
+        data = data[:, ::-1, :]         # FITS bottom-up → internal top-down
+    data = np.ascontiguousarray(data, dtype=np.float32)
+    kw = header_to_keywords(h.header)
+    img = SirilImage(
+        data=data,
+        keywords=kw,
+        orig_bitdepth=h.bitpix if h.bitpix != 16 else USHORT_IMG,
+        header_text=h.header.text(),
+        history=h.header.history(),
+    )
+    # attach WCS if solved
+    try:
+        from siril_tpu.ops.wcs import WCS
+        w = WCS.from_header(h.header)
+        if w is not None:
+            img.wcs = w
+    except ImportError:
+        pass
+    return img
+
+
+def write_fits(
+    img: SirilImage,
+    path: Union[str, os.PathLike],
+    bitdepth: Optional[int] = None,
+    row_order: str = "BOTTOM-UP",
+) -> None:
+    """Write a SirilImage to FITS.  Reference: savefits
+    (image_format_fits.c:1393)."""
+    bd = bitdepth if bitdepth is not None else img.orig_bitdepth
+    if bd == SHORT_IMG:
+        bd = USHORT_IMG
+    data = img.host()
+    c, hgt, wid = data.shape
+    if row_order.upper() != "TOP-DOWN":
+        data = data[:, ::-1, :]
+
+    cards: List[Tuple[str, object, str]] = [
+        ("SIMPLE", True, "file conforms to FITS standard"),
+    ]
+    if bd == USHORT_IMG:
+        u16 = np.rint(np.clip(data, 0.0, 1.0) * 65535.0).astype(np.uint16)
+        raw = (u16.astype(np.int32) - 32768).astype(">i2")
+        cards.append(("BITPIX", 16, "number of bits per data pixel"))
+        bzero, bscale = 32768.0, 1.0
+    elif bd == BYTE_IMG:
+        raw = np.rint(np.clip(data, 0.0, 1.0) * 255.0).astype(">u1")
+        cards.append(("BITPIX", 8, "number of bits per data pixel"))
+        bzero, bscale = 0.0, 1.0
+    elif bd in (FLOAT_IMG, DOUBLE_IMG):
+        raw = data.astype(">f4")
+        cards.append(("BITPIX", -32, "number of bits per data pixel"))
+        bzero, bscale = 0.0, 1.0
+    else:
+        raise ValueError(f"unsupported save bitdepth {bd}")
+
+    naxis = 2 if c == 1 else 3
+    cards.append(("NAXIS", naxis, "number of data axes"))
+    cards.append(("NAXIS1", wid, "length of data axis 1"))
+    cards.append(("NAXIS2", hgt, "length of data axis 2"))
+    if naxis == 3:
+        cards.append(("NAXIS3", c, "length of data axis 3"))
+    if bzero != 0.0:
+        cards.append(("BZERO", bzero, "offset data range"))
+        cards.append(("BSCALE", bscale, "default scaling factor"))
+    kw = img.keywords.copy()
+    kw.row_order = row_order.upper()
+    kw.program = kw.program or "siril_tpu"
+    cards.extend(keywords_to_cards(kw))
+    if img.wcs is not None:
+        try:
+            cards.extend(img.wcs.to_cards())
+        except AttributeError:
+            pass
+    for hline in img.history:
+        cards.append(("HISTORY", hline, ""))
+
+    hdr_bytes = b"".join(_format_card(k, v, cmt).encode("ascii", "replace")
+                         for k, v, cmt in cards)
+    hdr_bytes += _format_card("END", None).encode("ascii")
+    pad = (-len(hdr_bytes)) % BLOCK
+    hdr_bytes += b" " * pad
+
+    data_bytes = raw.tobytes()
+    dpad = (-len(data_bytes)) % BLOCK
+    with open(path, "wb") as f:
+        f.write(hdr_bytes)
+        f.write(data_bytes)
+        f.write(b"\x00" * dpad)
+
+
+# ---------------------------------------------------------------------------
+# Partial reads (streaming stacking path)
+# ---------------------------------------------------------------------------
+
+
+class FitsReader:
+    """Open FITS file with random-access region reads.
+
+    Replaces readfits_partial / seq_opened_read_region
+    (io/sequence.c:1282) for the streamed stacking engine.  Uses a numpy
+    memmap over the data section — the OS page cache plays the role of
+    cfitsio's buffering, and reads are zero-copy until conversion.
+    """
+
+    def __init__(self, path: Union[str, os.PathLike], hdu_index: int = 0):
+        self.path = os.fspath(path)
+        hdus = [h for h in scan_hdus(path)
+                if len(h.naxes) >= 2 and all(n > 0 for n in h.naxes)]
+        if not hdus:
+            raise ValueError(f"{path}: no image HDU")
+        self.hdu = hdus[hdu_index]
+        self.nchans, self.height, self.width = self.hdu.shape_chw
+        ro = str(self.hdu.header.get("ROWORDER", "BOTTOM-UP") or "BOTTOM-UP")
+        self.bottom_up = ro.upper() != "TOP-DOWN"
+        self._mm = np.memmap(self.path, dtype=_DTYPES[self.hdu.bitpix],
+                             mode="r", offset=self.hdu.data_offset,
+                             shape=(self.nchans, self.height, self.width))
+
+    def read_region(self, chan: int, y0: int, y1: int,
+                    x0: int = 0, x1: Optional[int] = None) -> np.ndarray:
+        """Read rows [y0, y1) of a channel, in internal top-down convention."""
+        if x1 is None:
+            x1 = self.width
+        if self.bottom_up:
+            fy0 = self.height - y1
+            fy1 = self.height - y0
+            raw = self._mm[chan, fy0:fy1, x0:x1][::-1]
+        else:
+            raw = self._mm[chan, y0:y1, x0:x1]
+        return _raw_to_float01(np.ascontiguousarray(raw), self.hdu.bitpix,
+                               self.hdu.bzero, self.hdu.bscale)
+
+    def read_full(self) -> np.ndarray:
+        raw = np.asarray(self._mm)
+        data = _raw_to_float01(raw, self.hdu.bitpix, self.hdu.bzero, self.hdu.bscale)
+        if self.bottom_up:
+            data = data[:, ::-1, :]
+        return np.ascontiguousarray(data)
+
+    def close(self) -> None:
+        self._mm = None

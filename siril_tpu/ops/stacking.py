@@ -1,0 +1,448 @@
+"""Stacking orchestrator — equivalent of ``src/stacking/stacking.c`` (main_stack:76)
+and the blocked mean/median engine of ``median_and_mean.c``.
+
+TPU-native architecture (not the reference's thread-per-block model):
+- A *block planner* sizes row blocks from a device-memory budget
+  (stack_get_max_number_of_rows equivalent, median_and_mean.c:1234-1259).
+- For each (channel, row-block): host threads read the block rows from all
+  N frames (the seq_opened_read_region path) into a pinned (N, rows·W)
+  buffer while the device processes the previous block (double-buffered
+  producer/consumer — the reference's OpenMP block loop becomes an
+  I/O-compute pipeline).
+- The device runs ONE fused jit per block: normalization coefficients
+  applied elementwise, then the vectorized rejection kernel
+  (ops/rejection.py), then mean + rejection maps.
+- Integer translation registration is applied during block assembly
+  (median_and_mean.c:1613-1637 applies shift-only H inline).
+
+Multi-chip: blocks are data-parallel with all N frame values for a pixel
+resident on one chip (SURVEY §2.9: pixels sharded, frames streamed) — see
+parallel/sharding.py for the meshed variant.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import numpy as np
+
+from siril_tpu.core.image import FLOAT_IMG, Keywords, SirilImage
+from siril_tpu.core.sequence import Sequence
+from siril_tpu.ops import rejection as rj
+from siril_tpu.ops.normalization import (
+    ADDITIVE,
+    ADDITIVE_SCALING,
+    MULTIPLICATIVE,
+    MULTIPLICATIVE_SCALING,
+    NO_NORM,
+    NormCoeffs,
+    compute_normalization,
+)
+
+# weighting types (stacking.h:48-52)
+NO_WEIGHT = 0
+NBSTARS_WEIGHT = 1
+WFWHM_WEIGHT = 2
+NOISE_WEIGHT = 3
+NBSTACK_WEIGHT = 4
+
+
+@dataclass
+class StackArgs:
+    method: str = "rej"                 # sum | min | max | med | mean | rej
+    rejection: int = rj.WINSORIZED
+    siglow: float = 3.0
+    sighigh: float = 3.0
+    normalize: int = NO_NORM
+    lite_norm: bool = False
+    force_norm: bool = False
+    equalize_rgb: bool = False
+    weighting: int = NO_WEIGHT
+    create_rejmaps: bool = False
+    merge_rejmaps: bool = False
+    output_norm: bool = False
+    use_32bit: bool = True
+    reglayer: int = 0
+    block_mb: int = 512                 # device budget per block (MB)
+    feather_dist: int = 0
+
+
+@dataclass
+class StackResult:
+    image: SirilImage
+    rejmap_low: Optional[SirilImage] = None
+    rejmap_high: Optional[SirilImage] = None
+    total_rejected: Tuple[int, int] = (0, 0)
+    elapsed_s: float = 0.0
+
+
+# ---------------------------------------------------------------------------
+# planner
+# ---------------------------------------------------------------------------
+
+
+def plan_blocks(height: int, width: int, n_frames: int,
+                budget_mb: int) -> int:
+    """Rows per block such that N·rows·W·4B (plus sort scratch ≈3×) fits
+    the budget (stack_get_max_number_of_rows equivalent)."""
+    bytes_per_row = n_frames * width * 4 * 4      # stack + sorted + scratch
+    rows = max(int(budget_mb * 1024 * 1024 / max(bytes_per_row, 1)), 8)
+    return min(rows, height)
+
+
+# ---------------------------------------------------------------------------
+# device kernels
+# ---------------------------------------------------------------------------
+
+
+def _norm_apply(stack, scale, offset, mul, mode: int):
+    import jax.numpy as jnp
+
+    if mode == NO_NORM:
+        return stack
+    if mode in (ADDITIVE, ADDITIVE_SCALING):
+        out = stack * scale[:, None] - offset[:, None]
+        return jnp.where(stack != 0.0, out, 0.0)
+    return stack * scale[:, None] * mul[:, None]
+
+
+def make_block_kernel(rtype: int, mode: int, siglow: float, sighigh: float,
+                      n_full: int, max_outliers: int, with_weights: bool):
+    """Build the fused normalize+reject+mean jit for one stack config."""
+    import jax
+
+    @jax.jit
+    def kernel(stack, scale, offset, mul, weights, critical):
+        normed = _norm_apply(stack, scale, offset, mul, mode)
+        return rj.rejection_mean(
+            normed, rtype, siglow, sighigh,
+            weights=weights if with_weights else None,
+            critical=critical, n_full=n_full, max_outliers=max_outliers,
+            with_weights=with_weights)
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# weights (median_and_mean.c:1111-1230)
+# ---------------------------------------------------------------------------
+
+
+def compute_weights(seq: Sequence, indices: np.ndarray, args: StackArgs,
+                    coeffs: NormCoeffs) -> Optional[np.ndarray]:
+    """(L, N) per-frame weights, normalized to mean 1 per layer."""
+    n = len(indices)
+    L = seq.nb_layers
+    w = np.ones((L, n))
+    if args.weighting == NO_WEIGHT:
+        return None
+    if args.weighting == NOISE_WEIGHT:
+        for layer in range(L):
+            for k, idx in enumerate(indices):
+                st = seq.get_frame_stats(layer, int(idx))
+                bg = st.bgnoise if st and st.bgnoise else None
+                if bg is None:
+                    from siril_tpu.ops.statistics import STATS_BASIC, compute_stats_np
+                    img = seq.read_frame(int(idx))
+                    s = compute_stats_np(img.host()[layer], STATS_BASIC)
+                    seq.set_frame_stats(layer, int(idx), s)
+                    bg = s.bgnoise
+                sc = coeffs.scale[layer, k]
+                w[layer, k] = 1.0 / max(sc * sc * bg * bg, 1e-30)
+            w[layer] /= w[layer].mean()
+    elif args.weighting == WFWHM_WEIGHT:
+        reg = seq.reg(args.reglayer)
+        wf = reg.weighted_fwhm[indices]
+        pos = wf[wf > 0]
+        if pos.size == 0:
+            return None
+        fmin, fmax = pos.min(), wf.max()
+        invdenom = 1.0 / (1.0 / (fmin * fmin) - 1.0 / (fmax * fmax))
+        invmax2 = 1.0 / (fmax * fmax)
+        base = np.where(wf > 0, (1.0 / np.maximum(wf, 1e-9) ** 2 - invmax2) * invdenom, 0.0)
+        base /= max(base.mean(), 1e-30)
+        w[:] = base[None, :]
+    elif args.weighting == NBSTARS_WEIGHT:
+        reg = seq.reg(args.reglayer)
+        ns = reg.number_of_stars[indices].astype(float)
+        smin, smax = ns.min(), ns.max()
+        if smax == smin:
+            base = np.ones(n)
+        else:
+            base = ((ns - smin) / (smax - smin)) ** 2
+        base /= max(base.mean(), 1e-30)
+        w[:] = base[None, :]
+    elif args.weighting == NBSTACK_WEIGHT:
+        cnt = np.ones(n)
+        for k, idx in enumerate(indices):
+            img_kw = _frame_keywords(seq, int(idx))
+            if img_kw is not None and img_kw.stackcnt:
+                cnt[k] = img_kw.stackcnt
+        cnt /= cnt.mean()
+        w[:] = cnt[None, :]
+    return w
+
+
+def _frame_keywords(seq: Sequence, idx: int) -> Optional[Keywords]:
+    try:
+        return seq.read_frame_metadata(idx)
+    except Exception:
+        return None
+
+
+# ---------------------------------------------------------------------------
+# shift-only registration during block assembly
+# ---------------------------------------------------------------------------
+
+
+def _frame_shifts(seq: Sequence, indices: np.ndarray, layer: int):
+    """Integer (dx, dy) per frame from translation-only H, or None."""
+    if layer not in seq.regparam or not seq.regparam[layer].valid.any():
+        return None
+    H = seq.regparam[layer].H[indices]
+    nontrivial = ~np.allclose(H, np.eye(3)[None], atol=1e-12)
+    if not nontrivial:
+        return None
+    # only use when all H are pure translations
+    A = H[:, :2, :2]
+    if not np.allclose(A, np.eye(2)[None], atol=1e-9):
+        return None
+    dx = np.rint(H[:, 0, 2]).astype(int)
+    dy = np.rint(H[:, 1, 2]).astype(int)
+    if not (dx.any() or dy.any()):
+        return None
+    return dx, dy
+
+
+def _read_block(seq: Sequence, chan: int, frame_idx: int, y0: int, y1: int,
+                shift: Optional[Tuple[int, int]], width: int) -> np.ndarray:
+    """Read registered rows [y0,y1): reg(x,y) = frame(x−dx, y−dy); outside
+    the frame is zero (median_and_mean.c:1626-1633 black fill)."""
+    h = y1 - y0
+    if shift is None:
+        return seq.read_region(chan, frame_idx, y0, y1)
+    dx, dy = shift
+    out = np.zeros((h, width), np.float32)
+    sy0, sy1 = y0 - dy, y1 - dy
+    cy0 = max(sy0, 0)
+    cy1 = min(sy1, seq.ry)
+    if cy1 <= cy0:
+        return out
+    rows = seq.read_region(chan, frame_idx, cy0, cy1)
+    x0 = max(dx, 0)
+    x1 = min(width + dx, width)
+    if x1 <= x0:
+        return out
+    out[cy0 - sy0: cy1 - sy0, x0:x1] = rows[:, x0 - dx: x1 - dx]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# main entry (main_stack equivalent)
+# ---------------------------------------------------------------------------
+
+
+def stack_sequence(seq: Sequence, args: StackArgs,
+                   indices: Optional[np.ndarray] = None) -> StackResult:
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    if indices is None:
+        indices = seq.selected_indices()
+    indices = np.asarray(indices)
+    n = len(indices)
+    if n == 0:
+        raise ValueError("no frames selected for stacking")
+    if seq.nb_layers < 0:
+        seq.read_frame(int(indices[0]))
+    L, H, W = seq.nb_layers, seq.ry, seq.rx
+
+    if args.method in ("sum", "min", "max"):
+        return _stack_accumulate(seq, args, indices, t0)
+
+    # normalization (mean/rej only — main_stack:76 order)
+    do_norm = args.method in ("rej", "mean") and args.normalize != NO_NORM
+    coeffs = compute_normalization(
+        seq, indices, args.normalize if do_norm else NO_NORM,
+        lite=args.lite_norm, force=args.force_norm,
+        equalize_rgb=args.equalize_rgb, reglayer=args.reglayer)
+
+    weights = None
+    if args.method in ("rej", "mean") and args.weighting != NO_WEIGHT:
+        weights = compute_weights(seq, indices, args, coeffs)
+
+    rtype = args.rejection if args.method == "rej" else rj.NO_REJEC
+    if args.method == "med":
+        rtype = -1                       # median marker
+
+    critical = np.zeros(1, np.float32)
+    max_outliers = 0
+    if rtype == rj.GESDT:
+        max_outliers = int(np.floor(n * args.siglow))
+        critical = rj.gesdt_critical_values(n, args.sighigh, max_outliers)
+
+    kernel = None
+    if rtype != -1:
+        kernel = make_block_kernel(
+            rtype, args.normalize if do_norm else NO_NORM,
+            float(args.siglow), float(args.sighigh), n, max_outliers,
+            weights is not None)
+
+    result = np.zeros((L, H, W), np.float32)
+    rmap_lo = np.zeros((L, H, W), np.uint16) if args.create_rejmaps else None
+    rmap_hi = (np.zeros((L, H, W), np.uint16)
+               if args.create_rejmaps and not args.merge_rejmaps else None)
+    tot_rej = [0, 0]
+
+    rows_per_block = plan_blocks(H, W, n, args.block_mb)
+    blocks = [(c, y, min(y + rows_per_block, H))
+              for c in range(L) for y in range(0, H, rows_per_block)]
+
+    pool = cf.ThreadPoolExecutor(max_workers=8)
+
+    def assemble(block):
+        c, y0, y1 = block
+        shifts = _frame_shifts(seq, indices, args.reglayer)
+        h = y1 - y0
+        buf = np.empty((n, h * W), np.float32)
+
+        def one(k):
+            sh = (shifts[0][k], shifts[1][k]) if shifts is not None else None
+            buf[k] = _read_block(seq, c, int(indices[k]), y0, y1, sh, W).reshape(-1)
+        list(pool.map(one, range(n)))
+        return buf
+
+    # double-buffered: prefetch next block while device computes current
+    next_fut = pool.submit(assemble, blocks[0])
+    for bi, block in enumerate(blocks):
+        c, y0, y1 = block
+        buf = next_fut.result()
+        if bi + 1 < len(blocks):
+            next_fut = pool.submit(assemble, blocks[bi + 1])
+        stack_dev = jnp.asarray(buf)
+        if rtype == -1:
+            mean = rj.median_stack(stack_dev)
+            rl = rh = jnp.zeros(stack_dev.shape[1], jnp.int32)
+        else:
+            w_dev = (jnp.asarray(np.broadcast_to(
+                weights[c][:, None], buf.shape).copy())
+                if weights is not None else jnp.zeros((1, 1), jnp.float32))
+            mean, rl, rh = kernel(
+                stack_dev,
+                jnp.asarray(coeffs.scale[c], jnp.float32),
+                jnp.asarray(coeffs.offset[c], jnp.float32),
+                jnp.asarray(coeffs.mul[c], jnp.float32),
+                w_dev, jnp.asarray(critical))
+        result[c, y0:y1] = np.asarray(mean, np.float32).reshape(y1 - y0, W)
+        if args.create_rejmaps:
+            rla = np.asarray(rl).reshape(y1 - y0, W)
+            rha = np.asarray(rh).reshape(y1 - y0, W)
+            if args.merge_rejmaps:
+                rmap_lo[c, y0:y1] = (rla + rha).astype(np.uint16)
+            else:
+                rmap_lo[c, y0:y1] = rla.astype(np.uint16)
+                rmap_hi[c, y0:y1] = rha.astype(np.uint16)
+        tot_rej[0] += int(np.asarray(rl).sum())
+        tot_rej[1] += int(np.asarray(rh).sum())
+
+    pool.shutdown(wait=False)
+    seq.close_readers()
+
+    if args.output_norm:
+        result = norm_to_0_1_range(result)
+    elif args.use_32bit:
+        result = np.clip(result, 0.0, 1.0)
+
+    img = _finalize_metadata(seq, indices, result)
+    out = StackResult(image=img, total_rejected=(tot_rej[0], tot_rej[1]),
+                      elapsed_s=time.perf_counter() - t0)
+    if args.create_rejmaps:
+        out.rejmap_low = SirilImage(
+            data=rmap_lo.astype(np.float32) / 65535.0)
+        if rmap_hi is not None:
+            out.rejmap_high = SirilImage(data=rmap_hi.astype(np.float32) / 65535.0)
+    return out
+
+
+def norm_to_0_1_range(a: np.ndarray) -> np.ndarray:
+    """(median_and_mean.c:557-580): rescale nonzero values to [0,1]."""
+    nz = a[a != 0.0]
+    if nz.size == 0:
+        return a
+    mini, maxi = float(nz.min()), float(nz.max())
+    if maxi <= mini:
+        return a
+    return np.where(a == 0.0, 0.0, (a - mini) / (maxi - mini)).astype(np.float32)
+
+
+def _stack_accumulate(seq: Sequence, args: StackArgs, indices: np.ndarray,
+                      t0: float) -> StackResult:
+    """sum / min / max stacks (sum.c, stackminmax.c) with shift-only reg."""
+    L, H, W = seq.nb_layers, seq.ry, seq.rx
+    if args.method == "sum":
+        acc = np.zeros((L, H, W), np.float64)
+    elif args.method == "min":
+        acc = np.full((L, H, W), np.inf, np.float32)
+    else:
+        acc = np.full((L, H, W), -np.inf, np.float32)
+    shifts = _frame_shifts(seq, indices, args.reglayer)
+    for k, idx in enumerate(indices):
+        img = seq.read_frame(int(idx)).host()
+        if shifts is not None:
+            dx, dy = int(shifts[0][k]), int(shifts[1][k])
+            img = _shift_image(img, dx, dy)
+        if args.method == "sum":
+            acc += img
+        elif args.method == "min":
+            acc = np.minimum(acc, img)
+        else:
+            acc = np.maximum(acc, img)
+    if args.method == "sum":
+        m = acc.max()
+        result = (acc / m if m > 0 else acc).astype(np.float32)
+    else:
+        result = np.where(np.isfinite(acc), acc, 0.0).astype(np.float32)
+    out_img = _finalize_metadata(seq, indices, result)
+    return StackResult(image=out_img, elapsed_s=time.perf_counter() - t0)
+
+
+def _shift_image(img: np.ndarray, dx: int, dy: int) -> np.ndarray:
+    out = np.zeros_like(img)
+    c, h, w = img.shape
+    sy0, sy1 = max(dy, 0), min(h + dy, h)
+    sx0, sx1 = max(dx, 0), min(w + dx, w)
+    if sy1 > sy0 and sx1 > sx0:
+        out[:, sy0:sy1, sx0:sx1] = img[:, sy0 - dy:sy1 - dy, sx0 - dx:sx1 - dx]
+    return out
+
+
+def _finalize_metadata(seq: Sequence, indices: np.ndarray,
+                       result: np.ndarray) -> SirilImage:
+    """Metadata/date accumulation (stacking.c compute_date_time_keywords):
+    livetime = Σ exposure, stackcnt = N, date_obs = earliest."""
+    img = SirilImage(data=result, orig_bitdepth=FLOAT_IMG)
+    try:
+        img.keywords = seq.read_frame_metadata(int(indices[0])).copy()
+    except Exception:
+        pass
+    live = 0.0
+    dates = []
+    for idx in indices:
+        try:
+            kw = seq.read_frame_metadata(int(idx))
+            live += kw.exposure or 0.0
+            if kw.date_obs:
+                dates.append(kw.date_obs)
+        except Exception:
+            pass
+    img.keywords.livetime = live
+    img.keywords.stackcnt = len(indices)
+    if dates:
+        img.keywords.date_obs = min(dates)
+    img.log_history(f"Stacking with {len(indices)} images")
+    return img

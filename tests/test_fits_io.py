@@ -1,0 +1,103 @@
+"""FITS I/O round-trip and partial-read tests (reference test model:
+ser_test.c round-trips + compare_fits golden tolerance)."""
+
+import numpy as np
+import pytest
+
+from siril_tpu.core.image import FLOAT_IMG, USHORT_IMG, Keywords, SirilImage
+from siril_tpu.io.fits_io import FitsReader, read_fits, scan_hdus, write_fits
+
+
+def make_image(rng, c=1, h=64, w=80):
+    data = rng.random((c, h, w)).astype(np.float32)
+    kw = Keywords()
+    kw.exposure = 120.0
+    kw.object = "M42"
+    kw.instrume = "TestCam"
+    kw.bayer_pattern = ""
+    kw.extra["MYKEY"] = 42
+    return SirilImage(data=data, keywords=kw)
+
+
+class TestRoundTrip:
+    def test_float32(self, rng, tmp_path):
+        img = make_image(rng)
+        p = tmp_path / "f32.fit"
+        write_fits(img, p, bitdepth=FLOAT_IMG)
+        back = read_fits(p)
+        np.testing.assert_array_equal(back.host(), img.host())
+        assert back.keywords.exposure == 120.0
+        assert back.keywords.object == "M42"
+        assert back.keywords.extra.get("MYKEY") == 42
+
+    def test_u16(self, rng, tmp_path):
+        img = make_image(rng)
+        p = tmp_path / "u16.fit"
+        write_fits(img, p, bitdepth=USHORT_IMG)
+        back = read_fits(p)
+        # u16 quantization: within half an ADU
+        np.testing.assert_allclose(back.host(), img.host(), atol=0.5 / 65535)
+        assert back.orig_bitdepth == USHORT_IMG
+
+    def test_rgb(self, rng, tmp_path):
+        img = make_image(rng, c=3)
+        p = tmp_path / "rgb.fit"
+        write_fits(img, p, bitdepth=FLOAT_IMG)
+        back = read_fits(p)
+        assert back.nchans == 3
+        np.testing.assert_array_equal(back.host(), img.host())
+
+    def test_history(self, rng, tmp_path):
+        img = make_image(rng)
+        img.log_history("calibrated with masters")
+        p = tmp_path / "h.fit"
+        write_fits(img, p)
+        back = read_fits(p)
+        assert any("calibrated" in h for h in back.history)
+
+
+class TestPartialReads:
+    def test_region_matches_full(self, rng, tmp_path):
+        img = make_image(rng, c=3, h=100, w=60)
+        p = tmp_path / "r.fit"
+        write_fits(img, p, bitdepth=FLOAT_IMG)
+        rd = FitsReader(p)
+        full = rd.read_full()
+        np.testing.assert_array_equal(full, img.host())
+        for chan in range(3):
+            reg = rd.read_region(chan, 10, 35)
+            np.testing.assert_array_equal(reg, img.host()[chan, 10:35])
+        rd.close()
+
+    def test_u16_region(self, rng, tmp_path):
+        img = make_image(rng, h=48, w=32)
+        p = tmp_path / "r16.fit"
+        write_fits(img, p, bitdepth=USHORT_IMG)
+        rd = FitsReader(p)
+        reg = rd.read_region(0, 0, 48)
+        np.testing.assert_allclose(reg, img.host()[0], atol=0.5 / 65535)
+
+
+class TestHeaderEdge:
+    def test_scan_hdus(self, rng, tmp_path):
+        img = make_image(rng)
+        p = tmp_path / "s.fit"
+        write_fits(img, p)
+        hdus = scan_hdus(p)
+        assert len(hdus) == 1
+        assert hdus[0].shape_chw == (1, 64, 80)
+
+    def test_string_quotes(self, rng, tmp_path):
+        img = make_image(rng)
+        img.keywords.object = "O'Neill cluster"
+        p = tmp_path / "q.fit"
+        write_fits(img, p)
+        back = read_fits(p)
+        assert back.keywords.object == "O'Neill cluster"
+
+    def test_roworder_topdown(self, rng, tmp_path):
+        img = make_image(rng)
+        p = tmp_path / "td.fit"
+        write_fits(img, p, row_order="TOP-DOWN")
+        back = read_fits(p)
+        np.testing.assert_array_equal(back.host(), img.host())

@@ -1,0 +1,145 @@
+"""End-to-end stacking tests — the config-1 integration gate
+(BASELINE.md: sigma-clipped average of pre-registered mono lights), with
+output verified against per-pixel oracles (compare_fits-style f32
+tolerance)."""
+
+import numpy as np
+import pytest
+
+from siril_tpu.core.image import FLOAT_IMG, SirilImage
+from siril_tpu.core.sequence import Sequence
+from siril_tpu.io.fits_io import write_fits
+from siril_tpu.ops import rejection as rj
+from siril_tpu.ops import stacking as stk
+from siril_tpu.ops.normalization import ADDITIVE_SCALING, NO_NORM
+from tests import reference_impl as ref
+
+
+def make_sequence(tmp_path, rng, n=12, h=48, w=64, outliers=True,
+                  offsets=None):
+    """Synthetic light frames: fixed scene + noise + optional outliers."""
+    scene = (0.2 + 0.6 * rng.random((h, w))).astype(np.float32)
+    files = []
+    frames = []
+    for i in range(n):
+        f = scene + rng.normal(0, 0.01, (h, w)).astype(np.float32)
+        if offsets is not None:
+            f = f + offsets[i]
+        if outliers and i % 3 == 0:
+            ys, xs = rng.integers(0, h, 5), rng.integers(0, w, 5)
+            f[ys, xs] += 0.3
+        f = np.clip(f, 1e-4, 1.0).astype(np.float32)
+        frames.append(f)
+        img = SirilImage(data=f[None])
+        img.keywords.exposure = 60.0
+        p = tmp_path / f"light_{i:05d}.fit"
+        write_fits(img, p, bitdepth=FLOAT_IMG)
+        files.append(str(p))
+    seq = Sequence.from_files(files, name="light_")
+    return seq, np.stack(frames)
+
+
+class TestSigmaStack:
+    def test_matches_oracle(self, tmp_path, rng):
+        seq, frames = make_sequence(tmp_path, rng)
+        args = stk.StackArgs(method="rej", rejection=rj.SIGMA,
+                             siglow=3.0, sighigh=3.0, normalize=NO_NORM)
+        res = stk.stack_sequence(seq, args)
+        out = res.image.host()[0]
+        n, h, w = frames.shape
+        # oracle on a sample of pixels
+        for (y, x) in [(0, 0), (10, 20), (47, 63), (25, 30), (5, 60)]:
+            _, _, _, m = ref.reject_pixel(frames[:, y, x], "sigma", 3.0, 3.0)
+            assert np.isclose(out[y, x], np.clip(m, 0, 1), rtol=2e-5), (y, x)
+        assert res.total_rejected[1] > 0     # outliers were rejected
+
+    def test_small_blocks_same_result(self, tmp_path, rng):
+        seq, frames = make_sequence(tmp_path, rng, n=8)
+        a1 = stk.StackArgs(method="rej", rejection=rj.SIGMA, block_mb=512)
+        r1 = stk.stack_sequence(seq, a1)
+        seq2 = Sequence.from_files(seq._file_list, name="light_")
+        a2 = stk.StackArgs(method="rej", rejection=rj.SIGMA, block_mb=1)
+        r2 = stk.stack_sequence(seq2, a2)
+        np.testing.assert_array_equal(r1.image.host(), r2.image.host())
+
+
+class TestNormalizedStack:
+    def test_additive_scaling_removes_offsets(self, tmp_path, rng):
+        # frames with varying sky offsets → normalization should align them
+        offs = np.linspace(0.0, 0.1, 10)
+        seq, frames = make_sequence(tmp_path, rng, n=10, outliers=False,
+                                    offsets=offs)
+        args = stk.StackArgs(method="rej", rejection=rj.WINSORIZED,
+                             normalize=ADDITIVE_SCALING)
+        res = stk.stack_sequence(seq, args)
+        out = res.image.host()[0]
+        # compare vs the no-offset mean scene: normalized stack should be
+        # much closer to frame 0 (the reference) than the raw mean is
+        raw_mean = frames.mean(axis=0)
+        err_norm = np.abs(out - frames[0]).mean()
+        err_raw = np.abs(raw_mean - frames[0]).mean()
+        assert err_norm < err_raw * 0.5
+
+    def test_rejmaps(self, tmp_path, rng):
+        seq, _ = make_sequence(tmp_path, rng, n=9)
+        args = stk.StackArgs(method="rej", rejection=rj.SIGMA,
+                             create_rejmaps=True)
+        res = stk.stack_sequence(seq, args)
+        assert res.rejmap_low is not None and res.rejmap_high is not None
+        assert (res.rejmap_high.host() > 0).any()
+
+
+class TestOtherMethods:
+    def test_median(self, tmp_path, rng):
+        seq, frames = make_sequence(tmp_path, rng, n=7, outliers=False)
+        res = stk.stack_sequence(seq, stk.StackArgs(method="med"))
+        np.testing.assert_allclose(res.image.host()[0],
+                                   np.median(frames, axis=0), atol=1e-6)
+
+    def test_sum(self, tmp_path, rng):
+        seq, frames = make_sequence(tmp_path, rng, n=5, outliers=False)
+        res = stk.stack_sequence(seq, stk.StackArgs(method="sum"))
+        s = frames.sum(axis=0)
+        np.testing.assert_allclose(res.image.host()[0], s / s.max(), rtol=1e-5)
+
+    def test_minmax(self, tmp_path, rng):
+        seq, frames = make_sequence(tmp_path, rng, n=5, outliers=False)
+        rmin = stk.stack_sequence(seq, stk.StackArgs(method="min"))
+        np.testing.assert_allclose(rmin.image.host()[0], frames.min(axis=0),
+                                   atol=1e-7)
+        seq2 = Sequence.from_files(seq._file_list, name="light_")
+        rmax = stk.stack_sequence(seq2, stk.StackArgs(method="max"))
+        np.testing.assert_allclose(rmax.image.host()[0], frames.max(axis=0),
+                                   atol=1e-7)
+
+
+class TestShiftedStack:
+    def test_translation_registration_applied(self, tmp_path, rng):
+        seq, frames = make_sequence(tmp_path, rng, n=6, outliers=False)
+        # synthetic shift-only registration data
+        reg = seq.reg(0)
+        shifts = [(0, 0), (2, 1), (-1, 3), (0, -2), (3, 0), (-2, -1)]
+        for i, (dx, dy) in enumerate(shifts):
+            reg.H[i] = np.eye(3)
+            reg.H[i][0, 2] = dx
+            reg.H[i][1, 2] = dy
+            reg.valid[i] = True
+        res = stk.stack_sequence(seq, stk.StackArgs(method="rej",
+                                                    rejection=rj.NO_REJEC))
+        out = res.image.host()[0]
+        # oracle: mean of shifted frames (zeros excluded like rejection path)
+        h, w = frames.shape[1:]
+        shifted = np.zeros_like(frames)
+        for i, (dx, dy) in enumerate(shifts):
+            img = stk._shift_image(frames[i][None], dx, dy)[0]
+            shifted[i] = img
+        cnt = (shifted != 0).sum(axis=0)
+        mean = shifted.sum(axis=0) / np.maximum(cnt, 1)
+        interior = np.s_[5:-5, 5:-5]
+        np.testing.assert_allclose(out[interior], mean[interior], rtol=1e-5)
+
+    def test_metadata_accumulation(self, tmp_path, rng):
+        seq, _ = make_sequence(tmp_path, rng, n=4, outliers=False)
+        res = stk.stack_sequence(seq, stk.StackArgs(method="rej"))
+        assert res.image.keywords.stackcnt == 4
+        assert res.image.keywords.livetime == pytest.approx(240.0)
