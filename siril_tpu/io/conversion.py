@@ -1,0 +1,127 @@
+"""Format conversion — equivalent of ``src/io/conversion.c`` (1,576 LoC).
+
+``convert``: any supported input (FITS, SER frames, TIFF/PNG/JPEG/BMP/PNM
+via PIL, raw NEF/CR2 gated) → a FITS / SER / FITSEQ sequence with
+normalized names ``name_00001.fit``.
+``link``: FITS inputs are symlinked instead of rewritten
+(FITS_symlink.c optimization).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence as Seq
+
+import numpy as np
+
+from siril_tpu.core.image import SirilImage, ensure_chw
+from siril_tpu.core.sequence import Sequence
+from siril_tpu.utils.log import log_error, log_message
+
+FITS_EXT = (".fit", ".fits", ".fts")
+PIL_EXT = (".tif", ".tiff", ".png", ".jpg", ".jpeg", ".bmp", ".ppm", ".pgm",
+           ".pnm", ".webp")
+
+
+def load_any(path: str) -> SirilImage:
+    """Read any supported single image file → SirilImage."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext in FITS_EXT or path.lower().endswith((".fit.fz", ".fits.fz")):
+        from siril_tpu.io.fits_io import read_fits
+
+        return read_fits(path)
+    if ext in PIL_EXT:
+        from PIL import Image
+
+        im = Image.open(path)
+        arr = np.asarray(im)
+        if arr.dtype == np.uint8:
+            data = arr.astype(np.float32) / 255.0
+        elif arr.dtype == np.uint16:
+            data = arr.astype(np.float32) / 65535.0
+        else:
+            data = arr.astype(np.float32)
+        if data.ndim == 3 and data.shape[2] == 4:
+            data = data[:, :, :3]
+        img = SirilImage(data=ensure_chw(data))
+        img.keywords.filename = os.path.basename(path)
+        return img
+    if ext == ".ser":
+        from siril_tpu.io.ser import SerFile
+
+        return SerFile(path).read_frame(0)
+    raise ValueError(f"unsupported input format: {path}")
+
+
+def convert_to_sequence(inputs: Seq[str], dest_name: str,
+                        directory: str = ".",
+                        output: str = "fits",          # fits | ser | fitseq
+                        symlink: bool = False,
+                        start: int = 1,
+                        debayer: bool = False) -> Sequence:
+    """`convert` / `link` commands (conversion.c convert worker)."""
+    inputs = sorted(inputs)
+    if not inputs:
+        raise ValueError("no input files")
+    os.makedirs(directory, exist_ok=True)
+
+    # expand SER/sequence containers into frames
+    expanded: List = []
+    for p in inputs:
+        if p.lower().endswith(".ser") and output != "ser":
+            from siril_tpu.io.ser import SerFile
+
+            sf = SerFile(p)
+            for i in range(sf.frame_count):
+                expanded.append((p, i))
+        else:
+            expanded.append((p, None))
+
+    if output == "ser":
+        from siril_tpu.io.ser import SER_MONO, SER_RGB, SerWriter
+
+        first = _read_item(expanded[0], debayer)
+        cid = SER_RGB if first.nchans == 3 else SER_MONO
+        out_path = os.path.join(directory, dest_name + ".ser")
+        w = SerWriter(out_path, first.width, first.height, cid, 16)
+        for item in expanded:
+            w.write_frame(_read_item(item, debayer))
+        w.close()
+        log_message(f"Converted {len(expanded)} frames to {out_path}")
+        return Sequence.from_ser(out_path)
+
+    files = []
+    for k, item in enumerate(expanded):
+        num = start + k
+        out = os.path.join(directory, f"{dest_name}{num:05d}.fit")
+        src, sub = item
+        if symlink and sub is None and \
+                os.path.splitext(src)[1].lower() in FITS_EXT:
+            if os.path.lexists(out):
+                os.unlink(out)
+            os.symlink(os.path.abspath(src), out)
+        else:
+            from siril_tpu.io.fits_io import write_fits
+
+            img = _read_item(item, debayer)
+            write_fits(img, out)
+        files.append(out)
+    log_message(f"Converted {len(files)} files to sequence {dest_name}")
+    seq = Sequence.from_files(files, name=dest_name, directory=directory)
+    seq.beg = start
+    return seq
+
+
+def _read_item(item, debayer: bool) -> SirilImage:
+    src, sub = item
+    if sub is not None:
+        from siril_tpu.io.ser import SerFile
+
+        img = SerFile(src).read_frame(sub)
+    else:
+        img = load_any(src)
+    if debayer and img.is_cfa():
+        from siril_tpu.ops.demosaic import debayer_image
+
+        img = debayer_image(img)
+    return img

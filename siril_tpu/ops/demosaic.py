@@ -1,0 +1,203 @@
+"""Bayer demosaicing — equivalent of ``src/algos/demosaicing*.c`` +
+librtprocess dispatch (``demosaicing_rtp.cpp:154-156``).
+
+Interpolations (reference set: bilinear, VNG, RCD, AMAZE, DCB, HPHD, IGV,
+LMMSE, AHD, super-pixel, X-Trans Markesteijn).  Implemented TPU-native:
+- BILINEAR: one fused convolution pass (this module)
+- SUPER_PIXEL: 2×2 box → half-size RGB
+- RCD: ratio-corrected demosaic as vectorized stencils (pallas/rcd.py —
+  the quality default, matching the reference's preference default)
+- VNG: gradient-weighted (vectorized, this module)
+Others are gated (fall back to RCD) until implemented.
+
+Pattern handling replicates ``demosaicing.c:105-327``: the BAYERPAT
+keyword plus bayer_xoffset/yoffset give the CFA phase; patterns are
+normalized to one of RGGB/BGGR/GRBG/GBRG.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from siril_tpu.core.image import SirilImage
+
+BAYER_PATTERNS = ("RGGB", "BGGR", "GBRG", "GRBG")
+
+# interpolation ids (order matches the reference's enum in demosaicing)
+BAYER_BILINEAR = 0
+BAYER_VNG = 1
+BAYER_RCD = 2
+BAYER_SUPER_PIXEL = 3
+BAYER_AMAZE = 4
+
+METHOD_NAMES = {"bilinear": BAYER_BILINEAR, "vng": BAYER_VNG,
+                "rcd": BAYER_RCD, "super": BAYER_SUPER_PIXEL,
+                "amaze": BAYER_AMAZE}
+
+
+def effective_pattern(pattern: str, xoff: int = 0, yoff: int = 0,
+                      top_down: bool = True, height: int = 0) -> str:
+    """Adjust the pattern for CFA offsets (demosaicing.c:105-180)."""
+    p = pattern.upper().strip()
+    if p not in BAYER_PATTERNS:
+        raise ValueError(f"unsupported Bayer pattern {pattern!r}")
+    grid = np.array(list(p)).reshape(2, 2)
+    grid = np.roll(grid, (-yoff % 2, -xoff % 2), axis=(0, 1))
+    return "".join(grid.ravel())
+
+
+def _cfa_masks(pattern: str, h: int, w: int):
+    """(r_mask, g_mask, b_mask) boolean (h, w) arrays for the pattern."""
+    p = np.array(list(pattern)).reshape(2, 2)
+    yy, xx = np.mgrid[0:h, 0:w]
+    cell = p[yy % 2, xx % 2]
+    return cell == "R", cell == "G", cell == "B"
+
+
+def _conv2same(x, k):
+    import jax.numpy as jnp
+    from jax import lax
+
+    x4 = x[None, None]
+    k4 = jnp.asarray(k, jnp.float32)[None, None]
+    out = lax.conv_general_dilated(x4, k4, (1, 1),
+                                   padding="SAME")
+    return out[0, 0]
+
+
+def demosaic_bilinear(cfa: np.ndarray, pattern: str):
+    """Bilinear interpolation as three convolutions over masked planes."""
+    import jax
+    import jax.numpy as jnp
+
+    h, w = cfa.shape
+    rm, gm, bm = _cfa_masks(pattern, h, w)
+
+    @jax.jit
+    def run(x, rm, gm, bm):
+        kg = jnp.array([[0, 1, 0], [1, 4, 1], [0, 1, 0]], jnp.float32) / 4.0
+        krb = jnp.array([[1, 2, 1], [2, 4, 2], [1, 2, 1]], jnp.float32) / 4.0
+
+        def interp(mask, k):
+            vals = jnp.where(mask, x, 0.0)
+            num = _conv2same(vals, k)
+            den = _conv2same(mask.astype(jnp.float32), k)
+            return num / jnp.maximum(den, 1e-9)
+
+        r = interp(rm, krb)
+        g = interp(gm, kg)
+        b = interp(bm, krb)
+        return jnp.stack([r, g, b])
+
+    return np.asarray(run(jnp.asarray(cfa), jnp.asarray(rm),
+                          jnp.asarray(gm), jnp.asarray(bm)))
+
+
+def demosaic_super_pixel(cfa: np.ndarray, pattern: str):
+    """2×2 super-pixel → half-size RGB (greens averaged)."""
+    h, w = cfa.shape
+    h2, w2 = h // 2, w // 2
+    q = cfa[: h2 * 2, : w2 * 2]
+    sub = {(0, 0): q[0::2, 0::2], (0, 1): q[0::2, 1::2],
+           (1, 0): q[1::2, 0::2], (1, 1): q[1::2, 1::2]}
+    p = np.array(list(pattern)).reshape(2, 2)
+    r = g = b = None
+    g_parts = []
+    for (dy, dx), plane in sub.items():
+        c = p[dy, dx]
+        if c == "R":
+            r = plane
+        elif c == "B":
+            b = plane
+        else:
+            g_parts.append(plane)
+    g = 0.5 * (g_parts[0] + g_parts[1])
+    return np.stack([r, g, b]).astype(np.float32)
+
+
+def demosaic_vng(cfa: np.ndarray, pattern: str):
+    """Variable-number-of-gradients — vectorized gradient-threshold blend.
+
+    A faithful-to-spirit VNG: 8 directional gradients per pixel, average
+    the color estimates of directions whose gradient ≤ 1.5·min_gradient
+    (the classic VNG threshold rule), vectorized over the image.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    h, w = cfa.shape
+    rm, gm, bm = _cfa_masks(pattern, h, w)
+
+    @jax.jit
+    def run(x, rm, gm, bm):
+        def sh(a, dy, dx):
+            return jnp.roll(jnp.roll(a, dy, 0), dx, 1)
+
+        dirs = [(-1, 0), (1, 0), (0, -1), (0, 1),
+                (-1, -1), (-1, 1), (1, -1), (1, 1)]
+        grads = []
+        ests = []
+        for dy, dx in dirs:
+            g1 = jnp.abs(sh(x, dy, dx) - sh(x, -dy, -dx)) + \
+                jnp.abs(sh(x, 2 * dy, 2 * dx) - x)
+            grads.append(g1)
+            ests.append(0.5 * (sh(x, dy, dx) + sh(x, 2 * dy, 2 * dx)))
+        G = jnp.stack(grads)
+        gmin = G.min(axis=0)
+        thr = 1.5 * gmin + 1e-6
+        sel = (G <= thr[None]).astype(jnp.float32)
+
+        def channel(mask_c, krb):
+            # neighbor estimates restricted to pixels of channel c
+            num = jnp.zeros_like(x)
+            den = jnp.zeros_like(x)
+            for i, (dy, dx) in enumerate(dirs):
+                mc = sh(mask_c.astype(jnp.float32), dy, dx)
+                vc = sh(jnp.where(mask_c, x, 0.0), dy, dx)
+                num = num + sel[i] * vc
+                den = den + sel[i] * mc
+            fallback = _bilinear_channel(x, mask_c)
+            est = jnp.where(den > 0, num / jnp.maximum(den, 1e-9), fallback)
+            return jnp.where(mask_c, x, est)
+
+        def _bilinear_channel(x, mask):
+            kk = jnp.array([[1, 2, 1], [2, 4, 2], [1, 2, 1]], jnp.float32)
+            num = _conv2same(jnp.where(mask, x, 0.0), kk)
+            den = _conv2same(mask.astype(jnp.float32), kk)
+            return num / jnp.maximum(den, 1e-9)
+
+        return jnp.stack([channel(rm, None), channel(gm, None),
+                          channel(bm, None)])
+
+    return np.asarray(run(jnp.asarray(cfa), jnp.asarray(rm), jnp.asarray(gm),
+                          jnp.asarray(bm)))
+
+
+def debayer(cfa: np.ndarray, pattern: str, method: int = BAYER_RCD,
+            xoff: int = 0, yoff: int = 0) -> np.ndarray:
+    """debayer() entry (demosaicing.c:544): CFA (H,W) → RGB (3,H,W)."""
+    pat = effective_pattern(pattern, xoff, yoff)
+    if method == BAYER_SUPER_PIXEL:
+        return demosaic_super_pixel(cfa, pat)
+    if method == BAYER_BILINEAR:
+        return demosaic_bilinear(cfa, pat)
+    if method == BAYER_VNG:
+        return demosaic_vng(cfa, pat)
+    # RCD default (and fallback for unimplemented methods)
+    from siril_tpu.pallas.rcd import demosaic_rcd
+
+    return demosaic_rcd(cfa, pat)
+
+
+def debayer_image(img: SirilImage, method: int = BAYER_RCD) -> SirilImage:
+    if not img.is_cfa():
+        return img
+    kw = img.keywords
+    rgb = debayer(img.host()[0], kw.bayer_pattern, method,
+                  kw.bayer_xoffset, kw.bayer_yoffset)
+    out = img.copy(data=rgb.astype(np.float32))
+    out.keywords.bayer_pattern = ""
+    out.log_history("Debayer applied")
+    return out

@@ -73,41 +73,44 @@ _INF = jnp.float32(np.inf)
 # ---------------------------------------------------------------------------
 
 
+def _select_at(xs, idx_row):
+    """xs[idx_row[p], p] per pixel via mask-reduce (NO gather: dynamic
+    per-pixel gathers lower poorly on TPU; an N-length masked sum is pure
+    VPU work and fuses with neighbors)."""
+    rows = lax.broadcasted_iota(jnp.int32, xs.shape, 0)
+    return jnp.where(rows == idx_row[None, :], xs, 0.0).sum(axis=0)
+
+
 def _window_median(xs, lo, hi):
     """Median of sorted xs[lo:hi] per pixel.  xs: (N, P); lo,hi: (P,) int32.
 
     Exact median (average of the two middle values for even count), matching
     gsl_stats_median_from_sorted_data / quickmedian semantics.
     """
-    n = hi - lo
-    n = jnp.maximum(n, 1)
+    n = jnp.maximum(hi - lo, 1)
     i0 = lo + (n - 1) // 2
     i1 = lo + n // 2
-    v0 = jnp.take_along_axis(xs, i0[None, :], axis=0)[0]
-    v1 = jnp.take_along_axis(xs, i1[None, :], axis=0)[0]
+    rows = lax.broadcasted_iota(jnp.int32, xs.shape, 0)
+    v0 = jnp.where(rows == i0[None, :], xs, 0.0).sum(axis=0)
+    v1 = jnp.where(rows == i1[None, :], xs, 0.0).sum(axis=0)
     return 0.5 * (v0 + v1)
 
 
 def _window_sums(xs):
-    """Prefix sums along frame axis for O(1) window mean/sd.
-
-    Returns (S1, S2) with S1[k] = sum(xs[:k]), shape (N+1, P).  +inf
-    entries must be excluded by the caller's window bounds.
-    """
-    z = jnp.zeros((1,) + xs.shape[1:], xs.dtype)
+    """Kept for API symmetry: window sums are computed directly from
+    masked reductions (cheaper than prefix-sum + gather on TPU)."""
     safe = jnp.where(jnp.isfinite(xs), xs, 0.0)
-    s1 = jnp.concatenate([z, jnp.cumsum(safe, axis=0)], axis=0)
-    s2 = jnp.concatenate([z, jnp.cumsum(safe * safe, axis=0)], axis=0)
-    return s1, s2
+    return safe, safe * safe
 
 
 def _window_mean_sd(s1, s2, lo, hi):
-    """Mean and sample-sd (N−1) of the window [lo,hi) from prefix sums."""
+    """Mean and sample-sd (N−1) of the window [lo,hi) via masked sums.
+    s1/s2 are the (xs, xs²) planes from _window_sums."""
+    rows = lax.broadcasted_iota(jnp.int32, s1.shape, 0)
+    inwin = (rows >= lo[None, :]) & (rows < hi[None, :])
     n = (hi - lo).astype(jnp.float32)
-    t1 = jnp.take_along_axis(s1, hi[None, :], axis=0)[0] - \
-        jnp.take_along_axis(s1, lo[None, :], axis=0)[0]
-    t2 = jnp.take_along_axis(s2, hi[None, :], axis=0)[0] - \
-        jnp.take_along_axis(s2, lo[None, :], axis=0)[0]
+    t1 = jnp.where(inwin, s1, 0.0).sum(axis=0)
+    t2 = jnp.where(inwin, s2, 0.0).sum(axis=0)
     nsafe = jnp.maximum(n, 1.0)
     mean = t1 / nsafe
     var = (t2 - t1 * mean) / jnp.maximum(n - 1.0, 1.0)
@@ -433,8 +436,8 @@ def _gesdt(xs, nvalid, critical, max_outliers: int, n_frames: int):
         lo, hi = carry
         size = hi - lo
         mean, sd = _window_mean_sd(s1, s2, lo, hi)
-        first = jnp.take_along_axis(xs, lo[None, :], axis=0)[0]
-        last = jnp.take_along_axis(xs, jnp.maximum(hi - 1, 0)[None, :], axis=0)[0]
+        first = _select_at(xs, lo)
+        last = _select_at(xs, jnp.maximum(hi - 1, 0))
         dev_low = mean - first
         dev_high = last - mean
         take_high = dev_high > dev_low          # strict > (grubbs_stat:88-96)
@@ -503,8 +506,7 @@ def rejection_mean(stack, rtype: int, siglow: float, sighigh: float,
     finite = jnp.isfinite(stack)
     valid = (stack != 0.0) & finite
     nvalid = valid.sum(axis=0).astype(jnp.int32)
-    order = jnp.argsort(jnp.where(valid, stack, _INF), axis=0)
-    xs = jnp.take_along_axis(jnp.where(valid, stack, _INF), order, axis=0)
+    xs = jnp.sort(jnp.where(valid, stack, _INF), axis=0)
 
     zero = jnp.zeros(P, jnp.int32)
 

@@ -302,18 +302,22 @@ def stack_sequence(seq: Sequence, args: StackArgs,
     rows_per_block = plan_blocks(H, W, n, args.block_mb)
     blocks = [(c, y, min(y + rows_per_block, H))
               for c in range(L) for y in range(0, H, rows_per_block)]
+    shifts = _frame_shifts(seq, indices, args.reglayer)
 
     pool = cf.ThreadPoolExecutor(max_workers=8)
 
     def assemble(block):
         c, y0, y1 = block
-        shifts = _frame_shifts(seq, indices, args.reglayer)
         h = y1 - y0
-        buf = np.empty((n, h * W), np.float32)
+        # pad every block to the planned height so the device kernel
+        # compiles for ONE shape (zero rows reject to zero and are sliced
+        # off after compute)
+        buf = np.zeros((n, rows_per_block * W), np.float32)
 
         def one(k):
             sh = (shifts[0][k], shifts[1][k]) if shifts is not None else None
-            buf[k] = _read_block(seq, c, int(indices[k]), y0, y1, sh, W).reshape(-1)
+            buf[k, : h * W] = _read_block(
+                seq, c, int(indices[k]), y0, y1, sh, W).reshape(-1)
         list(pool.map(one, range(n)))
         return buf
 
@@ -338,10 +342,11 @@ def stack_sequence(seq: Sequence, args: StackArgs,
                 jnp.asarray(coeffs.offset[c], jnp.float32),
                 jnp.asarray(coeffs.mul[c], jnp.float32),
                 w_dev, jnp.asarray(critical))
-        result[c, y0:y1] = np.asarray(mean, np.float32).reshape(y1 - y0, W)
+        npix = (y1 - y0) * W
+        result[c, y0:y1] = np.asarray(mean[:npix], np.float32).reshape(y1 - y0, W)
         if args.create_rejmaps:
-            rla = np.asarray(rl).reshape(y1 - y0, W)
-            rha = np.asarray(rh).reshape(y1 - y0, W)
+            rla = np.asarray(rl[:npix]).reshape(y1 - y0, W)
+            rha = np.asarray(rh[:npix]).reshape(y1 - y0, W)
             if args.merge_rejmaps:
                 rmap_lo[c, y0:y1] = (rla + rha).astype(np.uint16)
             else:

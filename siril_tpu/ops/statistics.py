@@ -215,15 +215,19 @@ def compute_stats_image(img, layer: Optional[int] = None,
 
 def _masked_quantile_sorted(sorted_x, ngood, q):
     """Quantile of the first `ngood` entries of an ascending sorted array
-    where invalid entries were pushed to +inf.  Linear interpolation."""
+    where invalid entries were pushed to +inf.  Linear interpolation.
+    Mask-reduce select (no dynamic gathers — they lower poorly on TPU)."""
+    import jax
     import jax.numpy as jnp
 
     pos = q * (ngood.astype(jnp.float32) - 1.0)
     lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, sorted_x.shape[-1] - 1)
     hi = jnp.clip(lo + 1, 0, sorted_x.shape[-1] - 1)
     frac = pos - lo.astype(jnp.float32)
-    vlo = jnp.take_along_axis(sorted_x, lo[..., None], axis=-1)[..., 0]
-    vhi = jnp.take_along_axis(sorted_x, hi[..., None], axis=-1)[..., 0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, sorted_x.shape,
+                                    sorted_x.ndim - 1)
+    vlo = jnp.where(cols == lo[..., None], sorted_x, 0.0).sum(axis=-1)
+    vhi = jnp.where(cols == hi[..., None], sorted_x, 0.0).sum(axis=-1)
     vhi = jnp.where(ngood > lo + 1, vhi, vlo)
     return vlo + frac * (vhi - vlo)
 
