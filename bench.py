@@ -47,7 +47,13 @@ def run_stack(d):
     from siril_tpu.ops import rejection as rj
     from siril_tpu.ops.stacking import StackArgs, stack_sequence
 
-    seq = Sequence.scan("light_", d)
+    seqfile = os.path.join(d, "light_.seq")
+    if os.path.exists(seqfile):
+        from siril_tpu.io.seqfile import read_seqfile
+
+        seq = read_seqfile(seqfile)      # reuses cached per-frame stats
+    else:
+        seq = Sequence.scan("light_", d)
     args = StackArgs(method="rej", rejection=rj.SIGMA,
                      siglow=SIGMA[0], sighigh=SIGMA[1])
     res = stack_sequence(seq, args)

@@ -99,6 +99,12 @@ def compute_normalization(seq: Sequence, indices: np.ndarray, mode: int,
 
     if need:
         _compute_missing(seq, need, loc, sca, lite, frame_batch)
+        # persist stats to the .seq sidecar like the reference
+        # (do_normalization → writeseqfile, normalization.c:74-75)
+        try:
+            seq.save()
+        except Exception:
+            pass
 
     # factors vs reference (compute_factors_from_estimators)
     ref_idx = seq.get_reference()
@@ -124,16 +130,28 @@ def compute_normalization(seq: Sequence, indices: np.ndarray, mode: int,
 
 
 def _compute_missing(seq, need, loc, sca, lite, frame_batch):
-    """Device-batched estimator computation for (pos, frame, layer) tuples."""
+    """Device-batched estimator computation for (pos, frame, layer) tuples.
+    Frame reads overlap with device compute via a small thread pool."""
+    import concurrent.futures as cf
+
     import jax.numpy as jnp
 
     by_frame = {}
     for k, idx, layer in need:
         by_frame.setdefault((k, idx), []).append(layer)
     items = sorted(by_frame.items())
+    pool = cf.ThreadPoolExecutor(max_workers=4)
+
+    def read_chunk(start):
+        chunk = items[start:start + frame_batch]
+        return list(pool.map(lambda it: seq.read_frame(it[0][1]).host(), chunk))
+
+    nxt = pool.submit(read_chunk, 0) if items else None
     for start in range(0, len(items), frame_batch):
         chunk = items[start:start + frame_batch]
-        frames = [seq.read_frame(idx).host() for (_, idx), _ in chunk]
+        frames = nxt.result()
+        if start + frame_batch < len(items):
+            nxt = pool.submit(read_chunk, start + frame_batch)
         # one device call per layer-set; frames share shape per sequence
         for layer in range(seq.nb_layers):
             rows = [(ci, f) for ci, ((k, idx), layers) in enumerate(chunk)
@@ -152,6 +170,7 @@ def _compute_missing(seq, need, loc, sca, lite, frame_batch):
                 sca[layer, k] = scale_v[r]
                 _cache(seq, layer, idx, med[r], mad[r], location[r],
                        scale_v[r], lite)
+    pool.shutdown(wait=False)
 
 
 def _cache(seq, layer, idx, med, mad, location, scale, lite):

@@ -67,7 +67,7 @@ class StackArgs:
     output_norm: bool = False
     use_32bit: bool = True
     reglayer: int = 0
-    block_mb: int = 512                 # device budget per block (MB)
+    block_mb: int = 2048                # device budget per block (MB)
     feather_dist: int = 0
 
 
@@ -111,18 +111,28 @@ def _norm_apply(stack, scale, offset, mul, mode: int):
 
 
 def make_block_kernel(rtype: int, mode: int, siglow: float, sighigh: float,
-                      n_full: int, max_outliers: int, with_weights: bool):
-    """Build the fused normalize+reject+mean jit for one stack config."""
+                      n_full: int, max_outliers: int, with_weights: bool,
+                      want_maps: bool = True):
+    """Build the fused normalize+reject+mean jit for one stack config.
+
+    When ``want_maps`` is False, per-pixel rejection counts are reduced to
+    two scalars ON DEVICE — device→host transfers through the tunnel cost
+    ~0.6s each, so shipping full count maps tripled the bench time.
+    """
     import jax
+    import jax.numpy as jnp
 
     @jax.jit
     def kernel(stack, scale, offset, mul, weights, critical):
         normed = _norm_apply(stack, scale, offset, mul, mode)
-        return rj.rejection_mean(
+        mean, rl, rh = rj.rejection_mean(
             normed, rtype, siglow, sighigh,
             weights=weights if with_weights else None,
             critical=critical, n_full=n_full, max_outliers=max_outliers,
             with_weights=with_weights)
+        if want_maps:
+            return mean, rl, rh
+        return mean, rl.sum(), rh.sum()
 
     return kernel
 
@@ -291,7 +301,7 @@ def stack_sequence(seq: Sequence, args: StackArgs,
         kernel = make_block_kernel(
             rtype, args.normalize if do_norm else NO_NORM,
             float(args.siglow), float(args.sighigh), n, max_outliers,
-            weights is not None)
+            weights is not None, want_maps=args.create_rejmaps)
 
     result = np.zeros((L, H, W), np.float32)
     rmap_lo = np.zeros((L, H, W), np.uint16) if args.create_rejmaps else None
@@ -321,7 +331,10 @@ def stack_sequence(seq: Sequence, args: StackArgs,
         list(pool.map(one, range(n)))
         return buf
 
-    # double-buffered: prefetch next block while device computes current
+    # double-buffered: prefetch next block while device computes current;
+    # device→host copies are started async and collected at the end so
+    # they overlap with later blocks' compute (tunnel D2H is slow)
+    pending = []
     next_fut = pool.submit(assemble, blocks[0])
     for bi, block in enumerate(blocks):
         c, y0, y1 = block
@@ -331,7 +344,7 @@ def stack_sequence(seq: Sequence, args: StackArgs,
         stack_dev = jnp.asarray(buf)
         if rtype == -1:
             mean = rj.median_stack(stack_dev)
-            rl = rh = jnp.zeros(stack_dev.shape[1], jnp.int32)
+            rl = rh = jnp.zeros((), jnp.int32)
         else:
             w_dev = (jnp.asarray(np.broadcast_to(
                 weights[c][:, None], buf.shape).copy())
@@ -342,18 +355,28 @@ def stack_sequence(seq: Sequence, args: StackArgs,
                 jnp.asarray(coeffs.offset[c], jnp.float32),
                 jnp.asarray(coeffs.mul[c], jnp.float32),
                 w_dev, jnp.asarray(critical))
+        try:
+            mean.copy_to_host_async()
+        except AttributeError:
+            pass
+        pending.append((block, mean, rl, rh))
+
+    for (c, y0, y1), mean, rl, rh in pending:
         npix = (y1 - y0) * W
-        result[c, y0:y1] = np.asarray(mean[:npix], np.float32).reshape(y1 - y0, W)
-        if args.create_rejmaps:
-            rla = np.asarray(rl[:npix]).reshape(y1 - y0, W)
-            rha = np.asarray(rh[:npix]).reshape(y1 - y0, W)
+        result[c, y0:y1] = np.asarray(mean)[:npix].reshape(y1 - y0, W)
+        if args.create_rejmaps and rtype != -1:
+            rla = np.asarray(rl)[:npix].reshape(y1 - y0, W)
+            rha = np.asarray(rh)[:npix].reshape(y1 - y0, W)
             if args.merge_rejmaps:
                 rmap_lo[c, y0:y1] = (rla + rha).astype(np.uint16)
             else:
                 rmap_lo[c, y0:y1] = rla.astype(np.uint16)
                 rmap_hi[c, y0:y1] = rha.astype(np.uint16)
-        tot_rej[0] += int(np.asarray(rl).sum())
-        tot_rej[1] += int(np.asarray(rh).sum())
+            tot_rej[0] += int(rla.sum())
+            tot_rej[1] += int(rha.sum())
+        else:
+            tot_rej[0] += int(np.asarray(rl))
+            tot_rej[1] += int(np.asarray(rh))
 
     pool.shutdown(wait=False)
     seq.close_readers()

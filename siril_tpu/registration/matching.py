@@ -1,0 +1,287 @@
+"""Star matching + robust transform estimation.
+
+Equivalent of the vendored Richmond ``match`` package
+(``src/registration/matching/atpmatch.c``: atFindTrans triangle-space
+voting, atRecalcTrans iterative sigma-clipped re-fit) and OpenCV's RANSAC
+homography (``opencv.cpp`` cvCalculH).
+
+Algorithm (triangle voting, from the published FOCAS/match method):
+1. take the brightest n stars of each list (n ≤ 30 like AT_MATCH_NBRIGHT)
+2. form all triangles; invariant = (b/a, c/a) with a≥b≥c side lengths
+3. match triangle pairs whose invariants agree within tolerance; each
+   match votes for its three vertex pairings
+4. star pairs with the most consistent votes become the seed
+   correspondence set
+5. estimate the transform (shift / similarity / affine / homography —
+   registration.h:45-53 hierarchy) with RANSAC, then iterative
+   least-squares re-fit dropping >k·sigma residuals (atRecalcTrans).
+
+Counts here are tiny (tens of stars), so this runs in numpy on the host
+while the device crunches the next frame's PSF batch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from itertools import combinations
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+# transform types (registration.h:45-53)
+SHIFT_TRANSFORMATION = 0
+SIMILARITY_TRANSFORMATION = 1
+AFFINE_TRANSFORMATION = 2
+HOMOGRAPHY_TRANSFORMATION = 3
+
+
+@dataclass
+class MatchResult:
+    H: np.ndarray                    # 3×3, maps frame coords → ref coords
+    inliers: int
+    pairs: int
+    residual_px: float
+
+
+def _triangles(pts: np.ndarray, max_stars: int = 25):
+    n = min(len(pts), max_stars)
+    p = pts[:n]
+    tris = []
+    for (i, j, k) in combinations(range(n), 3):
+        d = np.array([np.hypot(*(p[j] - p[i])), np.hypot(*(p[k] - p[j])),
+                      np.hypot(*(p[k] - p[i]))])
+        order = np.argsort(d)[::-1]          # a >= b >= c
+        a, b, c = d[order]
+        if a < 1e-6 or c / a < 0.05:         # degenerate/thin triangles
+            continue
+        # vertex opposite each side, arranged canonical
+        verts = [(j, k, i), (i, k, j), (i, j, k)]
+        tris.append((b / a, c / a, (i, j, k), a))
+    return p, tris
+
+
+def match_triangles(stars_ref: np.ndarray, stars_frame: np.ndarray,
+                    max_stars: int = 25, tol: float = 0.01):
+    """Triangle-space voting → list of (ref_idx, frame_idx) pairs."""
+    pr, tr = _triangles(stars_ref, max_stars)
+    pf, tf = _triangles(stars_frame, max_stars)
+    if not tr or not tf:
+        return []
+    inv_r = np.array([[t[0], t[1]] for t in tr])
+    inv_f = np.array([[t[0], t[1]] for t in tf])
+    votes: dict = {}
+    # match invariants with a kd-ish brute force (few thousand each)
+    d2 = ((inv_r[:, None, :] - inv_f[None, :, :]) ** 2).sum(-1)
+    cand = np.argwhere(d2 < tol * tol)
+    for (a, b) in cand:
+        (i1, j1, k1) = tr[a][2]
+        (i2, j2, k2) = tf[b][2]
+        # align vertices by side-length correspondence: sort each
+        # triangle's vertices by (sum of adjacent side lengths)
+        for (u, v) in _vertex_pairing(pr, (i1, j1, k1), pf, (i2, j2, k2)):
+            votes[(u, v)] = votes.get((u, v), 0) + 1
+    if not votes:
+        return []
+    # greedy: strongest unique pairings
+    items = sorted(votes.items(), key=lambda kv: -kv[1])
+    thresh = max(items[0][1] // 4, 2)
+    used_r, used_f, pairs = set(), set(), []
+    for (u, v), c in items:
+        if c < thresh:
+            break
+        if u in used_r or v in used_f:
+            continue
+        used_r.add(u)
+        used_f.add(v)
+        pairs.append((u, v))
+    return pairs
+
+
+def _vertex_pairing(pr, tri_r, pf, tri_f):
+    def keyed(p, tri):
+        pts = [p[i] for i in tri]
+        out = []
+        for ix, i in enumerate(tri):
+            s = sum(np.hypot(*(pts[ix] - pts[jx]))
+                    for jx in range(3) if jx != ix)
+            out.append((s, i))
+        return [i for _, i in sorted(out)]
+
+    kr = keyed(pr, tri_r)
+    kf = keyed(pf, tri_f)
+    return list(zip(kr, kf))
+
+
+# ---------------------------------------------------------------------------
+# transform estimation
+# ---------------------------------------------------------------------------
+
+
+def estimate_transform(src: np.ndarray, dst: np.ndarray,
+                       ttype: int = HOMOGRAPHY_TRANSFORMATION) -> np.ndarray:
+    """Least-squares transform src→dst (N≥ the minimal set)."""
+    if ttype == SHIFT_TRANSFORMATION:
+        d = (dst - src).mean(axis=0)
+        H = np.eye(3)
+        H[0, 2], H[1, 2] = d
+        return H
+    if ttype == SIMILARITY_TRANSFORMATION:
+        cs = src.mean(0)
+        cd = dst.mean(0)
+        s0 = src - cs
+        d0 = dst - cd
+        num = (d0[:, 0] * s0[:, 0] + d0[:, 1] * s0[:, 1]).sum()
+        cross = (d0[:, 1] * s0[:, 0] - d0[:, 0] * s0[:, 1]).sum()
+        den = (s0 ** 2).sum()
+        a = num / den
+        b = cross / den
+        H = np.array([[a, -b, 0.0], [b, a, 0.0], [0, 0, 1.0]])
+        t = cd - H[:2, :2] @ cs
+        H[0, 2], H[1, 2] = t
+        return H
+    if ttype == AFFINE_TRANSFORMATION:
+        n = len(src)
+        A = np.zeros((2 * n, 6))
+        bvec = np.zeros(2 * n)
+        A[0::2, 0] = src[:, 0]
+        A[0::2, 1] = src[:, 1]
+        A[0::2, 2] = 1
+        A[1::2, 3] = src[:, 0]
+        A[1::2, 4] = src[:, 1]
+        A[1::2, 5] = 1
+        bvec[0::2] = dst[:, 0]
+        bvec[1::2] = dst[:, 1]
+        x, *_ = np.linalg.lstsq(A, bvec, rcond=None)
+        H = np.eye(3)
+        H[0] = x[0], x[1], x[2]
+        H[1] = x[3], x[4], x[5]
+        return H
+    # homography via normalized DLT
+    def norm(pts):
+        c = pts.mean(0)
+        s = np.sqrt(2.0) / max(np.hypot(*(pts - c).T).mean(), 1e-9)
+        T = np.array([[s, 0, -s * c[0]], [0, s, -s * c[1]], [0, 0, 1]])
+        return (pts - c) * s, T
+
+    sn, Ts = norm(src)
+    dn, Td = norm(dst)
+    n = len(src)
+    A = np.zeros((2 * n, 9))
+    for i in range(n):
+        x, y = sn[i]
+        u, v = dn[i]
+        A[2 * i] = [-x, -y, -1, 0, 0, 0, u * x, u * y, u]
+        A[2 * i + 1] = [0, 0, 0, -x, -y, -1, v * x, v * y, v]
+    _, _, Vt = np.linalg.svd(A)
+    Hn = Vt[-1].reshape(3, 3)
+    H = np.linalg.inv(Td) @ Hn @ Ts
+    return H / H[2, 2]
+
+
+def _apply_h(H, pts):
+    ph = np.c_[pts, np.ones(len(pts))]
+    q = ph @ H.T
+    return q[:, :2] / q[:, 2:3]
+
+
+_MIN_PAIRS = {SHIFT_TRANSFORMATION: 1, SIMILARITY_TRANSFORMATION: 2,
+              AFFINE_TRANSFORMATION: 3, HOMOGRAPHY_TRANSFORMATION: 4}
+
+
+def ransac_transform(src: np.ndarray, dst: np.ndarray,
+                     ttype: int = HOMOGRAPHY_TRANSFORMATION,
+                     thresh_px: float = 2.0, iters: int = 500,
+                     seed: int = 1234) -> Optional[MatchResult]:
+    """RANSAC + iterative sigma-clipped refit (cvCalculH + atRecalcTrans)."""
+    n = len(src)
+    m = _MIN_PAIRS[ttype]
+    if n < m:
+        return None
+    if n == m:
+        H = estimate_transform(src, dst, ttype)
+        res = np.hypot(*(_apply_h(H, src) - dst).T)
+        return MatchResult(H, n, n, float(res.mean()))
+    rng = np.random.default_rng(seed)
+    best_inl = None
+    best_cnt = -1
+    for _ in range(iters):
+        pick = rng.choice(n, m, replace=False)
+        try:
+            H = estimate_transform(src[pick], dst[pick], ttype)
+        except np.linalg.LinAlgError:
+            continue
+        res = np.hypot(*(_apply_h(H, src) - dst).T)
+        inl = res < thresh_px
+        if inl.sum() > best_cnt:
+            best_cnt = int(inl.sum())
+            best_inl = inl
+    if best_inl is None or best_cnt < m:
+        return None
+    # iterative least-squares refit with sigma clipping (atRecalcTrans)
+    inl = best_inl
+    H = estimate_transform(src[inl], dst[inl], ttype)
+    for _ in range(5):
+        res = np.hypot(*(_apply_h(H, src) - dst).T)
+        sig = max(res[inl].std(), 1e-6)
+        new_inl = res < max(3.0 * sig, 0.5)
+        if new_inl.sum() < m:
+            break
+        if (new_inl == inl).all():
+            break
+        inl = new_inl
+        H = estimate_transform(src[inl], dst[inl], ttype)
+    res = np.hypot(*(_apply_h(H, src) - dst).T)
+    return MatchResult(H, int(inl.sum()), n, float(res[inl].mean()))
+
+
+def match_stars(stars_ref, stars_frame,
+                ttype: int = HOMOGRAPHY_TRANSFORMATION,
+                max_stars: int = 25,
+                min_pairs: int = 4) -> Optional[MatchResult]:
+    """Full star_match_and_checks equivalent: triangle match → RANSAC H.
+
+    ``stars_*``: lists of PSFStar (brightest-first) or (N,2) arrays.
+    Returns H mapping FRAME coords → REF coords.
+    """
+    def to_xy(stars):
+        if isinstance(stars, np.ndarray):
+            return stars
+        return np.array([[s.x0, s.y0] for s in stars])
+
+    pr = to_xy(stars_ref)
+    pf = to_xy(stars_frame)
+    if len(pr) < 3 or len(pf) < 3:
+        return None
+    pairs = match_triangles(pr, pf, max_stars)
+    if len(pairs) < max(min_pairs, _MIN_PAIRS[ttype]):
+        return None
+    ridx = np.array([u for u, _ in pairs])
+    fidx = np.array([v for _, v in pairs])
+    n_use = min(len(pr), 25)
+    src = pf[fidx]
+    dst = pr[ridx]
+    result = ransac_transform(src, dst, ttype)
+    if result is None:
+        return None
+    # grow: project ALL frame stars and greedily match to ref within 2px
+    proj = _apply_h(result.H, pf)
+    d = ((proj[:, None, :] - pr[None, :, :]) ** 2).sum(-1)
+    fi, ri = np.nonzero(d < 4.0)
+    if len(fi) > result.pairs:
+        # unique matches
+        seen_f, seen_r = set(), set()
+        sf, sr = [], []
+        order = np.argsort(d[fi, ri])
+        for o in order:
+            if fi[o] in seen_f or ri[o] in seen_r:
+                continue
+            seen_f.add(fi[o])
+            seen_r.add(ri[o])
+            sf.append(fi[o])
+            sr.append(ri[o])
+        if len(sf) >= _MIN_PAIRS[ttype]:
+            grown = ransac_transform(pf[sf], pr[sr], ttype,
+                                     thresh_px=1.5, iters=200)
+            if grown is not None and grown.inliers >= result.inliers:
+                result = grown
+    return result

@@ -1,0 +1,180 @@
+"""Translation-only registration methods — equivalent of
+``src/registration/shift_methods.c`` (DFT phase correlation:60, fwhm
+shift:529), ``kombat/`` template matching, and ``comet.c`` linear-velocity
+registration.
+
+DFT method: FFT phase correlation on a (square) selection; the correlation
+peak gives the integer shift, refined to sub-pixel with a parabola fit
+(the MPP engine refinement, mpp.h:70-77).  Runs as one batched XLA FFT —
+many frames correlate against the reference in a single device call.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+from siril_tpu.core.sequence import Sequence
+from siril_tpu.utils.log import log_message
+
+
+def phase_correlate(ref: np.ndarray, frames: np.ndarray,
+                    subpixel: bool = True):
+    """Phase correlation of (N, H, W) frames vs (H, W) ref.
+
+    Returns (N, 2) of (dx, dy) = the translation of the frame→ref
+    transform (regdata convention: reg(x) = frame(x − dx)).  For frame
+    content displaced by +d relative to ref this returns −d.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    H, W = ref.shape
+
+    @jax.jit
+    def run(r, f):
+        R = jnp.fft.rfft2(r)
+        F = jnp.fft.rfft2(f)
+        cross = R[None] * jnp.conj(F)
+        cross = cross / jnp.maximum(jnp.abs(cross), 1e-12)
+        corr = jnp.fft.irfft2(cross, s=(H, W))
+        return corr
+
+    corr = np.asarray(run(jnp.asarray(ref, jnp.float32),
+                          jnp.asarray(frames, jnp.float32)))
+    N = corr.shape[0]
+    out = np.zeros((N, 2))
+    for i in range(N):
+        c = corr[i]
+        peak = np.unravel_index(np.argmax(c), c.shape)
+        py, px = int(peak[0]), int(peak[1])
+        dy, dx = float(py), float(px)
+        if subpixel:
+            dy += _parabola(c[(py - 1) % H, px], c[py, px], c[(py + 1) % H, px])
+            dx += _parabola(c[py, (px - 1) % W], c[py, px], c[py, (px + 1) % W])
+        # wrap to signed shifts
+        if dy > H / 2:
+            dy -= H
+        if dx > W / 2:
+            dx -= W
+        out[i] = (dx, dy)
+    return out
+
+
+def _parabola(cm, c0, cp):
+    denom = cm - 2.0 * c0 + cp
+    if abs(denom) < 1e-12:
+        return 0.0
+    return float(np.clip(0.5 * (cm - cp) / denom, -1.0, 1.0))
+
+
+@dataclass
+class ShiftRegArgs:
+    reglayer: int = 0
+    selection: Optional[Tuple[int, int, int, int]] = None   # x,y,w,h square
+    subpixel: bool = True
+    batch: int = 16
+
+
+def register_shift_dft(seq: Sequence, args: Optional[ShiftRegArgs] = None):
+    """DFT phase-correlation registration over a sequence (planetary
+    full-disk).  Stores translation-only H in regdata."""
+    args = args or ShiftRegArgs()
+    layer = args.reglayer
+    ref_idx = seq.get_reference()
+    ref_img = seq.read_frame(ref_idx).host()
+    layer = min(layer, ref_img.shape[0] - 1)
+    sel = args.selection
+    if sel is None:
+        # largest centered power-of-two square (reference requires square
+        # selection; we default to a centered crop)
+        side = 1 << int(np.floor(np.log2(min(seq.ry, seq.rx))))
+        x0 = (seq.rx - side) // 2
+        y0 = (seq.ry - side) // 2
+        sel = (x0, y0, side, side)
+    x0, y0, w, h = sel
+    ref_c = ref_img[layer, y0:y0 + h, x0:x0 + w]
+    reg = seq.reg(layer)
+    indices = seq.selected_indices()
+    for start in range(0, len(indices), args.batch):
+        chunk = indices[start:start + args.batch]
+        frames = np.stack([
+            seq.read_frame(int(i)).host()[layer, y0:y0 + h, x0:x0 + w]
+            for i in chunk])
+        shifts = phase_correlate(ref_c, frames, args.subpixel)
+        for k, idx in enumerate(chunk):
+            dx, dy = shifts[k]
+            Hm = np.eye(3)
+            # phase_correlate returns displacement of ref relative to
+            # frame: frame(x) ≈ ref(x − d) → reg(x) = frame(x − d)
+            Hm[0, 2] = dx
+            Hm[1, 2] = dy
+            reg.H[int(idx)] = Hm
+            reg.valid[int(idx)] = True
+    reg.H[ref_idx] = np.eye(3)
+    seq.save()
+    log_message(f"DFT shift registration done ({len(indices)} frames)")
+    return reg
+
+
+def register_comet(seq: Sequence, pos1: Tuple[float, float], t1: str,
+                   pos2: Tuple[float, float], t2: str, reglayer: int = 0):
+    """Comet registration (comet.c): linear velocity px/hr between two
+    picked positions; per-frame shift from DATE-OBS."""
+    import datetime
+
+    def parse(ts):
+        return datetime.datetime.fromisoformat(ts.replace("Z", "+00:00"))
+
+    dt_hours = (parse(t2) - parse(t1)).total_seconds() / 3600.0
+    if dt_hours == 0:
+        raise ValueError("comet registration needs two different times")
+    vx = (pos2[0] - pos1[0]) / dt_hours
+    vy = (pos2[1] - pos1[1]) / dt_hours
+    reg = seq.reg(reglayer)
+    t0 = None
+    for i in seq.selected_indices():
+        kw = seq.read_frame_metadata(int(i))
+        if not kw.date_obs:
+            continue
+        t = parse(kw.date_obs)
+        if t0 is None:
+            t0 = t
+        hours = (t - t0).total_seconds() / 3600.0
+        Hm = np.eye(3)
+        Hm[0, 2] = -vx * hours
+        Hm[1, 2] = -vy * hours
+        reg.H[int(i)] = Hm
+        reg.valid[int(i)] = True
+    seq.save()
+    log_message(f"Comet registration: velocity ({vx:.3f}, {vy:.3f}) px/hr")
+    return reg
+
+
+def template_match(ref_patch: np.ndarray, frames: np.ndarray):
+    """KOMBAT-style normalized cross-correlation template match via FFT.
+    Returns (N, 2) positions of the best match (x, y) per frame."""
+    import jax
+    import jax.numpy as jnp
+
+    th, tw = ref_patch.shape
+    N, H, W = frames.shape
+
+    @jax.jit
+    def run(t, f):
+        tm = t - t.mean()
+        # correlation via FFT (zero-padded)
+        F = jnp.fft.rfft2(f, s=(H + th, W + tw))
+        T = jnp.fft.rfft2(tm[::-1, ::-1], s=(H + th, W + tw))
+        corr = jnp.fft.irfft2(F * T[None], s=(H + th, W + tw))
+        return corr[:, th - 1:th - 1 + H - th + 1, tw - 1:tw - 1 + W - tw + 1]
+
+    corr = np.asarray(run(jnp.asarray(ref_patch, jnp.float32),
+                          jnp.asarray(frames, jnp.float32)))
+    out = np.zeros((N, 2))
+    for i in range(N):
+        py, px = np.unravel_index(np.argmax(corr[i]), corr[i].shape)
+        out[i] = (px, py)
+    return out

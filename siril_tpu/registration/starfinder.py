@@ -1,0 +1,190 @@
+"""Star detection — equivalent of ``src/algos/star_finder.c`` (peaker:173
++ minimize_candidates:569).
+
+Pipeline, TPU-native:
+1. per-layer background (median) and noise (bgnoise) set the dynamic
+   threshold  thr = bg + sigma·noise  (star_finder_params.sigma,
+   settings.h:296-308; default sigma=1.0, radius=10)
+2. candidate mask = pixels above thr that are the maximum of their
+   (2r+1)² neighborhood (lax.reduce_window max-pool — the reference's
+   scalar local-maxima scan)
+3. top-K candidates by peak value, padded to a fixed K for one compile
+4. (2R+1)² patches gathered with vmapped dynamic_slice and fit by the
+   batched LM PSF engine (registration/psf.py) in ONE device call —
+   the reference fits candidates one-by-one with GSL
+5. quality filters (A bounds, roundness, fwhm sanity, rmse) + minimum
+   separation dedup, brightest kept (reference candidate dedup)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import List, Optional
+
+import numpy as np
+
+from siril_tpu.registration.psf import (
+    PROFILE_GAUSSIAN,
+    PSFStar,
+    fit_psf_batch,
+    stars_from_fit,
+)
+
+
+@dataclass
+class StarFinderParams:
+    """star_finder_params (settings.h:296-308) defaults."""
+
+    radius: int = 10
+    sigma: float = 1.0
+    roundness: float = 0.5
+    convergence: int = 1
+    relax_checks: bool = False
+    profile: int = PROFILE_GAUSSIAN
+    min_beta: float = 1.5
+    min_A: float = 0.0
+    max_A: float = 0.0           # 0 = no bound
+    max_r: float = 1.0
+    max_stars: int = 2000
+
+
+@lru_cache(maxsize=8)
+def _candidate_fn(r: int, k: int):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def candidates(x, thr):
+        mp = lax.reduce_window(x, -jnp.inf, lax.max,
+                               (2 * r + 1, 2 * r + 1), (1, 1), "SAME")
+        mask = (x >= mp) & (x > thr)
+        yy = lax.broadcasted_iota(jnp.int32, x.shape, 0)
+        xx = lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        inb = (yy >= r) & (yy < x.shape[0] - r) & \
+            (xx >= r) & (xx < x.shape[1] - r)
+        resp = jnp.where(mask & inb, x, -jnp.inf)
+        return lax.top_k(resp.ravel(), k)
+
+    return candidates
+
+
+@lru_cache(maxsize=8)
+def _gather_fn(b: int):
+    import jax
+    from jax import lax
+
+    @jax.jit
+    def gather(x, ys, xs):
+        def one(y0, x0):
+            return lax.dynamic_slice(x, (y0, x0), (b, b))
+        return jax.vmap(one)(ys, xs)
+
+    return gather
+
+
+def detect_stars(layer: np.ndarray, params: Optional[StarFinderParams] = None,
+                 max_stars: Optional[int] = None,
+                 bg: Optional[float] = None,
+                 noise: Optional[float] = None) -> List[PSFStar]:
+    """peaker() equivalent on one (H, W) layer.  Returns stars sorted by
+    amplitude (brightest first)."""
+    import jax.numpy as jnp
+
+    p = params or StarFinderParams()
+    K = int(max_stars or p.max_stars)
+    H, W = layer.shape
+    R = int(p.radius)
+    box = 2 * R + 1
+    if H < 4 * box or W < 4 * box:
+        R = max(min(H, W) // 8, 3)
+        box = 2 * R + 1
+
+    if bg is None or noise is None:
+        from siril_tpu.ops.statistics import STATS_BASIC, compute_stats_np
+
+        st = compute_stats_np(layer, STATS_BASIC)
+        bg = st.median if bg is None else bg
+        noise = st.bgnoise if noise is None else noise
+    thr = bg + p.sigma * max(noise, 1e-7)
+
+    x = jnp.asarray(layer, jnp.float32)
+    vals, idx = _candidate_fn(R, K)(x, jnp.float32(thr))
+    vals = np.asarray(vals)
+    idx = np.asarray(idx)
+    n_cand = int((vals > -np.inf).sum())
+    if n_cand == 0:
+        return []
+    cy = (idx // W)[:n_cand]
+    cx = (idx % W)[:n_cand]
+
+    y0s = np.clip(cy - R, 0, H - box).astype(np.int32)
+    x0s = np.clip(cx - R, 0, W - box).astype(np.int32)
+    patches = np.asarray(_gather_fn(box)(x, jnp.asarray(y0s),
+                                         jnp.asarray(x0s)))
+
+    fit = fit_psf_batch(patches, profile=p.profile)
+    stars = stars_from_fit(fit, x0s, y0s, box, p.profile)
+
+    # quality filters (minimize_candidates checks)
+    sat = float(np.max(layer))
+    keep: List[PSFStar] = []
+    for i, s in enumerate(stars):
+        if not np.isfinite([s.A, s.B, s.x0, s.y0, s.fwhmx, s.fwhmy]).all():
+            continue
+        if s.A < 1e-5 or (p.min_A and s.A < p.min_A):
+            continue
+        if p.max_A and s.A > p.max_A:
+            continue
+        if s.fwhmx <= 0.5 or s.fwhmy <= 0.5 or s.fwhmx > box:
+            continue
+        if not p.relax_checks:
+            if s.roundness < p.roundness:
+                continue
+            if s.rmse > 0.1 * (s.A + 1e-9) + 0.05:
+                continue
+        if abs(s.x0 - (x0s[i] + R)) > R or abs(s.y0 - (y0s[i] + R)) > R:
+            continue
+        s.has_saturated = s.A + s.B >= 0.98 * sat
+        keep.append(s)
+
+    # dedup: min separation R/2, keep brightest
+    keep.sort(key=lambda s: -s.A)
+    out: List[PSFStar] = []
+    min_d2 = (R * 0.5) ** 2
+    for s in keep:
+        if all((s.x0 - t.x0) ** 2 + (s.y0 - t.y0) ** 2 >= min_d2
+               for t in out):
+            out.append(s)
+    return out
+
+
+def save_star_list_csv(stars: List[PSFStar], path: str) -> None:
+    """Star list persistence (star_finder.c:933 CSV writer)."""
+    import csv
+
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["x", "y", "FWHMx", "FWHMy", "angle", "A", "B",
+                    "roundness", "rmse", "beta"])
+        for s in stars:
+            w.writerow([f"{s.x0:.3f}", f"{s.y0:.3f}", f"{s.fwhmx:.3f}",
+                        f"{s.fwhmy:.3f}", f"{s.angle:.2f}", f"{s.A:.5f}",
+                        f"{s.B:.5f}", f"{s.roundness:.3f}",
+                        f"{s.rmse:.5f}", f"{s.beta:.2f}"])
+
+
+def load_star_list_csv(path: str) -> List[PSFStar]:
+    import csv
+
+    out = []
+    with open(path) as f:
+        for row in csv.DictReader(f):
+            s = PSFStar(x0=float(row["x"]), y0=float(row["y"]),
+                        fwhmx=float(row["FWHMx"]), fwhmy=float(row["FWHMy"]),
+                        angle=float(row["angle"]), A=float(row["A"]),
+                        B=float(row["B"]), rmse=float(row["rmse"]),
+                        beta=float(row["beta"]))
+            out.append(s)
+    return out

@@ -1,0 +1,145 @@
+"""Registration tests: star detection accuracy, PSF fit parity with model
+parameters, matching robustness, end-to-end register+apply+stack."""
+
+import numpy as np
+import pytest
+
+from siril_tpu.core.image import FLOAT_IMG, SirilImage
+from siril_tpu.core.sequence import Sequence
+from siril_tpu.io.fits_io import write_fits
+from siril_tpu.registration import matching as mt
+from siril_tpu.registration.global_reg import (
+    ApplyRegArgs,
+    FRAMING_MAX,
+    RegArgs,
+    apply_reg_sequence,
+    register_sequence,
+)
+from siril_tpu.registration.psf import PROFILE_GAUSSIAN, fit_psf_batch
+from siril_tpu.registration.shift import phase_correlate, register_shift_dft
+from siril_tpu.registration.starfinder import StarFinderParams, detect_stars
+
+
+def star_field(rng, h=200, w=240, n=20, noise=0.002, margin=25):
+    """Synthetic field; returns (image, positions)."""
+    img = 0.05 + rng.normal(0, noise, (h, w)).astype(np.float32)
+    pos = []
+    yy, xx = np.mgrid[0:h, 0:w]
+    for _ in range(n):
+        x = rng.uniform(margin, w - margin)
+        y = rng.uniform(margin, h - margin)
+        A = rng.uniform(0.15, 0.7)
+        s = rng.uniform(1.5, 2.5)
+        img += (A * np.exp(-(((xx + 0.5 - x) ** 2 + (yy + 0.5 - y) ** 2)
+                             / (2 * s * s)))).astype(np.float32)
+        pos.append((x, y))
+    return np.clip(img, 0, 1), np.array(pos)
+
+
+class TestPSFFit:
+    def test_recovers_parameters(self, rng):
+        S = 21
+        yy, xx = np.mgrid[0:S, 0:S]
+        B, A, x0, y0, sx, sy = 0.1, 0.6, 10.3, 9.7, 6.0, 4.0
+        patch = B + A * np.exp(-(((xx + 0.5 - x0) ** 2) / sx
+                                 + ((yy + 0.5 - y0) ** 2) / sy))
+        fit = fit_psf_batch(patch[None].astype(np.float32))
+        assert fit["B"][0] == pytest.approx(B, abs=0.01)
+        assert fit["A"][0] == pytest.approx(A, abs=0.02)
+        assert fit["x0"][0] == pytest.approx(x0, abs=0.05)
+        assert fit["y0"][0] == pytest.approx(y0, abs=0.05)
+        assert fit["sx"][0] == pytest.approx(sx, rel=0.05)
+        assert fit["sy"][0] == pytest.approx(sy, rel=0.05)
+
+
+class TestStarFinder:
+    def test_detects_and_localizes(self, rng):
+        img, pos = star_field(rng)
+        stars = detect_stars(img, StarFinderParams(radius=8))
+        assert len(stars) >= len(pos) * 0.7
+        errs = []
+        for (x, y) in pos:
+            d = min(np.hypot(s.x0 - x, s.y0 - y) for s in stars)
+            errs.append(d)
+        assert np.median(errs) < 0.3
+
+    def test_empty_image(self, rng):
+        img = 0.05 + rng.normal(0, 0.001, (128, 128)).astype(np.float32)
+        stars = detect_stars(np.clip(img, 0, 1))
+        assert len(stars) <= 3
+
+
+class TestPhaseCorrelation:
+    def test_integer_shift(self, rng):
+        img, _ = star_field(rng, h=128, w=128, n=10)
+        # content displaced by (dx=-8, dy=+5) → frame→ref translation (+8, −5)
+        shifted = np.roll(np.roll(img, 5, axis=0), -8, axis=1)
+        d = phase_correlate(img, shifted[None], subpixel=False)
+        assert d[0][0] == pytest.approx(8, abs=0.5)
+        assert d[0][1] == pytest.approx(-5, abs=0.5)
+
+
+def make_shifted_seq(tmp_path, rng, shifts, n=None):
+    base, pos = star_field(rng, h=160, w=192, n=18, margin=35)
+    files = []
+    for i, (dx, dy) in enumerate(shifts):
+        f = np.roll(np.roll(base, dy, axis=0), dx, axis=1)
+        f = f + rng.normal(0, 0.002, f.shape).astype(np.float32)
+        img = SirilImage(data=np.clip(f, 0, 1)[None])
+        img.keywords.exposure = 10.0
+        p = tmp_path / f"im_{i:05d}.fit"
+        write_fits(img, p, bitdepth=FLOAT_IMG)
+        files.append(str(p))
+    return Sequence.from_files(files, name="im_"), base
+
+
+class TestGlobalRegistration:
+    def test_register_recovers_shifts(self, tmp_path, rng):
+        shifts = [(0, 0), (4, 2), (-3, 5), (6, -4)]
+        seq, base = make_shifted_seq(tmp_path, rng, shifts)
+        args = RegArgs(two_pass=True, output=False,
+                       starfinder=StarFinderParams(radius=6))
+        register_sequence(seq, args)
+        reg = seq.reg(0)
+        assert reg.valid.sum() == 4
+        # H maps frame→ref: content displaced by +d needs translation −d
+        for i, (dx, dy) in enumerate(shifts):
+            # after 2-pass rebase ref may change; compare relative to frame 0
+            H0 = np.linalg.inv(reg.H[0]) @ reg.H[i]
+            assert H0[0, 2] == pytest.approx(-dx, abs=0.3), f"frame {i} dx"
+            assert H0[1, 2] == pytest.approx(-dy, abs=0.3), f"frame {i} dy"
+
+    def test_register_output_aligns(self, tmp_path, rng):
+        shifts = [(0, 0), (5, 3), (-4, 2)]
+        seq, base = make_shifted_seq(tmp_path, rng, shifts)
+        res = register_sequence(seq, RegArgs(
+            starfinder=StarFinderParams(radius=6)))
+        assert res.new_seq is not None and res.new_seq.number == 3
+        # all output frames should match frame content of the reference
+        ref = res.new_seq.read_frame(0).host()[0]
+        for i in range(1, 3):
+            f = res.new_seq.read_frame(i).host()[0]
+            interior = np.s_[20:-20, 20:-20]
+            diff = np.abs(f[interior] - ref[interior]).mean()
+            assert diff < 0.01, f"frame {i} misaligned (diff {diff})"
+
+    def test_apply_reg_with_framing(self, tmp_path, rng):
+        shifts = [(0, 0), (6, 0), (0, 6)]
+        seq, base = make_shifted_seq(tmp_path, rng, shifts)
+        register_sequence(seq, RegArgs(two_pass=True, output=False,
+                                       starfinder=StarFinderParams(radius=6)))
+        res = apply_reg_sequence(seq, ApplyRegArgs(framing=FRAMING_MAX))
+        assert res.new_seq is not None
+        # max framing must be at least as large as the input
+        assert res.new_seq.rx >= seq.rx and res.new_seq.ry >= seq.ry
+
+
+class TestShiftDFT:
+    def test_dft_registration(self, tmp_path, rng):
+        shifts = [(0, 0), (3, -2), (-5, 4)]
+        seq, base = make_shifted_seq(tmp_path, rng, shifts)
+        register_shift_dft(seq)
+        reg = seq.reg(0)
+        for i, (dx, dy) in enumerate(shifts):
+            assert reg.H[i][0, 2] == pytest.approx(-dx, abs=0.5), f"f{i} dx"
+            assert reg.H[i][1, 2] == pytest.approx(-dy, abs=0.5), f"f{i} dy"
