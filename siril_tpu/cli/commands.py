@@ -1,0 +1,1839 @@
+"""Command surface — equivalent of ``src/core/command.c`` +
+``command_list.h`` (~220 commands; full family list SURVEY.md §2.8).
+
+Each command keeps the reference's name, argument order and ``-key=value``
+flag conventions so existing `.ssf` scripts run unchanged.  Commands are
+registered with precondition flags mirroring ``REQ_CMD_*``
+(command_list.h): SINGLE_IMAGE, SEQUENCE, FOR_RGB, FOR_MONO, FOR_CFA.
+"""
+
+from __future__ import annotations
+
+import glob as globmod
+import json
+import os
+import time
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from siril_tpu.cli.context import CommandError, Session
+from siril_tpu.core.image import BYTE_IMG, FLOAT_IMG, USHORT_IMG, SirilImage
+from siril_tpu.utils.log import log_error, log_message, log_warning
+
+VERSION = "1.5.0"
+
+# precondition flags (command_list.h REQ_CMD_*)
+REQ_NONE = 0
+REQ_SINGLE_IMAGE = 1
+REQ_SEQUENCE = 2
+REQ_FOR_RGB = 4
+REQ_FOR_MONO = 8
+REQ_FOR_CFA = 16
+
+
+class Command:
+    def __init__(self, name, fn, usage, req=REQ_NONE, min_args=0,
+                 max_args=64, scriptable=True):
+        self.name = name
+        self.fn = fn
+        self.usage = usage
+        self.req = req
+        self.min_args = min_args
+        self.max_args = max_args
+        self.scriptable = scriptable
+
+
+COMMANDS: Dict[str, Command] = {}
+
+
+def command(name, usage="", req=REQ_NONE, min_args=0, max_args=64,
+            aliases=()):
+    def deco(fn):
+        cmd = Command(name, fn, usage, req, min_args, max_args)
+        COMMANDS[name.lower()] = cmd
+        for a in aliases:
+            COMMANDS[a.lower()] = cmd
+        return fn
+
+    return deco
+
+
+def parse_flags(args: List[str]):
+    """Split ['-key=value', '-flag', 'pos'] → (positional, {key: value})."""
+    pos, flags = [], {}
+    for a in args:
+        if a.startswith("-") and len(a) > 1 and not _is_number(a):
+            if "=" in a:
+                k, v = a[1:].split("=", 1)
+                flags[k.lower()] = v
+            else:
+                flags[a[1:].lower()] = True
+        else:
+            pos.append(a)
+    return pos, flags
+
+
+def _is_number(s: str) -> bool:
+    try:
+        float(s)
+        return True
+    except ValueError:
+        return False
+
+
+def _f(v, default=None):
+    return float(v) if v is not None and v is not True else default
+
+
+# ===========================================================================
+# I/O & session
+# ===========================================================================
+
+
+@command("load", "load filename", min_args=1)
+def cmd_load(ctx: Session, args):
+    from siril_tpu.io.conversion import load_any
+
+    name = args[0]
+    p = ctx.path(name)
+    if not os.path.exists(p):
+        for ext in (ctx.ext, ".fit", ".fits", ".fts", ".tif", ".png"):
+            if os.path.exists(p + ext):
+                p = p + ext
+                break
+        else:
+            raise CommandError(f"file not found: {name}")
+    img = load_any(p)
+    ctx.set_image(img, os.path.basename(p))
+    log_message(f"Reading FITS: '{os.path.basename(p)}', "
+                f"{img.nchans} layer(s), {img.width}x{img.height}")
+
+
+@command("save", "save filename", req=REQ_SINGLE_IMAGE, min_args=1)
+def cmd_save(ctx: Session, args):
+    from siril_tpu.io.fits_io import write_fits
+
+    pos, flags = parse_flags(args)
+    name = pos[0]
+    p = ctx.path(name)
+    if not os.path.splitext(p)[1]:
+        p += ctx.ext
+    bd = USHORT_IMG if ctx.force_16bit else ctx.image.orig_bitdepth
+    write_fits(ctx.image, p, bitdepth=bd)
+    log_message(f"Saving FITS: '{os.path.basename(p)}'")
+
+
+def _save_pil(ctx, args, fmt, mode="u8"):
+    from PIL import Image
+
+    pos, flags = parse_flags(args)
+    p = ctx.path(pos[0])
+    if not os.path.splitext(p)[1]:
+        p += "." + fmt
+    img = ctx.require_image()
+    if mode == "u16" and fmt in ("tif", "tiff", "png"):
+        arr = img.to_u16()
+        a = np.moveaxis(arr, 0, 2).squeeze()
+    else:
+        arr = img.to_u8()
+        a = np.moveaxis(arr, 0, 2).squeeze()
+    Image.fromarray(a).save(p, quality=int(_f(flags.get("quality"), 90) or 90)
+                            if fmt in ("jpg", "jpeg") else None) \
+        if fmt in ("jpg", "jpeg") else Image.fromarray(a).save(p)
+    log_message(f"Saving image: '{os.path.basename(p)}'")
+
+
+@command("savejpg", "savejpg filename [quality]", req=REQ_SINGLE_IMAGE, min_args=1)
+def cmd_savejpg(ctx, args):
+    _save_pil(ctx, args, "jpg")
+
+
+@command("savepng", "savepng filename", req=REQ_SINGLE_IMAGE, min_args=1)
+def cmd_savepng(ctx, args):
+    _save_pil(ctx, args, "png", mode="u16")
+
+
+@command("savetif", "savetif filename", req=REQ_SINGLE_IMAGE, min_args=1)
+def cmd_savetif(ctx, args):
+    _save_pil(ctx, args, "tif", mode="u16")
+
+
+@command("savetif8", "savetif8 filename", req=REQ_SINGLE_IMAGE, min_args=1)
+def cmd_savetif8(ctx, args):
+    _save_pil(ctx, args, "tif", mode="u8")
+
+
+@command("savetif32", "savetif32 filename", req=REQ_SINGLE_IMAGE, min_args=1)
+def cmd_savetif32(ctx, args):
+    from PIL import Image
+
+    p = ctx.path(args[0])
+    if not os.path.splitext(p)[1]:
+        p += ".tif"
+    a = np.moveaxis(ctx.require_image().host(), 0, 2).squeeze()
+    Image.fromarray(a, mode="F" if a.ndim == 2 else None).save(p)
+
+
+@command("savebmp", "savebmp filename", req=REQ_SINGLE_IMAGE, min_args=1)
+def cmd_savebmp(ctx, args):
+    _save_pil(ctx, args, "bmp")
+
+
+@command("savepnm", "savepnm filename", req=REQ_SINGLE_IMAGE, min_args=1)
+def cmd_savepnm(ctx, args):
+    _save_pil(ctx, args, "ppm")
+
+
+@command("close", "close")
+def cmd_close(ctx, args):
+    ctx.image = None
+    ctx.image_name = ""
+
+
+@command("new", "new width height nb_chan", min_args=3)
+def cmd_new(ctx, args):
+    w, h, c = int(args[0]), int(args[1]), int(args[2])
+    ctx.set_image(SirilImage(data=np.zeros((c, h, w), np.float32)), "new")
+
+
+@command("cd", "cd directory", min_args=1)
+def cmd_cd(ctx, args):
+    p = ctx.path(args[0])
+    if not os.path.isdir(p):
+        raise CommandError(f"no such directory: {args[0]}")
+    ctx.cwd = os.path.abspath(p)
+    log_message(f"Setting CWD to '{ctx.cwd}'")
+
+
+@command("pwd", "pwd")
+def cmd_pwd(ctx, args):
+    log_message(ctx.cwd)
+
+
+@command("ls", "ls", aliases=("dir",))
+def cmd_ls(ctx, args):
+    for f in sorted(os.listdir(ctx.cwd)):
+        log_message(f)
+
+
+@command("setext", "setext extension", min_args=1)
+def cmd_setext(ctx, args):
+    e = args[0].lower().lstrip(".")
+    if e not in ("fit", "fits", "fts"):
+        raise CommandError("extension must be fit/fits/fts")
+    ctx.ext = "." + e
+    ctx.prefs.ext = ctx.ext
+
+
+@command("set16bits", "set16bits")
+def cmd_set16(ctx, args):
+    ctx.force_16bit = True
+    ctx.prefs.force_16bit = True
+
+
+@command("set32bits", "set32bits")
+def cmd_set32(ctx, args):
+    ctx.force_16bit = False
+    ctx.prefs.force_16bit = False
+
+
+@command("set", "set key=value | set -import=file", min_args=1)
+def cmd_set(ctx, args):
+    a = args[0]
+    if a.startswith("-import="):
+        from siril_tpu.core.settings import Preferences
+
+        ctx.prefs = Preferences.load_ini(ctx.path(a.split("=", 1)[1]))
+        return
+    if "=" not in a:
+        raise CommandError("usage: set key=value")
+    k, v = a.split("=", 1)
+    try:
+        ctx.prefs.set(k, v)
+    except KeyError as e:
+        raise CommandError(str(e))
+
+
+@command("get", "get key | get -a", min_args=1)
+def cmd_get(ctx, args):
+    if args[0] in ("-a", "-A"):
+        for k, v in ctx.prefs.list_all().items():
+            log_message(f"{k} = {v}")
+        return
+    try:
+        log_message(f"{args[0]} = {ctx.prefs.get(args[0])}")
+    except KeyError as e:
+        raise CommandError(str(e))
+
+
+@command("setmem", "setmem ratio", min_args=1)
+def cmd_setmem(ctx, args):
+    ctx.prefs.memory_ratio = float(args[0])
+
+
+@command("setcpu", "setcpu number", min_args=1)
+def cmd_setcpu(ctx, args):
+    ctx.prefs.cpu_threads = int(args[0])
+
+
+@command("capabilities", "capabilities")
+def cmd_capabilities(ctx, args):
+    import jax
+
+    log_message(f"siril_tpu {VERSION} (Siril-compatible command surface)")
+    log_message(f"JAX backend: {jax.default_backend()}, "
+                f"{len(jax.devices())} device(s)")
+    log_message("Formats: FITS (r/w), SER (r/w), FITSEQ (r), "
+                "TIFF/PNG/JPEG/BMP/PNM via PIL")
+
+
+@command("requires", "requires version", min_args=1)
+def cmd_requires(ctx, args):
+    def vtup(s):
+        return tuple(int(x) for x in s.split("-")[0].split(".")[:3])
+
+    try:
+        need = vtup(args[0])
+    except ValueError:
+        raise CommandError(f"invalid version: {args[0]}")
+    if need > vtup(VERSION):
+        raise CommandError(
+            f"script requires version {args[0]}, this is {VERSION}")
+
+
+@command("exit", "exit")
+def cmd_exit(ctx, args):
+    ctx.stop_requested = True
+
+
+@command("dumpheader", "dumpheader", req=REQ_SINGLE_IMAGE)
+def cmd_dumpheader(ctx, args):
+    img = ctx.require_image()
+    if img.header_text:
+        for line in img.header_text.splitlines():
+            log_message(line)
+    else:
+        log_message("no FITS header")
+
+
+@command("jsonmetadata", "jsonmetadata FITS_file", min_args=1)
+def cmd_jsonmetadata(ctx, args):
+    from siril_tpu.io.fits_io import read_fits
+    from siril_tpu.ops.statistics import STATS_MAIN, compute_stats_image
+
+    pos, flags = parse_flags(args)
+    img = read_fits(ctx.path(pos[0]))
+    meta = {"width": img.width, "height": img.height, "channels": img.nchans}
+    if "nostats" not in flags:
+        sts = compute_stats_image(img, options=STATS_MAIN)
+        meta["statistics"] = [vars(s) for s in sts]
+    out = json.dumps(meta)
+    if "out" in flags and flags["out"] is not True:
+        with open(ctx.path(flags["out"]), "w") as f:
+            f.write(out)
+    log_message(out)
+
+
+@command("stat", "stat [main]", req=REQ_SINGLE_IMAGE)
+def cmd_stat(ctx, args):
+    from siril_tpu.ops.statistics import STATS_BASIC, STATS_MAIN, compute_stats_image
+
+    opt = STATS_MAIN if (args and args[0] == "main") else STATS_BASIC
+    for c, s in enumerate(compute_stats_image(ctx.image, options=opt)):
+        log_message(
+            f"B{c}: mean: {s.mean:.6f}, median: {s.median:.6f}, "
+            f"sigma: {s.sigma:.6f}, bgnoise: {s.bgnoise:.6f}, "
+            f"min: {s.min:.6f}, max: {s.max:.6f}"
+            + (f", mad: {s.mad:.6f}, avgdev: {s.avgdev:.6f}"
+               if opt == STATS_MAIN else ""))
+
+
+@command("bg", "bg", req=REQ_SINGLE_IMAGE)
+def cmd_bg(ctx, args):
+    from siril_tpu.ops.statistics import STATS_BASIC, compute_stats_image
+
+    for c, s in enumerate(compute_stats_image(ctx.image, options=STATS_BASIC)):
+        log_message(f"Background value (channel: #{c}): {s.median:.6f}")
+
+
+@command("bgnoise", "bgnoise", req=REQ_SINGLE_IMAGE)
+def cmd_bgnoise(ctx, args):
+    from siril_tpu.ops.statistics import STATS_BASIC, compute_stats_image
+
+    for c, s in enumerate(compute_stats_image(ctx.image, options=STATS_BASIC)):
+        log_message(f"Background noise value (channel: #{c}): "
+                    f"{s.bgnoise * 65535:.3f} ({s.bgnoise:.3e})")
+
+
+@command("entropy", "entropy", req=REQ_SINGLE_IMAGE)
+def cmd_entropy(ctx, args):
+    img = ctx.require_image()
+    for c in range(img.nchans):
+        h, _ = np.histogram(img.host()[c], bins=256, range=(0, 1))
+        p = h / max(h.sum(), 1)
+        p = p[p > 0]
+        e = float(-(p * np.log2(p)).sum())
+        log_message(f"Entropy (channel #{c}): {e:.3f}")
+
+
+@command("boxselect", "boxselect [x y w h]")
+def cmd_boxselect(ctx, args):
+    if len(args) >= 4:
+        ctx.selection = tuple(int(float(a)) for a in args[:4])
+        log_message(f"Selection: {ctx.selection}")
+    elif ctx.selection:
+        log_message(f"Selection: {ctx.selection}")
+    else:
+        log_message("no selection")
+
+
+@command("update_key", "update_key key value", req=REQ_SINGLE_IMAGE, min_args=1)
+def cmd_update_key(ctx, args):
+    img = ctx.require_image()
+    if len(args) == 1:
+        img.keywords.extra.pop(args[0].upper(), None)
+    else:
+        v = args[1]
+        try:
+            v = int(v)
+        except ValueError:
+            try:
+                v = float(v)
+            except ValueError:
+                pass
+        img.keywords.extra[args[0].upper()] = v
+
+
+# ===========================================================================
+# conversion & sequence management
+# ===========================================================================
+
+
+@command("convert", "convert basename [-debayer] [-start=index] [-out=] [-fitseq|-ser]",
+         min_args=1)
+def cmd_convert(ctx, args):
+    from siril_tpu.io.conversion import FITS_EXT, PIL_EXT, convert_to_sequence
+
+    pos, flags = parse_flags(args)
+    dest = pos[0]
+    out_dir = ctx.path(flags.get("out", ".")) if isinstance(
+        flags.get("out"), str) else ctx.cwd
+    exts = FITS_EXT + PIL_EXT + (".ser",)
+    outpat = __import__("re").compile(__import__("re").escape(dest) + r"\\d+\\.")
+    files = [f for f in globmod.glob(os.path.join(ctx.cwd, "*"))
+             if os.path.splitext(f)[1].lower() in exts
+             and not outpat.match(os.path.basename(f))]
+    if not files:
+        raise CommandError("no convertible files found")
+    output = "ser" if "ser" in flags else (
+        "fitseq" if "fitseq" in flags else "fits")
+    seq = convert_to_sequence(files, dest, out_dir, output=output,
+                              symlink=False,
+                              start=int(_f(flags.get("start"), 1) or 1),
+                              debayer="debayer" in flags)
+    ctx.seq = seq
+
+
+@command("link", "link basename [-start=] [-out=]", min_args=1)
+def cmd_link(ctx, args):
+    from siril_tpu.io.conversion import FITS_EXT, convert_to_sequence
+
+    pos, flags = parse_flags(args)
+    dest = pos[0]
+    outpat = __import__("re").compile(__import__("re").escape(dest) + r"\\d+\\.")
+    files = [f for f in globmod.glob(os.path.join(ctx.cwd, "*"))
+             if os.path.splitext(f)[1].lower() in FITS_EXT
+             and not outpat.match(os.path.basename(f))]
+    if not files:
+        raise CommandError("no FITS files found")
+    ctx.seq = convert_to_sequence(
+        files, dest, ctx.cwd, symlink=True,
+        start=int(_f(flags.get("start"), 1) or 1))
+
+
+@command("select", "select sequencename from to", min_args=3)
+def cmd_select(ctx, args):
+    seq = ctx.load_sequence(args[0])
+    a, b = int(args[1]), int(args[2])
+    seq.incl[a:b + 1] = True
+    seq.needs_saving = True
+    seq.save()
+
+
+@command("unselect", "unselect sequencename from to", min_args=3)
+def cmd_unselect(ctx, args):
+    seq = ctx.load_sequence(args[0])
+    a, b = int(args[1]), int(args[2])
+    seq.incl[a:b + 1] = False
+    seq.save()
+
+
+@command("setref", "setref sequencename image_number", min_args=2)
+def cmd_setref(ctx, args):
+    seq = ctx.load_sequence(args[0])
+    seq.set_reference(int(args[1]) - 1)
+    seq.save()
+
+
+@command("getref", "getref sequencename", min_args=1)
+def cmd_getref(ctx, args):
+    seq = ctx.load_sequence(args[0])
+    log_message(f"reference image of sequence: {seq.get_reference() + 1}")
+
+
+@command("seqstat", "seqstat sequencename output [option]", min_args=2)
+def cmd_seqstat(ctx, args):
+    from siril_tpu.ops.statistics import STATS_MAIN, compute_stats_np
+
+    seq = ctx.load_sequence(args[0])
+    rows = ["image\tchan\tmean\tmedian\tsigma\tbgnoise\tmin\tmax\tmad"]
+    for i in seq.selected_indices():
+        img = seq.read_frame(int(i))
+        for c in range(img.nchans):
+            s = compute_stats_np(img.host()[c], STATS_MAIN)
+            rows.append(f"{i + 1}\t{c}\t{s.mean:.6f}\t{s.median:.6f}\t"
+                        f"{s.sigma:.6f}\t{s.bgnoise:.6f}\t{s.min:.6f}\t"
+                        f"{s.max:.6f}\t{s.mad:.6f}")
+    with open(ctx.path(args[1]), "w") as f:
+        f.write("\n".join(rows) + "\n")
+    log_message(f"Statistics saved to {args[1]}")
+
+
+@command("seqheader", "seqheader sequencename keyword", min_args=2)
+def cmd_seqheader(ctx, args):
+    seq = ctx.load_sequence(args[0])
+    keys = [k.upper() for k in args[1:]]
+    for i in seq.selected_indices():
+        kw = seq.read_frame_metadata(int(i))
+        vals = []
+        for k in keys:
+            v = kw.extra.get(k)
+            if v is None:
+                from siril_tpu.io.fits_io import _KEYMAP
+
+                attr = _KEYMAP.get(k)
+                v = getattr(kw, attr, "") if attr else ""
+            vals.append(str(v))
+        log_message(f"{i + 1}\t" + "\t".join(vals))
+
+
+@command("seqclean", "seqclean sequencename [-reg] [-stat] [-sel]", min_args=1)
+def cmd_seqclean(ctx, args):
+    pos, flags = parse_flags(args)
+    seq = ctx.load_sequence(pos[0])
+    clean_all = not flags
+    if clean_all or "reg" in flags:
+        seq.regparam.clear()
+    if clean_all or "stat" in flags:
+        seq.stats.clear()
+    if clean_all or "sel" in flags:
+        seq.incl[:] = True
+    seq.save()
+
+
+# ===========================================================================
+# calibration
+# ===========================================================================
+
+
+def _load_master(ctx, name):
+    from siril_tpu.io.conversion import load_any
+
+    if name in ("", None):
+        return None
+    p = ctx.path(name)
+    if not os.path.exists(p):
+        for ext in (ctx.ext, ".fit", ".fits", ".fts"):
+            if os.path.exists(p + ext):
+                p = p + ext
+                break
+        else:
+            raise CommandError(f"master not found: {name}")
+    return load_any(p)
+
+
+def _calib_args_from_flags(ctx, flags, ref_img=None):
+    from siril_tpu.ops.calibration import CalibArgs, evaluate_offset_level
+
+    ca = CalibArgs()
+    b = flags.get("bias")
+    if isinstance(b, str):
+        if b.startswith("="):
+            if ref_img is None:
+                raise CommandError("synthetic bias needs a loaded image")
+            ca.bias_level = evaluate_offset_level(b, ref_img)
+        else:
+            ca.bias = _load_master(ctx, b)
+    if isinstance(flags.get("dark"), str):
+        ca.dark = _load_master(ctx, flags["dark"])
+    if isinstance(flags.get("flat"), str):
+        ca.flat = _load_master(ctx, flags["flat"])
+    ca.use_dark_optim = "opt" in flags
+    ca.use_exposure = flags.get("opt") == "exp"
+    if "cc" in flags:
+        v = flags.get("cc")
+        if v == "dark" or v is True:
+            ca.use_cosmetic = True
+    else:
+        ca.use_cosmetic = False
+    ca.is_cfa = "cfa" in flags
+    ca.debayer = "debayer" in flags
+    ca.equalize_cfa = "equalize_cfa" in flags or ca.is_cfa
+    if isinstance(flags.get("prefix"), str):
+        ca.prefix = flags["prefix"]
+    return ca
+
+
+@command("calibrate", "calibrate sequencename [-bias=] [-dark=] [-flat=] [-cc=dark] [-cfa] [-debayer] [-opt] [-prefix=]",
+         min_args=1)
+def cmd_calibrate(ctx, args):
+    from siril_tpu.ops.calibration import calibrate_sequence
+
+    pos, flags = parse_flags(args)
+    seq = ctx.load_sequence(pos[0])
+    ref = seq.read_frame(int(seq.selected_indices()[0]))
+    ca = _calib_args_from_flags(ctx, flags, ref)
+    res = calibrate_sequence(seq, ca)
+    ctx.seq = res.new_seq or seq
+    log_message(f"Calibration: {res.processed} images processed")
+
+
+@command("calibrate_single", "calibrate_single imagename [flags]",
+         min_args=1)
+def cmd_calibrate_single(ctx, args):
+    from siril_tpu.io.conversion import load_any
+    from siril_tpu.io.fits_io import write_fits
+    from siril_tpu.ops.calibration import calibrate_image
+
+    pos, flags = parse_flags(args)
+    p = ctx.path(pos[0])
+    img = load_any(p)
+    ca = _calib_args_from_flags(ctx, flags, img)
+    out = calibrate_image(img, ca)
+    prefix = ca.prefix or "pp_"
+    d, b = os.path.split(p)
+    outp = os.path.join(d, prefix + b)
+    write_fits(out, outp)
+    log_message(f"Saved calibrated image {prefix + b}")
+
+
+@command("find_hot", "find_hot filename cold_sigma hot_sigma",
+         req=REQ_SINGLE_IMAGE, min_args=3)
+def cmd_find_hot(ctx, args):
+    from siril_tpu.ops.cosmetic import detect_deviant_from_dark
+
+    img = ctx.require_image()
+    cold, hot = detect_deviant_from_dark(img.host()[0], float(args[1]),
+                                         float(args[2]))
+    lst = ctx.path(args[0] + ".lst" if not args[0].endswith(".lst") else args[0])
+    with open(lst, "w") as f:
+        ys, xs = np.nonzero(hot)
+        for y, x in zip(ys, xs):
+            f.write(f"P {x} {img.height - 1 - y} H\n")
+        ys, xs = np.nonzero(cold)
+        for y, x in zip(ys, xs):
+            f.write(f"P {x} {img.height - 1 - y} C\n")
+    log_message(f"{int(hot.sum())} hot and {int(cold.sum())} cold pixels "
+                f"written to {os.path.basename(lst)}")
+
+
+@command("find_cosme", "find_cosme cold_sigma hot_sigma",
+         req=REQ_SINGLE_IMAGE, min_args=2, aliases=("find_cosme_cfa",))
+def cmd_find_cosme(ctx, args):
+    from siril_tpu.ops.cosmetic import auto_detect_and_correct
+
+    img = ctx.require_image()
+    cold_sig, hot_sig = float(args[0]), float(args[1])
+    out = img.host().copy()
+    tot_c = tot_h = 0
+    for c in range(img.nchans):
+        res, cold, hot = auto_detect_and_correct(
+            out[c], sig_hot=hot_sig, sig_cold=cold_sig,
+            is_cfa=img.is_cfa())
+        out[c] = np.asarray(res)
+        tot_c += int(cold.sum())
+        tot_h += int(hot.sum())
+    ctx.set_image(img.copy(data=out))
+    log_message(f"{tot_c} cold and {tot_h} hot pixels corrected")
+
+
+@command("cosme", "cosme filename", req=REQ_SINGLE_IMAGE, min_args=1,
+         aliases=("cosme_cfa",))
+def cmd_cosme(ctx, args):
+    from siril_tpu.ops.cosmetic import apply_cosme_file
+
+    img = ctx.require_image()
+    p = ctx.path(args[0] if args[0].endswith(".lst") else args[0] + ".lst")
+    if not os.path.exists(p):
+        raise CommandError(f"file not found: {args[0]}")
+    entries = []
+    with open(p) as f:
+        for line in f:
+            t = line.split()
+            if not t:
+                continue
+            if t[0] == "P" and len(t) >= 3:
+                # file y is bottom-up (Siril convention)
+                entries.append(("P", int(float(t[1])),
+                                img.height - 1 - int(float(t[2]))))
+            elif t[0] == "L" and len(t) >= 2:
+                entries.append(("L", img.height - 1 - int(float(t[1]))))
+            elif t[0] == "C" and len(t) >= 2:
+                entries.append(("C", int(float(t[1]))))
+    out = apply_cosme_file(img, entries, is_cfa="cfa" in COMMANDS)
+    ctx.set_image(img.copy(data=np.asarray(out)))
+    log_message(f"Applied {len(entries)} cosmetic corrections")
+
+
+@command("grey_flat", "grey_flat", req=REQ_SINGLE_IMAGE)
+def cmd_grey_flat(ctx, args):
+    from siril_tpu.ops.calibration import equalize_cfa_flat
+
+    img = ctx.require_image()
+    ctx.set_image(img.copy(data=equalize_cfa_flat(img.host())))
+
+
+# ===========================================================================
+# CFA
+# ===========================================================================
+
+
+@command("split_cfa", "split_cfa", req=REQ_SINGLE_IMAGE | REQ_FOR_CFA)
+def cmd_split_cfa(ctx, args):
+    from siril_tpu.io.fits_io import write_fits
+    from siril_tpu.ops.extraction import split_cfa
+
+    img = ctx.require_image()
+    subs = split_cfa(img)
+    base = os.path.splitext(ctx.image_name or "image")[0]
+    for i, s in enumerate(subs):
+        write_fits(s, ctx.path(f"CFA{i}_{base}{ctx.ext}"))
+    log_message(f"Extracted 4 CFA channels from {base}")
+
+
+@command("extract_ha", "extract_Ha [-upscale]", req=REQ_SINGLE_IMAGE,
+         aliases=("extract_haoiii_ha",))
+def cmd_extract_ha(ctx, args):
+    from siril_tpu.io.fits_io import write_fits
+    from siril_tpu.ops.extraction import extract_ha
+
+    pos, flags = parse_flags(args)
+    img = ctx.require_image()
+    out = extract_ha(img, upscale="upscale" in flags)
+    base = os.path.splitext(ctx.image_name or "image")[0]
+    write_fits(out, ctx.path(f"Ha_{base}{ctx.ext}"))
+    ctx.set_image(out, f"Ha_{base}")
+
+
+@command("extract_green", "extract_Green", req=REQ_SINGLE_IMAGE)
+def cmd_extract_green(ctx, args):
+    from siril_tpu.io.fits_io import write_fits
+    from siril_tpu.ops.extraction import extract_green
+
+    img = ctx.require_image()
+    out = extract_green(img)
+    base = os.path.splitext(ctx.image_name or "image")[0]
+    write_fits(out, ctx.path(f"Green_{base}{ctx.ext}"))
+    ctx.set_image(out, f"Green_{base}")
+
+
+@command("extract_haoiii", "extract_HaOIII [-resample=ha|oiii]",
+         req=REQ_SINGLE_IMAGE)
+def cmd_extract_haoiii(ctx, args):
+    from siril_tpu.io.fits_io import write_fits
+    from siril_tpu.ops.extraction import extract_ha_oiii
+
+    pos, flags = parse_flags(args)
+    img = ctx.require_image()
+    ha, oiii = extract_ha_oiii(img, resample=str(flags.get("resample", "oiii")))
+    base = os.path.splitext(ctx.image_name or "image")[0]
+    write_fits(ha, ctx.path(f"Ha_{base}{ctx.ext}"))
+    write_fits(oiii, ctx.path(f"OIII_{base}{ctx.ext}"))
+    log_message("Extracted Ha and OIII layers")
+
+
+@command("merge_cfa", "merge_cfa f0 f1 f2 f3 pattern", min_args=5)
+def cmd_merge_cfa(ctx, args):
+    from siril_tpu.io.conversion import load_any
+    from siril_tpu.ops.extraction import merge_cfa
+
+    imgs = [load_any(ctx.path(a)) for a in args[:4]]
+    out = merge_cfa(imgs, args[4])
+    ctx.set_image(out, "merged_cfa")
+
+
+# ===========================================================================
+# registration & stacking
+# ===========================================================================
+
+
+@command("setfindstar", "setfindstar [-radius=] [-sigma=] [-roundness=] …")
+def cmd_setfindstar(ctx, args):
+    pos, flags = parse_flags(args)
+    p = ctx.prefs
+    if "radius" in flags:
+        p.sf_radius = int(float(flags["radius"]))
+    if "sigma" in flags:
+        p.sf_sigma = float(flags["sigma"])
+    if "roundness" in flags:
+        p.sf_roundness = float(flags["roundness"])
+    log_message(f"starfinder: radius={p.sf_radius} sigma={p.sf_sigma} "
+                f"roundness={p.sf_roundness}")
+
+
+def _sf_params(ctx):
+    from siril_tpu.registration.starfinder import StarFinderParams
+
+    p = ctx.prefs
+    return StarFinderParams(radius=p.sf_radius, sigma=p.sf_sigma,
+                            roundness=p.sf_roundness)
+
+
+@command("findstar", "findstar [-out=]", req=REQ_SINGLE_IMAGE)
+def cmd_findstar(ctx, args):
+    from siril_tpu.registration.starfinder import detect_stars, save_star_list_csv
+
+    pos, flags = parse_flags(args)
+    img = ctx.require_image()
+    layer = 1 if img.nchans == 3 else 0
+    stars = detect_stars(img.host()[layer], _sf_params(ctx))
+    ctx.stars = stars
+    log_message(f"Found {len(stars)} stars in image, channel #{layer}")
+    if isinstance(flags.get("out"), str):
+        save_star_list_csv(stars, ctx.path(flags["out"]))
+
+
+@command("clearstar", "clearstar")
+def cmd_clearstar(ctx, args):
+    ctx.stars = []
+
+
+@command("register", "register sequencename [-2pass] [-noout] [-transf=] [-layer=] [-prefix=] [-minpairs=] [-maxstars=] [-interp=] [-noclamp]",
+         min_args=1)
+def cmd_register(ctx, args):
+    from siril_tpu.ops.interp import INTERP_NAMES
+    from siril_tpu.registration.global_reg import RegArgs, register_sequence
+    from siril_tpu.registration.matching import (
+        AFFINE_TRANSFORMATION,
+        HOMOGRAPHY_TRANSFORMATION,
+        SHIFT_TRANSFORMATION,
+        SIMILARITY_TRANSFORMATION,
+    )
+
+    pos, flags = parse_flags(args)
+    seq = ctx.load_sequence(pos[0])
+    ra = RegArgs(starfinder=_sf_params(ctx))
+    ra.two_pass = "2pass" in flags
+    ra.output = "noout" not in flags and not ra.two_pass
+    tmap = {"shift": SHIFT_TRANSFORMATION, "similarity": SIMILARITY_TRANSFORMATION,
+            "affine": AFFINE_TRANSFORMATION, "homography": HOMOGRAPHY_TRANSFORMATION}
+    if isinstance(flags.get("transf"), str):
+        ra.ttype = tmap.get(flags["transf"].lower(), ra.ttype)
+    if "layer" in flags:
+        ra.reglayer = int(float(flags["layer"]))
+    if isinstance(flags.get("prefix"), str):
+        ra.prefix = flags["prefix"]
+    if "minpairs" in flags:
+        ra.min_pairs = int(float(flags["minpairs"]))
+    if "maxstars" in flags:
+        ra.max_stars = int(float(flags["maxstars"]))
+    if isinstance(flags.get("interp"), str):
+        ra.interpolation = INTERP_NAMES.get(flags["interp"].lower(),
+                                            ra.interpolation)
+    if "noclamp" in flags:
+        ra.clamp = False
+    res = register_sequence(seq, ra)
+    if res.new_seq is not None:
+        ctx.seq = res.new_seq
+    else:
+        ctx.seq = seq
+    log_message(f"Registration complete: {res.processed} images")
+
+
+@command("seqapplyreg", "seqapplyreg sequencename [-framing=] [-interp=] [-prefix=] [-layer=] [-scale=] [-noclamp]",
+         min_args=1)
+def cmd_seqapplyreg(ctx, args):
+    from siril_tpu.ops.interp import INTERP_NAMES
+    from siril_tpu.registration.global_reg import (
+        FRAMING_NAMES,
+        ApplyRegArgs,
+        apply_reg_sequence,
+    )
+
+    pos, flags = parse_flags(args)
+    seq = ctx.load_sequence(pos[0])
+    aa = ApplyRegArgs()
+    if isinstance(flags.get("framing"), str):
+        aa.framing = FRAMING_NAMES.get(flags["framing"].lower(), aa.framing)
+    if isinstance(flags.get("interp"), str):
+        aa.interpolation = INTERP_NAMES.get(flags["interp"].lower(),
+                                            aa.interpolation)
+    if isinstance(flags.get("prefix"), str):
+        aa.prefix = flags["prefix"]
+    if "layer" in flags:
+        aa.reglayer = int(float(flags["layer"]))
+    if "scale" in flags:
+        aa.scale = float(flags["scale"])
+    if "noclamp" in flags:
+        aa.clamp = False
+    res = apply_reg_sequence(seq, aa)
+    ctx.seq = res.new_seq or seq
+    log_message(f"Applied registration to {res.processed} images")
+
+
+def _stack_args_from_flags(pos, flags):
+    from siril_tpu.ops import rejection as rj
+    from siril_tpu.ops.normalization import NORM_NAMES
+    from siril_tpu.ops.stacking import (
+        NBSTACK_WEIGHT,
+        NBSTARS_WEIGHT,
+        NOISE_WEIGHT,
+        WFWHM_WEIGHT,
+        StackArgs,
+    )
+
+    sa = StackArgs()
+    method = pos[1] if len(pos) > 1 else "rej"
+    sa.method = {"sum": "sum", "min": "min", "max": "max", "med": "med",
+                 "median": "med", "rej": "rej", "mean": "rej"}.get(method, "rej")
+    # stack seqname rej [type] sigma_low sigma_high
+    rest = pos[2:]
+    if sa.method == "rej":
+        sa.rejection = rj.WINSORIZED
+        if rest and not _is_number(rest[0]):
+            sa.rejection = rj.REJECTION_NAMES.get(rest[0].lower(),
+                                                  rj.WINSORIZED)
+            rest = rest[1:]
+        if len(rest) >= 2:
+            sa.siglow = float(rest[0])
+            sa.sighigh = float(rest[1])
+        if sa.rejection == rj.NO_REJEC:
+            pass
+    if isinstance(flags.get("norm"), str):
+        sa.normalize = NORM_NAMES.get(flags["norm"].lower(), 0)
+    sa.lite_norm = "fastnorm" in flags
+    sa.force_norm = "force_norm" in flags
+    sa.equalize_rgb = "rgb_equal" in flags
+    if "weight_from_noise" in flags:
+        sa.weighting = NOISE_WEIGHT
+    elif "weight_from_wfwhm" in flags:
+        sa.weighting = WFWHM_WEIGHT
+    elif "weight_from_nbstars" in flags:
+        sa.weighting = NBSTARS_WEIGHT
+    elif "weight_from_nbstack" in flags:
+        sa.weighting = NBSTACK_WEIGHT
+    sa.create_rejmaps = "rejmap" in flags or "rejmaps" in flags
+    sa.merge_rejmaps = flags.get("rejmap") == "merged"
+    sa.output_norm = "output_norm" in flags
+    sa.use_32bit = "16b" not in flags
+    return sa
+
+
+@command("stack", "stack seqfilename {sum|min|max|med|rej} [type] [sigma_low sigma_high] [-norm=] [-weight_from_…] [-out=]",
+         min_args=1)
+def cmd_stack(ctx, args):
+    from siril_tpu.core.image import FLOAT_IMG, USHORT_IMG
+    from siril_tpu.io.fits_io import write_fits
+    from siril_tpu.ops.stacking import stack_sequence
+
+    pos, flags = parse_flags(args)
+    seq = ctx.load_sequence(pos[0])
+    sa = _stack_args_from_flags(pos, flags)
+    indices = None
+    fspecs = []
+    from siril_tpu.core.filtering import apply_filters, parse_filter_flag
+
+    for k, v in flags.items():
+        if k.startswith("filter-"):
+            spec = parse_filter_flag(k, v)
+            if spec is not None:
+                fspecs.append(spec)
+    if fspecs:
+        indices = apply_filters(seq, fspecs, sa.reglayer)
+        log_message(f"Stacking filter: {len(indices)} of {seq.number} "
+                    "frames kept")
+    res = stack_sequence(seq, sa, indices=indices)
+    out_name = flags.get("out") if isinstance(flags.get("out"), str) else \
+        seq.name + "stacked"
+    p = ctx.path(out_name)
+    if not os.path.splitext(p)[1]:
+        p += ctx.ext
+    bd = USHORT_IMG if not sa.use_32bit else FLOAT_IMG
+    write_fits(res.image, p, bitdepth=bd)
+    ctx.set_image(res.image, os.path.basename(p))
+    log_message(f"Stacked {seq.selnum} images, rejected "
+                f"{res.total_rejected[0]}/{res.total_rejected[1]} px "
+                f"(low/high) in {res.elapsed_s:.2f}s → {os.path.basename(p)}")
+    if sa.create_rejmaps and res.rejmap_low is not None:
+        write_fits(res.rejmap_low, ctx.path("rejmap_low" + ctx.ext))
+        if res.rejmap_high is not None:
+            write_fits(res.rejmap_high, ctx.path("rejmap_high" + ctx.ext))
+
+
+@command("stackall", "stackall [method …]", min_args=0)
+def cmd_stackall(ctx, args):
+    seqs = globmod.glob(os.path.join(ctx.cwd, "*.seq"))
+    for s in seqs:
+        name = os.path.splitext(os.path.basename(s))[0]
+        cmd_stack(ctx, [name] + list(args))
+
+
+# ===========================================================================
+# geometry
+# ===========================================================================
+
+
+@command("crop", "crop [x y width height]", req=REQ_SINGLE_IMAGE)
+def cmd_crop(ctx, args):
+    from siril_tpu.ops.geometry import crop
+
+    img = ctx.require_image()
+    if len(args) >= 4:
+        x, y, w, h = (int(float(a)) for a in args[:4])
+    elif ctx.selection:
+        x, y, w, h = ctx.selection
+    else:
+        raise CommandError("crop needs coordinates or a selection")
+    ctx.set_image(crop(img, x, y, w, h))
+
+
+@command("resample", "resample factor | -width= | -height=", req=REQ_SINGLE_IMAGE,
+         min_args=1)
+def cmd_resample(ctx, args):
+    from siril_tpu.ops.geometry import resample
+    from siril_tpu.ops.interp import INTERP_NAMES
+
+    pos, flags = parse_flags(args)
+    img = ctx.require_image()
+    if pos:
+        f = float(pos[0])
+        w, h = int(img.width * f), int(img.height * f)
+    elif "width" in flags:
+        w = int(float(flags["width"]))
+        h = int(round(img.height * w / img.width))
+    elif "height" in flags:
+        h = int(float(flags["height"]))
+        w = int(round(img.width * h / img.height))
+    else:
+        raise CommandError("resample needs a factor or -width=/-height=")
+    method = INTERP_NAMES.get(str(flags.get("interp", "la")).lower(), 3)
+    ctx.set_image(resample(img, w, h, method, clamp="noclamp" not in flags))
+
+
+@command("rotate", "rotate degree [-nocrop] [-interp=]", req=REQ_SINGLE_IMAGE,
+         min_args=1)
+def cmd_rotate(ctx, args):
+    from siril_tpu.ops.geometry import rotate
+    from siril_tpu.ops.interp import INTERP_NAMES
+
+    pos, flags = parse_flags(args)
+    img = ctx.require_image()
+    method = INTERP_NAMES.get(str(flags.get("interp", "la")).lower(), 3)
+    ctx.set_image(rotate(img, float(pos[0]), method,
+                         crop_to_fit="nocrop" not in flags,
+                         clamp="noclamp" not in flags))
+
+
+@command("rotatepi", "rotatePi", req=REQ_SINGLE_IMAGE)
+def cmd_rotatepi(ctx, args):
+    from siril_tpu.ops.geometry import rotate
+
+    ctx.set_image(rotate(ctx.require_image(), 180.0))
+
+
+@command("mirrorx", "mirrorx", req=REQ_SINGLE_IMAGE, aliases=("mirrorx_single",))
+def cmd_mirrorx(ctx, args):
+    from siril_tpu.ops.geometry import mirrorx
+
+    ctx.set_image(mirrorx(ctx.require_image()))
+
+
+@command("mirrory", "mirrory", req=REQ_SINGLE_IMAGE)
+def cmd_mirrory(ctx, args):
+    from siril_tpu.ops.geometry import mirrory
+
+    ctx.set_image(mirrory(ctx.require_image()))
+
+
+@command("binxy", "binxy coefficient [-sum]", req=REQ_SINGLE_IMAGE, min_args=1)
+def cmd_binxy(ctx, args):
+    from siril_tpu.ops.geometry import binxy
+
+    pos, flags = parse_flags(args)
+    ctx.set_image(binxy(ctx.require_image(), int(float(pos[0])),
+                        mean="sum" not in flags))
+
+
+# ===========================================================================
+# stretches & enhancement
+# ===========================================================================
+
+
+@command("autostretch", "autostretch [-linked] [shadowsclip [targetbg]]",
+         req=REQ_SINGLE_IMAGE)
+def cmd_autostretch(ctx, args):
+    from siril_tpu.ops.stretch import autostretch
+
+    pos, flags = parse_flags(args)
+    shadows = float(pos[0]) if pos else -2.80
+    target = float(pos[1]) if len(pos) > 1 else 0.25
+    ctx.set_image(autostretch(ctx.require_image(), shadows, target,
+                              linked="linked" in flags))
+
+
+@command("mtf", "mtf low mid high [channels]", req=REQ_SINGLE_IMAGE, min_args=3)
+def cmd_mtf(ctx, args):
+    from siril_tpu.ops.stretch import MTFParams, apply_mtf
+
+    p = MTFParams(shadows=float(args[0]), midtones=float(args[1]),
+                  highlights=float(args[2]))
+    ctx.set_image(apply_mtf(ctx.require_image(), p))
+
+
+@command("invmtf", "invmtf low mid high", req=REQ_SINGLE_IMAGE, min_args=3)
+def cmd_invmtf(ctx, args):
+    import jax.numpy as jnp
+
+    from siril_tpu.ops.stretch import MTFParams, mtf_pseudoinverse
+
+    img = ctx.require_image()
+    p = MTFParams(shadows=float(args[0]), midtones=float(args[1]),
+                  highlights=float(args[2]))
+    out = jnp.clip(mtf_pseudoinverse(img.device(), p), 0.0, 1.0)
+    ctx.set_image(img.copy(data=np.asarray(out)))
+
+
+@command("asinh", "asinh [-human] stretch [offset]", req=REQ_SINGLE_IMAGE,
+         min_args=1)
+def cmd_asinh(ctx, args):
+    from siril_tpu.ops.stretch import asinh_stretch
+
+    pos, flags = parse_flags(args)
+    beta = float(pos[0])
+    offset = float(pos[1]) if len(pos) > 1 else 0.0
+    ctx.set_image(asinh_stretch(ctx.require_image(), beta, offset,
+                                human_luminance="human" in flags))
+
+
+def _ght_cmd(ctx, args, stretchtype):
+    from siril_tpu.ops.stretch import GHTParams, apply_ght
+
+    pos, flags = parse_flags(args)
+    p = GHTParams(stretchtype=stretchtype)
+    p.D = _f(flags.get("d"), None)
+    p.B = _f(flags.get("b"), 0.0) or 0.0
+    p.LP = _f(flags.get("lp"), 0.0) or 0.0
+    p.SP = _f(flags.get("sp"), 0.0) or 0.0
+    p.HP = _f(flags.get("hp"), 1.0) or 1.0
+    p.BP = _f(flags.get("bp"), 0.0) or 0.0
+    # positional form: D B LP SP HP
+    if p.D is None:
+        if not pos:
+            raise CommandError("ght needs -D= or positional D")
+        vals = [float(x) for x in pos]
+        p.D = vals[0]
+        if len(vals) > 1:
+            p.B = vals[1]
+        if len(vals) > 2:
+            p.LP = vals[2]
+        if len(vals) > 3:
+            p.SP = vals[3]
+        if len(vals) > 4:
+            p.HP = vals[4]
+    if "human" in flags:
+        p.payne_colourstretchmodel = 1
+    elif "even" in flags:
+        p.payne_colourstretchmodel = 2
+    elif "sat" in flags:
+        p.payne_colourstretchmodel = 3
+    ctx.set_image(apply_ght(ctx.require_image(), p))
+
+
+@command("ght", "ght -D= [-B=] [-LP=] [-SP=] [-HP=] [-human|-even|-sat]",
+         req=REQ_SINGLE_IMAGE, min_args=1)
+def cmd_ght(ctx, args):
+    from siril_tpu.ops.stretch import STRETCH_PAYNE_NORMAL
+
+    _ght_cmd(ctx, args, STRETCH_PAYNE_NORMAL)
+
+
+@command("invght", "invght -D= …", req=REQ_SINGLE_IMAGE, min_args=1)
+def cmd_invght(ctx, args):
+    from siril_tpu.ops.stretch import STRETCH_PAYNE_INVERSE
+
+    _ght_cmd(ctx, args, STRETCH_PAYNE_INVERSE)
+
+
+@command("modasinh", "modasinh -D= …", req=REQ_SINGLE_IMAGE, min_args=1)
+def cmd_modasinh(ctx, args):
+    from siril_tpu.ops.stretch import STRETCH_ASINH
+
+    _ght_cmd(ctx, args, STRETCH_ASINH)
+
+
+@command("invmodasinh", "invmodasinh -D= …", req=REQ_SINGLE_IMAGE, min_args=1)
+def cmd_invmodasinh(ctx, args):
+    from siril_tpu.ops.stretch import STRETCH_INVASINH
+
+    _ght_cmd(ctx, args, STRETCH_INVASINH)
+
+
+@command("linstretch", "linstretch -BP=", req=REQ_SINGLE_IMAGE, min_args=1)
+def cmd_linstretch(ctx, args):
+    from siril_tpu.ops.stretch import linstretch
+
+    pos, flags = parse_flags(args)
+    bp = _f(flags.get("bp"), None)
+    if bp is None and pos:
+        bp = float(pos[0])
+    ctx.set_image(linstretch(ctx.require_image(), bp or 0.0))
+
+
+@command("autoghs", "autoghs [-linked] shadowsclip stretchamount [-b=] [-hp=] [-lp=]",
+         req=REQ_SINGLE_IMAGE, min_args=2)
+def cmd_autoghs(ctx, args):
+    from siril_tpu.ops.statistics import STATS_BASIC, STATS_MAD, compute_stats_np
+    from siril_tpu.ops.stretch import GHTParams, apply_ght
+
+    pos, flags = parse_flags(args)
+    shadows_clip = float(pos[0])
+    amount = float(pos[1])
+    img = ctx.require_image()
+    data = img.host()
+    medians = []
+    mads = []
+    for c in range(img.nchans):
+        s = compute_stats_np(data[c], STATS_BASIC | STATS_MAD)
+        medians.append(s.median)
+        mads.append(s.mad)
+    m = float(np.mean(medians))
+    mad = float(np.mean(mads)) * 1.4826
+    sp = m + shadows_clip * mad
+    p = GHTParams(D=amount, B=_f(flags.get("b"), 13.0) or 13.0,
+                  SP=max(sp, 0.0),
+                  LP=_f(flags.get("lp"), 0.0) or 0.0,
+                  HP=_f(flags.get("hp"), 0.7) or 0.7)
+    ctx.set_image(apply_ght(img, p))
+
+
+@command("ddp", "ddp level coef sigma", req=REQ_SINGLE_IMAGE, min_args=3)
+def cmd_ddp(ctx, args):
+    from siril_tpu.ops.filters import ddp
+
+    ctx.set_image(ddp(ctx.require_image(), float(args[0]), float(args[1]),
+                      float(args[2])))
+
+
+@command("neg", "neg", req=REQ_SINGLE_IMAGE)
+def cmd_neg(ctx, args):
+    from siril_tpu.ops.colors import negative
+
+    ctx.set_image(negative(ctx.require_image()))
+
+
+@command("thresh", "thresh lo hi", req=REQ_SINGLE_IMAGE, min_args=2)
+def cmd_thresh(ctx, args):
+    from siril_tpu.ops.filters import thresh
+
+    ctx.set_image(thresh(ctx.require_image(), float(args[0]) / 65535.0,
+                         float(args[1]) / 65535.0))
+
+
+@command("threshlo", "threshlo level", req=REQ_SINGLE_IMAGE, min_args=1)
+def cmd_threshlo(ctx, args):
+    from siril_tpu.ops.filters import threshlo
+
+    ctx.set_image(threshlo(ctx.require_image(), float(args[0]) / 65535.0))
+
+
+@command("threshhi", "threshhi level", req=REQ_SINGLE_IMAGE, min_args=1)
+def cmd_threshhi(ctx, args):
+    from siril_tpu.ops.filters import threshhi
+
+    ctx.set_image(threshhi(ctx.require_image(), float(args[0]) / 65535.0))
+
+
+@command("nozero", "nozero level", req=REQ_SINGLE_IMAGE, min_args=1)
+def cmd_nozero(ctx, args):
+    from siril_tpu.ops.filters import nozero
+
+    ctx.set_image(nozero(ctx.require_image(), float(args[0]) / 65535.0))
+
+
+@command("fill", "fill value [x y w h]", req=REQ_SINGLE_IMAGE, min_args=1)
+def cmd_fill(ctx, args):
+    from siril_tpu.ops.filters import fill
+
+    area = tuple(int(float(a)) for a in args[1:5]) if len(args) >= 5 else None
+    ctx.set_image(fill(ctx.require_image(), float(args[0]) / 65535.0, area))
+
+
+# ===========================================================================
+# filters
+# ===========================================================================
+
+
+@command("gauss", "gauss sigma", req=REQ_SINGLE_IMAGE, min_args=1)
+def cmd_gauss(ctx, args):
+    from siril_tpu.ops.filters import gauss
+
+    ctx.set_image(gauss(ctx.require_image(), float(args[0])))
+
+
+@command("unsharp", "unsharp sigma multi", req=REQ_SINGLE_IMAGE, min_args=2)
+def cmd_unsharp(ctx, args):
+    from siril_tpu.ops.filters import unsharp
+
+    ctx.set_image(unsharp(ctx.require_image(), float(args[0]), float(args[1])))
+
+
+@command("fmedian", "fmedian ksize modulation", req=REQ_SINGLE_IMAGE, min_args=2)
+def cmd_fmedian(ctx, args):
+    from siril_tpu.ops.filters import median_filter
+
+    ctx.set_image(median_filter(ctx.require_image(), int(float(args[0])),
+                                float(args[1])))
+
+
+@command("clahe", "clahe cliplimit tileSize", req=REQ_SINGLE_IMAGE, min_args=2)
+def cmd_clahe(ctx, args):
+    from siril_tpu.ops.filters import clahe
+
+    ctx.set_image(clahe(ctx.require_image(), float(args[0]),
+                        int(float(args[1]))))
+
+
+@command("epf", "epf [-guided] [-d=] [-si=] [-ss=] [-mod=]", req=REQ_SINGLE_IMAGE)
+def cmd_epf(ctx, args):
+    from siril_tpu.ops.filters import bilateral, guided_filter
+
+    pos, flags = parse_flags(args)
+    img = ctx.require_image()
+    mod = _f(flags.get("mod"), 1.0) or 1.0
+    if "guided" in flags:
+        ctx.set_image(guided_filter(img, radius=int(_f(flags.get("d"), 8) or 8),
+                                    eps=(_f(flags.get("si"), 0.1) or 0.1) ** 2,
+                                    mod=mod))
+    else:
+        ctx.set_image(bilateral(img, d=_f(flags.get("d"), 5) or 5,
+                                sigma_col=_f(flags.get("si"), 0.1) or 0.1,
+                                sigma_spatial=_f(flags.get("ss"), 3.0) or 3.0,
+                                mod=mod))
+
+
+@command("fixbanding", "fixbanding amount sigma [-vertical]",
+         req=REQ_SINGLE_IMAGE, min_args=2)
+def cmd_fixbanding(ctx, args):
+    from siril_tpu.ops.filters import fix_banding
+
+    pos, flags = parse_flags(args)
+    ctx.set_image(fix_banding(ctx.require_image(), sigma=float(pos[1]),
+                              amount=float(pos[0]),
+                              vertical="vertical" in flags))
+
+
+@command("rmgreen", "rmgreen [type] [-nopreserve]", req=REQ_SINGLE_IMAGE | REQ_FOR_RGB)
+def cmd_rmgreen(ctx, args):
+    from siril_tpu.ops.colors import scnr
+
+    pos, flags = parse_flags(args)
+    t = "avgneutral" if not pos or pos[0] == "0" else "maxneutral"
+    ctx.set_image(scnr(ctx.require_image(), t,
+                       preserve_lightness="nopreserve" not in flags))
+
+
+@command("satu", "satu amount [background_factor [hue_range_index]]",
+         req=REQ_SINGLE_IMAGE | REQ_FOR_RGB, min_args=1)
+def cmd_satu(ctx, args):
+    from siril_tpu.ops.colors import saturation
+
+    amount = float(args[0])
+    bkg = float(args[1]) if len(args) > 1 else 1.0
+    # hue range index 0-6 (6 = all hues, the default)
+    ranges = [(330, 30), (30, 90), (90, 150), (150, 210), (210, 270),
+              (270, 330), (0, 360)]
+    hr = ranges[int(float(args[2]))] if len(args) > 2 else ranges[6]
+    ctx.set_image(saturation(ctx.require_image(), amount, bkg, hr[0], hr[1]))
+
+
+@command("unpurple", "unpurple [-blue=] [-strength=]",
+         req=REQ_SINGLE_IMAGE | REQ_FOR_RGB)
+def cmd_unpurple(ctx, args):
+    from siril_tpu.ops.filters import unpurple
+
+    pos, flags = parse_flags(args)
+    ctx.set_image(unpurple(ctx.require_image(),
+                           blue_threshold=_f(flags.get("blue"), 0.2) or 0.2,
+                           strength=_f(flags.get("strength"), 1.0) or 1.0))
+
+
+@command("rgradient", "rgradient xc yc dR dalpha", req=REQ_SINGLE_IMAGE,
+         min_args=4)
+def cmd_rgradient(ctx, args):
+    from siril_tpu.ops.filters import rgradient
+
+    ctx.set_image(rgradient(ctx.require_image(), float(args[0]),
+                            float(args[1]), float(args[2]), float(args[3])))
+
+
+@command("denoise", "denoise [-vst] [-nb_layers=]", req=REQ_SINGLE_IMAGE)
+def cmd_denoise(ctx, args):
+    from siril_tpu.ops.wavelets import wavelet_denoise
+
+    pos, flags = parse_flags(args)
+    ctx.set_image(wavelet_denoise(
+        ctx.require_image(),
+        nb_layers=int(_f(flags.get("nb_layers"), 4) or 4),
+        use_vst="vst" in flags))
+
+
+@command("wavelet", "wavelet nbr_layers type", req=REQ_SINGLE_IMAGE, min_args=1)
+def cmd_wavelet(ctx, args):
+    from siril_tpu.ops.wavelets import WAVELET_BSPLINE, WAVELET_LINEAR, wavelet_transform
+
+    img = ctx.require_image()
+    n = int(float(args[0]))
+    ktype = WAVELET_LINEAR if (len(args) > 1 and args[1] == "1") \
+        else WAVELET_BSPLINE
+    ctx.wavelet_planes = wavelet_transform(img, n, ktype)
+    ctx.wavelet_img = img
+    log_message(f"Computed {n} wavelet layers")
+
+
+@command("wrecons", "wrecons c1 c2 …", req=REQ_SINGLE_IMAGE, min_args=1)
+def cmd_wrecons(ctx, args):
+    from siril_tpu.ops.wavelets import wavelet_reconstruct
+
+    if ctx.wavelet_planes is None:
+        raise CommandError("run `wavelet` first")
+    coeffs = [float(a) for a in args]
+    ctx.set_image(wavelet_reconstruct(ctx.wavelet_img, ctx.wavelet_planes,
+                                      coeffs))
+
+
+@command("fftd", "fftd modulus phase", req=REQ_SINGLE_IMAGE, min_args=2)
+def cmd_fftd(ctx, args):
+    from siril_tpu.io.fits_io import write_fits
+    from siril_tpu.ops.filters import fftd
+
+    mod, phase = fftd(ctx.require_image())
+    write_fits(mod, ctx.path(args[0] + ctx.ext), bitdepth=FLOAT_IMG)
+    write_fits(phase, ctx.path(args[1] + ctx.ext), bitdepth=FLOAT_IMG)
+    # keep FFTNORM metadata in the session for a later ffti
+    ctx.pm_images["__fft_mod"] = mod
+    ctx.pm_images["__fft_phase"] = phase
+
+
+@command("ffti", "ffti modulus phase", req=REQ_NONE, min_args=2)
+def cmd_ffti(ctx, args):
+    from siril_tpu.io.fits_io import read_fits
+    from siril_tpu.ops.filters import ffti
+
+    mod = ctx.pm_images.get("__fft_mod")
+    phase = ctx.pm_images.get("__fft_phase")
+    if mod is None:
+        mod = read_fits(ctx.path(args[0] + ctx.ext))
+        phase = read_fits(ctx.path(args[1] + ctx.ext))
+    ctx.set_image(ffti(mod, phase))
+
+
+@command("linear_match", "linear_match reference low high",
+         req=REQ_SINGLE_IMAGE, min_args=1)
+def cmd_linear_match(ctx, args):
+    from siril_tpu.io.conversion import load_any
+    from siril_tpu.ops.filters import linear_match
+
+    ref = load_any(ctx.path(args[0]) if os.path.exists(ctx.path(args[0]))
+                   else ctx.path(args[0] + ctx.ext))
+    lo = float(args[1]) if len(args) > 1 else 1e-7
+    hi = float(args[2]) if len(args) > 2 else 0.92
+    ctx.set_image(linear_match(ctx.require_image(), ref, lo, hi))
+
+
+@command("ccm", "ccm m00 m01 m02 m10 m11 m12 m20 m21 m22 [gamma]",
+         req=REQ_SINGLE_IMAGE | REQ_FOR_RGB, min_args=9)
+def cmd_ccm(ctx, args):
+    from siril_tpu.ops.colors import apply_ccm
+
+    m = [float(a) for a in args[:9]]
+    gamma = float(args[9]) if len(args) > 9 else 1.0
+    ctx.set_image(apply_ccm(ctx.require_image(), m, gamma))
+
+
+# ---- deconvolution ----
+
+
+def _get_psf(ctx, flags):
+    from siril_tpu.ops.deconvolution import (
+        PSF_AIRY,
+        PSF_DISC,
+        PSF_GAUSSIAN,
+        PSF_MOFFAT,
+        make_psf,
+        psf_from_stars,
+    )
+
+    ks = int(_f(flags.get("ks"), 31) or 31)
+    if "psfstars" in flags or "stars" in flags:
+        return psf_from_stars(ctx.require_image(), size=min(ks, 31))
+    kind = PSF_GAUSSIAN
+    if "moffat" in flags:
+        kind = PSF_MOFFAT
+    elif "disc" in flags:
+        kind = PSF_DISC
+    elif "airy" in flags:
+        kind = PSF_AIRY
+    return make_psf(kind, size=ks, fwhm=_f(flags.get("fwhm"), 5.0) or 5.0,
+                    beta=_f(flags.get("beta"), 2.2) or 2.2,
+                    ratio=_f(flags.get("ratio"), 1.0) or 1.0,
+                    angle_deg=_f(flags.get("angle"), 0.0) or 0.0,
+                    diameter=_f(flags.get("dia"), 5.0) or 5.0)
+
+
+@command("makepsf", "makepsf {blind|stars|manual} [-ks=] [-fwhm=] …",
+         min_args=1)
+def cmd_makepsf(ctx, args):
+    from siril_tpu.io.fits_io import write_fits
+    from siril_tpu.ops.deconvolution import psf_from_stars
+
+    pos, flags = parse_flags(args)
+    mode = pos[0]
+    if mode == "stars":
+        psf = psf_from_stars(ctx.require_image())
+    else:
+        psf = _get_psf(ctx, flags)
+    ctx.psf = psf
+    if isinstance(flags.get("savepsf"), str):
+        write_fits(SirilImage(data=psf[None] / psf.max()),
+                   ctx.path(flags["savepsf"]), bitdepth=FLOAT_IMG)
+    log_message(f"PSF generated ({psf.shape[0]}x{psf.shape[1]})")
+
+
+def _psf_for_deconv(ctx, flags):
+    psf = getattr(ctx, "psf", None)
+    if psf is None or flags:
+        psf = _get_psf(ctx, flags)
+    return psf
+
+
+@command("rl", "rl [-iters=] [-alpha=] [psf flags]", req=REQ_SINGLE_IMAGE)
+def cmd_rl(ctx, args):
+    from siril_tpu.ops.deconvolution import richardson_lucy
+
+    pos, flags = parse_flags(args)
+    psf = _psf_for_deconv(ctx, flags)
+    ctx.set_image(richardson_lucy(
+        ctx.require_image(), psf,
+        iterations=int(_f(flags.get("iters"), 20) or 20),
+        tv_alpha=_f(flags.get("alpha"), 0.0) or 0.0))
+
+
+@command("wiener", "wiener [-alpha=] [psf flags]", req=REQ_SINGLE_IMAGE)
+def cmd_wiener(ctx, args):
+    from siril_tpu.ops.deconvolution import wiener
+
+    pos, flags = parse_flags(args)
+    psf = _psf_for_deconv(ctx, flags)
+    ctx.set_image(wiener(ctx.require_image(), psf,
+                         alpha=1.0 / (_f(flags.get("alpha"), 500.0) or 500.0)))
+
+
+@command("sb", "sb [-iters=] [-lambda=] [psf flags]", req=REQ_SINGLE_IMAGE)
+def cmd_sb(ctx, args):
+    from siril_tpu.ops.deconvolution import split_bregman_tv
+
+    pos, flags = parse_flags(args)
+    psf = _psf_for_deconv(ctx, flags)
+    ctx.set_image(split_bregman_tv(
+        ctx.require_image(), psf,
+        lam=_f(flags.get("lambda"), 3000.0) or 3000.0,
+        iterations=int(_f(flags.get("iters"), 10) or 10)))
+
+
+@command("synthstar", "synthstar", req=REQ_SINGLE_IMAGE,
+         aliases=("unclipstars",))
+def cmd_synthstar(ctx, args):
+    from siril_tpu.ops.synthstar import resynthesize_stars
+
+    ctx.set_image(resynthesize_stars(ctx.require_image()))
+
+
+# ===========================================================================
+# arithmetic & pixel math
+# ===========================================================================
+
+
+def _load_operand(ctx, name):
+    from siril_tpu.io.conversion import load_any
+
+    p = ctx.path(name)
+    if not os.path.exists(p):
+        p = p + ctx.ext
+    return load_any(p)
+
+
+@command("iadd", "iadd filename", req=REQ_SINGLE_IMAGE, min_args=1)
+def cmd_iadd(ctx, args):
+    from siril_tpu.ops.arithmetic import OPER_ADD, imoper
+
+    img = ctx.require_image()
+    b = _load_operand(ctx, args[0])
+    out = imoper(img.host(), b.host(), OPER_ADD, clip16=ctx.force_16bit)
+    ctx.set_image(img.copy(data=np.asarray(out)))
+
+
+@command("isub", "isub filename", req=REQ_SINGLE_IMAGE, min_args=1)
+def cmd_isub(ctx, args):
+    from siril_tpu.ops.arithmetic import OPER_SUB, imoper
+
+    img = ctx.require_image()
+    b = _load_operand(ctx, args[0])
+    out = imoper(img.host(), b.host(), OPER_SUB, clip16=ctx.force_16bit)
+    ctx.set_image(img.copy(data=np.asarray(out)))
+
+
+@command("imul", "imul filename", req=REQ_SINGLE_IMAGE, min_args=1)
+def cmd_imul(ctx, args):
+    from siril_tpu.ops.arithmetic import OPER_MUL, imoper
+
+    img = ctx.require_image()
+    b = _load_operand(ctx, args[0])
+    ctx.set_image(img.copy(data=np.asarray(
+        imoper(img.host(), b.host(), OPER_MUL, clip16=ctx.force_16bit))))
+
+
+@command("idiv", "idiv filename", req=REQ_SINGLE_IMAGE, min_args=1)
+def cmd_idiv(ctx, args):
+    from siril_tpu.ops.arithmetic import OPER_DIV, imoper
+
+    img = ctx.require_image()
+    b = _load_operand(ctx, args[0])
+    ctx.set_image(img.copy(data=np.asarray(
+        imoper(img.host(), b.host(), OPER_DIV, clip16=ctx.force_16bit))))
+
+
+@command("fadd", "fadd scalar", req=REQ_SINGLE_IMAGE, min_args=1)
+def cmd_fadd(ctx, args):
+    from siril_tpu.ops.arithmetic import OPER_ADD, soper
+
+    img = ctx.require_image()
+    ctx.set_image(img.copy(data=np.asarray(
+        soper(img.host(), float(args[0]) / 65535.0, OPER_ADD))))
+
+
+@command("fsub", "fsub scalar", req=REQ_SINGLE_IMAGE, min_args=1)
+def cmd_fsub(ctx, args):
+    from siril_tpu.ops.arithmetic import OPER_SUB, soper
+
+    img = ctx.require_image()
+    ctx.set_image(img.copy(data=np.asarray(
+        soper(img.host(), float(args[0]) / 65535.0, OPER_SUB))))
+
+
+@command("fmul", "fmul scalar", req=REQ_SINGLE_IMAGE, min_args=1)
+def cmd_fmul(ctx, args):
+    from siril_tpu.ops.arithmetic import OPER_MUL, soper
+
+    img = ctx.require_image()
+    ctx.set_image(img.copy(data=np.asarray(
+        soper(img.host(), float(args[0]), OPER_MUL))))
+
+
+@command("fdiv", "fdiv filename scalar", req=REQ_SINGLE_IMAGE, min_args=2)
+def cmd_fdiv(ctx, args):
+    from siril_tpu.ops.arithmetic import fdiv
+
+    img = ctx.require_image()
+    b = _load_operand(ctx, args[0])
+    ctx.set_image(img.copy(data=np.asarray(
+        fdiv(img.host(), b.host(), float(args[1])))))
+
+
+@command("offset", "offset value", req=REQ_SINGLE_IMAGE, min_args=1)
+def cmd_offset(ctx, args):
+    from siril_tpu.ops.arithmetic import OPER_ADD, soper
+
+    img = ctx.require_image()
+    ctx.set_image(img.copy(data=np.asarray(
+        soper(img.host(), float(args[0]) / 65535.0, OPER_ADD, clip16=True))))
+
+
+@command("addmax", "addmax filename", req=REQ_SINGLE_IMAGE, min_args=1)
+def cmd_addmax(ctx, args):
+    from siril_tpu.ops.arithmetic import addmax
+
+    img = ctx.require_image()
+    b = _load_operand(ctx, args[0])
+    ctx.set_image(img.copy(data=np.asarray(addmax(img.host(), b.host()))))
+
+
+@command("pm", "pm \"expression\" [-rescale]", min_args=1)
+def cmd_pm(ctx, args):
+    import re as remod
+
+    from siril_tpu.ops.pixelmath import pixel_math
+
+    pos, flags = parse_flags(args)
+    expr = pos[0].strip('"')
+    # $name$ variables reference loaded images by filename
+    names = set(remod.findall(r"\$([A-Za-z0-9_]+)\$", expr))
+    images = {}
+    for n in names:
+        images[n] = _load_operand(ctx, n)
+        expr = expr.replace(f"${n}$", n)
+    if not images and ctx.image is not None:
+        images["T"] = ctx.image
+        expr = expr.replace("$T", "T")
+    out = pixel_math(expr, images, rescale="rescale" in flags)
+    ctx.set_image(out, "pm_result")
+
+
+# ===========================================================================
+# masks
+# ===========================================================================
+
+
+@command("mask_from_channel", "mask_from_channel channel",
+         req=REQ_SINGLE_IMAGE, min_args=1)
+def cmd_mask_from_channel(ctx, args):
+    from siril_tpu.ops.masks import mask_from_channel
+
+    img = ctx.require_image()
+    img.mask = mask_from_channel(img, int(float(args[0])))
+    img.mask_active = True
+
+
+@command("mask_from_lum", "mask_from_lum", req=REQ_SINGLE_IMAGE)
+def cmd_mask_from_lum(ctx, args):
+    from siril_tpu.ops.masks import mask_from_lum
+
+    img = ctx.require_image()
+    img.mask = mask_from_lum(img)
+    img.mask_active = True
+
+
+@command("mask_from_stars", "mask_from_stars", req=REQ_SINGLE_IMAGE)
+def cmd_mask_from_stars(ctx, args):
+    from siril_tpu.ops.masks import mask_from_stars
+
+    img = ctx.require_image()
+    img.mask = mask_from_stars(img)
+    img.mask_active = True
+
+
+@command("mask_invert", "mask_invert", req=REQ_SINGLE_IMAGE)
+def cmd_mask_invert(ctx, args):
+    from siril_tpu.ops.masks import mask_invert
+
+    img = ctx.require_image()
+    if img.mask is None:
+        raise CommandError("no mask defined")
+    img.mask = mask_invert(img.mask)
+
+
+@command("mask_blur", "mask_blur sigma", req=REQ_SINGLE_IMAGE, min_args=1)
+def cmd_mask_blur(ctx, args):
+    from siril_tpu.ops.masks import mask_blur
+
+    img = ctx.require_image()
+    if img.mask is None:
+        raise CommandError("no mask defined")
+    img.mask = mask_blur(img.mask, float(args[0]))
+
+
+@command("mask_threshold", "mask_threshold lo [hi]", req=REQ_SINGLE_IMAGE,
+         min_args=1)
+def cmd_mask_threshold(ctx, args):
+    from siril_tpu.ops.masks import mask_threshold
+
+    img = ctx.require_image()
+    if img.mask is None:
+        raise CommandError("no mask defined")
+    hi = float(args[1]) if len(args) > 1 else 1.0
+    img.mask = mask_threshold(img.mask, float(args[0]), hi)
+
+
+@command("clear_mask", "clear_mask", req=REQ_SINGLE_IMAGE)
+def cmd_clear_mask(ctx, args):
+    img = ctx.require_image()
+    img.mask = None
+    img.mask_active = False
+
+
+# ===========================================================================
+# background & color
+# ===========================================================================
+
+
+@command("subsky", "subsky {-rbf | degree} [-samples=] [-tolerance=] [-smooth=]",
+         req=REQ_SINGLE_IMAGE, min_args=1)
+def cmd_subsky(ctx, args):
+    from siril_tpu.ops.background import BKG_POLY, BKG_RBF, extract_background
+
+    pos, flags = parse_flags(args)
+    if "rbf" in flags:
+        method, degree = BKG_RBF, 0
+    else:
+        method, degree = BKG_POLY, int(float(pos[0])) if pos else 4
+    ctx.set_image(extract_background(
+        ctx.require_image(), method, degree,
+        smoothing=_f(flags.get("smooth"), 0.5) or 0.5,
+        nb_samples=int(_f(flags.get("samples"), 20) or 20),
+        tolerance=_f(flags.get("tolerance"), 1.0) or 1.0))
+
+
+@command("split", "split r g b [-hsl|-hsv|-lab]", req=REQ_SINGLE_IMAGE | REQ_FOR_RGB,
+         min_args=3)
+def cmd_split(ctx, args):
+    from siril_tpu.io.fits_io import write_fits
+    from siril_tpu.ops.colors import split_channels
+
+    pos, flags = parse_flags(args)
+    space = "rgb"
+    for s in ("hsl", "hsv", "lab"):
+        if s in flags:
+            space = s
+    chans = split_channels(ctx.require_image(), space)
+    for name, im in zip(pos[:3], chans):
+        write_fits(im, ctx.path(name + ctx.ext))
+    log_message(f"Split into {space} channels")
+
+
+@command("rgbcomp", "rgbcomp r g b [-out=]", min_args=3)
+def cmd_rgbcomp(ctx, args):
+    from siril_tpu.io.fits_io import write_fits
+    from siril_tpu.ops.colors import rgb_compose
+
+    pos, flags = parse_flags(args)
+    r = _load_operand(ctx, pos[0])
+    g = _load_operand(ctx, pos[1])
+    b = _load_operand(ctx, pos[2])
+    out = rgb_compose(r, g, b)
+    name = flags.get("out") if isinstance(flags.get("out"), str) else "composed"
+    write_fits(out, ctx.path(name + ctx.ext))
+    ctx.set_image(out, name)
+
+
+# ===========================================================================
+# misc
+# ===========================================================================
+
+
+@command("visu", "visu low high", req=REQ_SINGLE_IMAGE)
+def cmd_visu(ctx, args):
+    pass        # display-only in the reference; no-op headless
+
+
+@command("histo", "histo channel", req=REQ_SINGLE_IMAGE, min_args=1)
+def cmd_histo(ctx, args):
+    img = ctx.require_image()
+    c = int(float(args[0]))
+    h, _ = np.histogram(img.host()[c], bins=256, range=(0, 1))
+    path = ctx.path(f"histo_{c}.dat")
+    np.savetxt(path, h, fmt="%d")
+    log_message(f"Histogram saved to {os.path.basename(path)}")
+
+
+def get_command(name: str) -> Optional[Command]:
+    return COMMANDS.get(name.lower())

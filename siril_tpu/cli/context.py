@@ -1,0 +1,72 @@
+"""CLI session state — the equivalent of Siril's ``com`` / ``gfit``
+globals (core/siril.h cominfo) for the headless command surface.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+from siril_tpu.core.image import SirilImage
+from siril_tpu.core.sequence import Sequence
+from siril_tpu.core.settings import Preferences
+
+
+@dataclass
+class Session:
+    cwd: str = "."
+    image: Optional[SirilImage] = None        # gfit
+    image_name: str = ""
+    seq: Optional[Sequence] = None
+    prefs: Preferences = field(default_factory=Preferences)
+    ext: str = ".fit"                          # setext
+    force_16bit: bool = False                  # set16bits/set32bits
+    wavelet_planes: Optional[list] = None      # wavelet ... wrecons state
+    wavelet_img: Optional[SirilImage] = None
+    pm_images: Dict[str, SirilImage] = field(default_factory=dict)
+    selection: Optional[tuple] = None          # boxselect
+    magnitude_offset: float = 0.0              # setmag
+    script_version_ok: bool = True
+    stop_requested: bool = False
+
+    def require_image(self) -> SirilImage:
+        if self.image is None:
+            raise CommandError("no image loaded (use `load` first)")
+        return self.image
+
+    def require_seq(self) -> Sequence:
+        if self.seq is None:
+            raise CommandError("no sequence loaded")
+        return self.seq
+
+    def path(self, name: str) -> str:
+        if os.path.isabs(name):
+            return name
+        return os.path.join(self.cwd, name)
+
+    def set_image(self, img: SirilImage, name: str = "") -> None:
+        self.image = img
+        if name:
+            self.image_name = name
+
+    def load_sequence(self, name: str) -> Sequence:
+        """Load a sequence by name: .seq sidecar, .ser file, or scan."""
+        from siril_tpu.core.sequence import Sequence as Seq
+        from siril_tpu.io.seqfile import read_seqfile
+
+        base = name[:-4] if name.endswith(".seq") else name
+        seqfile = self.path(base + ".seq")
+        if os.path.exists(seqfile):
+            seq = read_seqfile(seqfile)
+        elif os.path.exists(self.path(base + ".ser")) or name.endswith(".ser"):
+            p = self.path(base + ".ser" if not name.endswith(".ser") else name)
+            seq = Seq.from_ser(p)
+        else:
+            seq = Seq.scan(base, self.cwd)
+        self.seq = seq
+        return seq
+
+
+class CommandError(Exception):
+    """Command-level error (reported, non-fatal in scripts unless fatal)."""

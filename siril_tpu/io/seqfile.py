@@ -145,7 +145,7 @@ def _attach_backing_store(seq: Sequence) -> None:
                     break
             files.append(found)
         seq._file_list = files
-        if seq.nb_layers < 0 and any(f for f in files):
+        if (seq.nb_layers < 0 or seq.rx == 0) and any(f for f in files):
             seq._probe_geometry()
 
 

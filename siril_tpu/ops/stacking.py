@@ -268,8 +268,10 @@ def stack_sequence(seq: Sequence, args: StackArgs,
     n = len(indices)
     if n == 0:
         raise ValueError("no frames selected for stacking")
-    if seq.nb_layers < 0:
-        seq.read_frame(int(indices[0]))
+    if seq.nb_layers < 0 or seq.ry == 0:
+        img0 = seq.read_frame(int(indices[0]))
+        if seq.ry == 0:
+            seq.ry, seq.rx = img0.height, img0.width
     L, H, W = seq.nb_layers, seq.ry, seq.rx
 
     if args.method in ("sum", "min", "max"):

@@ -84,9 +84,10 @@ def fit_psf_batch(patches: np.ndarray, profile: int = PROFILE_GAUSSIAN,
     import jax.numpy as jnp
 
     K, S, _ = patches.shape
-    # bucket the batch to the next power of two so per-frame star counts
-    # don't trigger per-count recompiles
-    K2 = 1 << max(int(np.ceil(np.log2(max(K, 1)))), 0)
+    # bucket the batch to a power of two (min 256) so per-frame star
+    # counts trigger at most a handful of compiles — the vmapped LM scan
+    # is expensive to compile and each batch size is a fresh program
+    K2 = 1 << max(int(np.ceil(np.log2(max(K, 1)))), 8)
     if K2 != K:
         pad = np.zeros((K2 - K, S, S), patches.dtype)
         pad[:, S // 2, S // 2] = 1.0        # fitable dummy patches

@@ -127,6 +127,28 @@ def detect_stars(layer: np.ndarray, params: Optional[StarFinderParams] = None,
     fit = fit_psf_batch(patches, profile=p.profile)
     stars = stars_from_fit(fit, x0s, y0s, box, p.profile)
 
+    # second chance for blended fits: neighbors inside the box elongate
+    # the profile (roundness collapse).  Refit those on a smaller crop
+    # centered on the candidate peak (the reference optimizes its box
+    # size per star, PSF.h:25 'R').
+    if box >= 13:
+        retry = [i for i, s in enumerate(stars)
+                 if np.isfinite(s.fwhmx) and
+                 (s.roundness < p.roundness or s.fwhmx > box / 2)]
+        if retry:
+            half = box // 2
+            small = (half // 2) * 2 + 1          # odd, ≈ half the box
+            off = (box - small) // 2
+            sub = patches[retry][:, off:off + small, off:off + small]
+            fit2 = fit_psf_batch(sub, profile=p.profile)
+            stars2 = stars_from_fit(fit2, x0s[retry] + off, y0s[retry] + off,
+                                    small, p.profile)
+            for k, i in enumerate(retry):
+                s2 = stars2[k]
+                if s2.roundness > stars[i].roundness and \
+                        0.5 < s2.fwhmx <= small:
+                    stars[i] = s2
+
     # quality filters (minimize_candidates checks)
     sat = float(np.max(layer))
     keep: List[PSFStar] = []
@@ -134,6 +156,9 @@ def detect_stars(layer: np.ndarray, params: Optional[StarFinderParams] = None,
         if not np.isfinite([s.A, s.B, s.x0, s.y0, s.fwhmx, s.fwhmy]).all():
             continue
         if s.A < 1e-5 or (p.min_A and s.A < p.min_A):
+            continue
+        # significance: amplitude must stand 5σ above the noise floor
+        if s.A < 5.0 * noise:
             continue
         if p.max_A and s.A > p.max_A:
             continue
