@@ -63,7 +63,10 @@ def parse_flags(args: List[str]):
     """Split ['-key=value', '-flag', 'pos'] → (positional, {key: value})."""
     pos, flags = [], {}
     for a in args:
-        if a.startswith("-") and len(a) > 1 and not _is_number(a):
+        # flags start with '-' + letter (negative numbers and sexagesimal
+        # coordinates like -05:24:00 are positional)
+        if a.startswith("-") and len(a) > 1 and a[1].isalpha() \
+                and not _is_number(a):
             if "=" in a:
                 k, v = a[1:].split("=", 1)
                 flags[k.lower()] = v
@@ -1837,3 +1840,197 @@ def cmd_histo(ctx, args):
 
 def get_command(name: str) -> Optional[Command]:
     return COMMANDS.get(name.lower())
+
+
+# ===========================================================================
+# astrometry & photometry commands
+# ===========================================================================
+
+
+def _get_catalog(ctx, flags):
+    from siril_tpu.astrometry.catalog import Catalog, default_catalog_path
+
+    path = flags.get("catalog") if isinstance(flags.get("catalog"), str) \
+        else default_catalog_path()
+    if path is None:
+        raise CommandError(
+            "no local catalogue available (set -catalog=file.npz/csv or "
+            "SIRIL_TPU_CATALOG; remote catalogues are disabled offline)")
+    return Catalog.load(ctx.path(path) if not os.path.isabs(path) else path)
+
+
+@command("platesolve", "platesolve [ra dec] [-focal=] [-pixelsize=] [-catalog=] [-limitmag=] [-order=]",
+         req=REQ_SINGLE_IMAGE)
+def cmd_platesolve(ctx, args):
+    from siril_tpu.astrometry.solver import SolveArgs, solve_image
+    from siril_tpu.ops.wcs import parse_dec, parse_ra
+
+    pos, flags = parse_flags(args)
+    sa = SolveArgs()
+    if len(pos) >= 2:
+        sa.ra = parse_ra(pos[0])
+        sa.dec = parse_dec(pos[1])
+    if "focal" in flags:
+        sa.focal_mm = float(flags["focal"])
+    if "pixelsize" in flags:
+        sa.pixel_size_um = float(flags["pixelsize"])
+    if "limitmag" in flags:
+        sa.mag_limit = float(flags["limitmag"])
+    if "order" in flags:
+        sa.sip_order = int(float(flags["order"]))
+    cat = _get_catalog(ctx, flags)
+    res = solve_image(ctx.require_image(), cat, sa)
+    if res is None:
+        raise CommandError("plate solve failed")
+    from siril_tpu.ops.wcs import format_dec, format_ra
+
+    ra_c, dec_c = res.wcs.pix2world(
+        np.array([ctx.image.width / 2.0]), np.array([ctx.image.height / 2.0]))
+    log_message(f"Image center: RA {format_ra(float(ra_c[0]))}, "
+                f"Dec {format_dec(float(dec_c[0]))}")
+
+
+@command("conesearch", "conesearch [limit_mag] [-catalog=]", req=REQ_SINGLE_IMAGE)
+def cmd_conesearch(ctx, args):
+    pos, flags = parse_flags(args)
+    img = ctx.require_image()
+    if img.wcs is None:
+        raise CommandError("image is not plate solved")
+    mag = float(pos[0]) if pos else 13.0
+    cat = _get_catalog(ctx, flags)
+    w = img.wcs
+    ra_c, dec_c = w.pix2world(np.array([img.width / 2.0]),
+                              np.array([img.height / 2.0]))
+    fov = w.pixel_scale_arcsec * max(img.width, img.height) / 3600.0
+    cone = cat.cone_search(float(ra_c[0]), float(dec_c[0]), fov / 1.5, mag)
+    xs, ys = w.world2pix(cone.ra, cone.dec)
+    n = 0
+    for k in range(len(cone)):
+        if 0 <= xs[k] < img.width and 0 <= ys[k] < img.height:
+            n += 1
+    log_message(f"{n} catalogue objects in the field (of {len(cone)} in cone)")
+
+
+@command("pcc", "pcc [-limitmag=] [-catalog=]", req=REQ_SINGLE_IMAGE | REQ_FOR_RGB)
+def cmd_pcc(ctx, args):
+    from siril_tpu.astrometry.pcc import photometric_color_calibration
+
+    pos, flags = parse_flags(args)
+    cat = _get_catalog(ctx, flags)
+    out = photometric_color_calibration(
+        ctx.require_image(), cat,
+        mag_limit=_f(flags.get("limitmag"), 13.0) or 13.0)
+    if out is None:
+        raise CommandError("PCC failed")
+    ctx.set_image(out)
+
+
+@command("bgneutralize", "bgneutralize", req=REQ_SINGLE_IMAGE | REQ_FOR_RGB)
+def cmd_bgneutralize(ctx, args):
+    from siril_tpu.astrometry.pcc import background_neutralization
+
+    ctx.set_image(background_neutralization(ctx.require_image()))
+
+
+@command("setphot", "setphot [-inner=] [-outer=] [-aperture=] [-force_radius=] [-gain=] [-min_val=] [-max_val=]")
+def cmd_setphot(ctx, args):
+    pos, flags = parse_flags(args)
+    p = ctx.prefs
+    if "inner" in flags:
+        p.phot_inner = float(flags["inner"])
+    if "outer" in flags:
+        p.phot_outer = float(flags["outer"])
+    if "aperture" in flags:
+        p.phot_aperture = float(flags["aperture"])
+    if "force_radius" in flags:
+        p.phot_force_radius = str(flags["force_radius"]).lower() in ("1", "yes", "true")
+    if "gain" in flags:
+        p.phot_gain = float(flags["gain"])
+    log_message(f"photometry: inner={p.phot_inner} outer={p.phot_outer} "
+                f"aperture={p.phot_aperture} gain={p.phot_gain}")
+
+
+def _phot_cfg(ctx):
+    from siril_tpu.ops.photometry import PhotConfig
+
+    p = ctx.prefs
+    return PhotConfig(gain=p.phot_gain, inner=p.phot_inner,
+                      outer=p.phot_outer, aperture=p.phot_aperture,
+                      force_radius=p.phot_force_radius)
+
+
+@command("psf", "psf x y [channel]", req=REQ_SINGLE_IMAGE, min_args=2)
+def cmd_psf(ctx, args):
+    from siril_tpu.ops.photometry import measure_star
+    from siril_tpu.registration.psf import fit_psf_batch, fwhm_from_s
+
+    img = ctx.require_image()
+    x0, y0 = float(args[0]), float(args[1])
+    chan = int(float(args[2])) if len(args) > 2 else (1 if img.nchans == 3 else 0)
+    lay = img.host()[min(chan, img.nchans - 1)]
+    box = 30
+    bx = int(np.clip(x0 - box // 2, 0, max(img.width - box, 0)))
+    by = int(np.clip(y0 - box // 2, 0, max(img.height - box, 0)))
+    patch = lay[by:by + box, bx:bx + box]
+    fit = fit_psf_batch(patch[None].astype(np.float32))
+    fx = float(fwhm_from_s(fit["sx"], fit["beta"])[0])
+    fy = float(fwhm_from_s(fit["sy"], fit["beta"])[0])
+    sx0 = bx + float(fit["x0"][0])
+    sy0 = by + float(fit["y0"][0])
+    phot = measure_star(lay, sx0, sy0, fx, _phot_cfg(ctx),
+                        img.keywords.cvf or None)
+    log_message(f"PSF: x0={sx0:.2f} y0={sy0:.2f} FWHMx={fx:.2f} "
+                f"FWHMy={fy:.2f} A={float(fit['A'][0]):.5f} "
+                f"B={float(fit['B'][0]):.5f}")
+    if phot.valid:
+        log_message(f"Photometry: mag={phot.mag + ctx.magnitude_offset:.3f} "
+                    f"±{phot.s_mag:.3f} SNR={phot.snr:.1f}dB")
+    else:
+        log_message(f"Photometry invalid: {phot.error}")
+
+
+@command("setmag", "setmag magnitude", req=REQ_SINGLE_IMAGE, min_args=1)
+def cmd_setmag(ctx, args):
+    ctx.magnitude_offset = float(args[0])
+    log_message(f"magnitude offset set to {ctx.magnitude_offset}")
+
+
+@command("unsetmag", "unsetmag")
+def cmd_unsetmag(ctx, args):
+    ctx.magnitude_offset = 0.0
+
+
+@command("light_curve", "light_curve sequencename channel [-out=] x y x y …",
+         min_args=4)
+def cmd_light_curve(ctx, args):
+    from siril_tpu.ops.photometry import light_curve
+
+    pos, flags = parse_flags(args)
+    seq = ctx.load_sequence(pos[0])
+    chan = int(float(pos[1]))
+    coords = [(float(pos[i]), float(pos[i + 1]))
+              for i in range(2, len(pos) - 1, 2)]
+    if len(coords) < 2:
+        raise CommandError("light_curve needs a target and at least one "
+                           "comparison star")
+    out = flags.get("out") if isinstance(flags.get("out"), str) \
+        else "light_curve.dat"
+    rows = light_curve(seq, coords[0], coords[1:], layer=chan,
+                       cfg=_phot_cfg(ctx), out_path=ctx.path(out))
+    log_message(f"Light curve: {len(rows)} points written to {out}")
+
+
+@command("seqpsf", "seqpsf sequencename channel x y", min_args=4)
+def cmd_seqpsf(ctx, args):
+    from siril_tpu.ops.photometry import seq_photometry
+
+    seq = ctx.load_sequence(args[0])
+    chan = int(float(args[1]))
+    results = seq_photometry(seq, float(args[2]), float(args[3]),
+                             layer=chan, cfg=_phot_cfg(ctx))
+    ok = sum(1 for _, r in results if r is not None and r["phot"].valid)
+    for idx, r in results:
+        if r is not None and r["phot"].valid:
+            log_message(f"{idx + 1}: x={r['x']:.2f} y={r['y']:.2f} "
+                        f"fwhm={r['fwhm']:.2f} mag={r['phot'].mag:.3f}")
+    log_message(f"seqpsf: {ok}/{len(results)} frames measured")

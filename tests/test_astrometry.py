@@ -1,0 +1,145 @@
+"""WCS + plate solving tests: projection round-trips, SIP handling, and a
+synthetic end-to-end solve (catalogue → rendered star field → solver →
+recovered WCS)."""
+
+import numpy as np
+import pytest
+
+from siril_tpu.astrometry.catalog import Catalog
+from siril_tpu.astrometry.solver import SolveArgs, fit_wcs, solve_image
+from siril_tpu.core.image import SirilImage
+from siril_tpu.ops.wcs import WCS, format_dec, format_ra, parse_dec, parse_ra
+
+
+def make_wcs(ra=120.0, dec=35.0, scale=2.0, rot=15.0, h=256, w=256):
+    th = np.radians(rot)
+    s = scale / 3600.0
+    cd = np.array([[-s * np.cos(th), s * np.sin(th)],
+                   [s * np.sin(th), s * np.cos(th)]])
+    return WCS(crpix=(w / 2 + 0.5, h / 2 + 0.5), crval=(ra, dec), cd=cd,
+               height=h)
+
+
+class TestWCS:
+    def test_center_maps_to_crval(self):
+        w = make_wcs()
+        ra, dec = w.pix2world(np.array([127.5]), np.array([127.5]))
+        assert float(ra[0]) == pytest.approx(120.0, abs=1e-4)
+        assert float(dec[0]) == pytest.approx(35.0, abs=1e-4)
+
+    def test_roundtrip(self, rng):
+        w = make_wcs()
+        x = rng.uniform(10, 240, 50)
+        y = rng.uniform(10, 240, 50)
+        ra, dec = w.pix2world(x, y)
+        x2, y2 = w.world2pix(ra, dec)
+        np.testing.assert_allclose(x2, x, atol=1e-6)
+        np.testing.assert_allclose(y2, y, atol=1e-6)
+
+    def test_pixel_scale(self):
+        w = make_wcs(scale=2.5)
+        assert w.pixel_scale_arcsec == pytest.approx(2.5, rel=1e-6)
+
+    def test_header_roundtrip(self):
+        from siril_tpu.io.fits_io import Header
+
+        w = make_wcs()
+        cards = w.to_cards()
+        hdr = Header(list(cards) + [("NAXIS2", 256, "")])
+        w2 = WCS.from_header(hdr)
+        np.testing.assert_allclose(w2.cd, w.cd, rtol=1e-6)
+        assert w2.crval == pytest.approx(w.crval)
+
+    def test_sexagesimal(self):
+        assert parse_ra("12:00:00") == pytest.approx(180.0)
+        assert parse_dec("-45:30:00") == pytest.approx(-45.5)
+        assert format_ra(180.0).startswith("12:00:00")
+        assert format_dec(-45.5).startswith("-45:30:00")
+
+
+class TestFitWCS:
+    def test_recovers_known_wcs(self, rng):
+        w = make_wcs(rot=22.0, scale=1.7)
+        x = rng.uniform(10, 240, 40)
+        y = rng.uniform(10, 240, 40)
+        ra, dec = w.pix2world(x, y)
+        sky = np.stack([np.asarray(ra), np.asarray(dec)], axis=1)
+        pix = np.stack([x, y], axis=1)
+        w2, resid = fit_wcs(pix, sky, (256, 256))
+        assert resid < 0.05
+        ra2, dec2 = w2.pix2world(x[:5], y[:5])
+        np.testing.assert_allclose(np.asarray(ra2), np.asarray(ra)[:5],
+                                   atol=1e-4)
+
+
+class TestCatalog:
+    def test_cone_search(self, rng):
+        n = 50000
+        cat = Catalog(ra=rng.uniform(0, 360, n), dec=rng.uniform(-90, 90, n),
+                      mag=rng.uniform(5, 15, n))
+        sub = cat.cone_search(100.0, 20.0, 5.0)
+        assert len(sub) > 0
+        from siril_tpu.astrometry.catalog import _ang_dist
+
+        d = _ang_dist(sub.ra, sub.dec, 100.0, 20.0)
+        assert (d <= 5.0).all()
+
+    def test_save_load(self, tmp_path, rng):
+        cat = Catalog(ra=rng.uniform(0, 360, 100),
+                      dec=rng.uniform(-90, 90, 100),
+                      mag=rng.uniform(5, 15, 100))
+        p = str(tmp_path / "cat.npz")
+        cat.save(p)
+        back = Catalog.load(p)
+        assert len(back) == 100
+
+
+class TestPlateSolve:
+    def test_end_to_end_solve(self, rng):
+        # build a catalogue, render the star field through a known WCS,
+        # then solve blind-ish from hints ~0.3 deg off
+        true = make_wcs(ra=150.0, dec=40.0, scale=3.0, rot=10.0,
+                        h=256, w=256)
+        n = 600
+        ra = 150.0 + rng.uniform(-0.6, 0.6, n)
+        dec = 40.0 + rng.uniform(-0.6, 0.6, n)
+        mag = rng.uniform(6, 12, n)
+        cat = Catalog(ra=ra, dec=dec, mag=mag)
+
+        img_data = 0.05 + rng.normal(0, 0.002, (256, 256)).astype(np.float32)
+        x, y = true.world2pix(ra, dec)
+        yy, xx = np.mgrid[0:256, 0:256]
+        n_in = 0
+        for xi, yi, mi in zip(x, y, mag):
+            if 10 < xi < 246 and 10 < yi < 246:
+                A = 10 ** (-0.4 * (mi - 12.0)) * 0.1
+                A = min(A, 0.8)
+                if A < 0.02:
+                    continue
+                img_data += (A * np.exp(-(((xx - xi) ** 2 + (yy - yi) ** 2)
+                                          / 4.0))).astype(np.float32)
+                n_in += 1
+        assert n_in >= 12, f"test setup: only {n_in} stars rendered"
+        img = SirilImage(data=np.clip(img_data, 0, 1)[None])
+
+        res = solve_image(img, cat, SolveArgs(
+            ra=150.2, dec=39.8, pixel_scale=3.1, mag_limit=13.0))
+        assert res is not None, "solve failed"
+        assert res.scale_arcsec == pytest.approx(3.0, rel=0.02)
+        assert res.rotation_deg == pytest.approx(true.rotation_deg, abs=1.0)
+        # solved center within a few arcsec of the truth
+        ra_c, dec_c = res.wcs.pix2world(np.array([127.5]), np.array([127.5]))
+        tra, tdec = true.pix2world(np.array([127.5]), np.array([127.5]))
+        assert abs(float(ra_c[0]) - float(tra[0])) * 3600 < 10
+        assert abs(float(dec_c[0]) - float(tdec[0])) * 3600 < 10
+        assert img.wcs is not None
+
+    def test_solve_fails_gracefully_wrong_field(self, rng):
+        cat = Catalog(ra=rng.uniform(200, 210, 100),
+                      dec=rng.uniform(-10, 0, 100),
+                      mag=rng.uniform(6, 10, 100))
+        img = SirilImage(
+            data=(0.05 + 0.002 * rng.random((128, 128))).astype(np.float32)[None])
+        res = solve_image(img, cat,
+                          SolveArgs(ra=10.0, dec=50.0, pixel_scale=2.0))
+        assert res is None
