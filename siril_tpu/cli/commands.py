@@ -2034,3 +2034,101 @@ def cmd_seqpsf(ctx, args):
             log_message(f"{idx + 1}: x={r['x']:.2f} y={r['y']:.2f} "
                         f"fwhm={r['fwhm']:.2f} mag={r['phot'].mag:.3f}")
     log_message(f"seqpsf: {ok}/{len(results)} frames measured")
+
+
+# ===========================================================================
+# planetary (MPP) commands
+# ===========================================================================
+
+
+def _mpp_args_from_flags(flags):
+    from siril_tpu.planetary.mpp import MPPArgs
+
+    a = MPPArgs()
+    if "apsize" in flags:
+        a.ap_size = int(float(flags["apsize"]))
+    if "overlap" in flags:
+        a.ap_overlap = float(flags["overlap"])
+    if "bestpct" in flags:
+        a.stack_best_pct = float(flags["bestpct"])
+    if "refpct" in flags:
+        a.global_best_pct = float(flags["refpct"])
+    if "scale" in flags:
+        a.scale = float(flags["scale"])
+    if "layer" in flags:
+        a.layer = int(float(flags["layer"]))
+    return a
+
+
+def _mpp_sidecar_path(ctx, seq):
+    return os.path.join(seq.directory, seq.name + ".mpp")
+
+
+@command("mpp", "mpp sequencename [-apsize=] [-overlap=] [-bestpct=] [-scale=] [-out=]",
+         min_args=1)
+def cmd_mpp(ctx, args):
+    from siril_tpu.io.fits_io import write_fits
+    from siril_tpu.planetary.mpp import mpp_full
+
+    pos, flags = parse_flags(args)
+    seq = ctx.load_sequence(pos[0])
+    a = _mpp_args_from_flags(flags)
+    out = mpp_full(seq, a, sidecar=_mpp_sidecar_path(ctx, seq))
+    name = flags.get("out") if isinstance(flags.get("out"), str) else \
+        seq.name + "_mpp"
+    p = ctx.path(name)
+    if not os.path.splitext(p)[1]:
+        p += ctx.ext
+    write_fits(out, p, bitdepth=FLOAT_IMG)
+    ctx.set_image(out, os.path.basename(p))
+
+
+@command("register_mpp", "register_mpp sequencename [flags]", min_args=1)
+def cmd_register_mpp(ctx, args):
+    from siril_tpu.planetary.mpp import mpp_analyze, mpp_compute_shifts
+
+    pos, flags = parse_flags(args)
+    seq = ctx.load_sequence(pos[0])
+    a = _mpp_args_from_flags(flags)
+    state = mpp_analyze(seq, a)
+    state = mpp_compute_shifts(seq, state, a)
+    state.save(_mpp_sidecar_path(ctx, seq))
+    log_message(f"MPP registration saved to {seq.name}.mpp")
+
+
+@command("stack_mpp", "stack_mpp sequencename [-bestpct=] [-out=]", min_args=1)
+def cmd_stack_mpp(ctx, args):
+    from siril_tpu.io.fits_io import write_fits
+    from siril_tpu.planetary.mpp import MPPState, mpp_stack
+
+    pos, flags = parse_flags(args)
+    seq = ctx.load_sequence(pos[0])
+    sc = _mpp_sidecar_path(ctx, seq)
+    if not os.path.exists(sc):
+        raise CommandError(f"no .mpp sidecar for {seq.name} "
+                           "(run register_mpp first)")
+    state = MPPState.load(sc)
+    a = _mpp_args_from_flags(flags)
+    a.ap_size = state.args.ap_size if state.args else a.ap_size
+    out = mpp_stack(seq, state, a)
+    name = flags.get("out") if isinstance(flags.get("out"), str) else \
+        seq.name + "_mpp"
+    p = ctx.path(name)
+    if not os.path.splitext(p)[1]:
+        p += ctx.ext
+    write_fits(out, p, bitdepth=FLOAT_IMG)
+    ctx.set_image(out, os.path.basename(p))
+
+
+@command("seqquality", "seqquality sequencename [layer]", min_args=1)
+def cmd_seqquality(ctx, args):
+    from siril_tpu.planetary.quality import rank_sequence_quality
+
+    seq = ctx.load_sequence(args[0])
+    layer = int(float(args[1])) if len(args) > 1 else 0
+    rank_sequence_quality(seq, layer)
+    seq.save()
+    reg = seq.reg(layer)
+    order = np.argsort(-reg.quality)[:5]
+    log_message("Best frames: " +
+                ", ".join(f"{i + 1} ({reg.quality[i]:.3f})" for i in order))
