@@ -942,6 +942,29 @@ def cmd_stack(ctx, args):
 
     pos, flags = parse_flags(args)
     seq = ctx.load_sequence(pos[0])
+    if "drizzle" in flags:
+        from siril_tpu.ops.drizzle import KERNEL_NAMES, DrizzleArgs, drizzle_sequence
+
+        da = DrizzleArgs(scale=_f(flags.get("scale"), 2.0) or 2.0,
+                         pixfrac=_f(flags.get("pixfrac"), 1.0) or 1.0)
+        if isinstance(flags.get("kernel"), str):
+            da.kernel = KERNEL_NAMES.get(flags["kernel"].lower(), da.kernel)
+        first = seq.read_frame(int(seq.selected_indices()[0]))
+        da.use_bayer = first.is_cfa()
+        out_img, wmap = drizzle_sequence(seq, da)
+        name = flags.get("out") if isinstance(flags.get("out"), str) else \
+            seq.name + "stacked"
+        p = ctx.path(name)
+        if not os.path.splitext(p)[1]:
+            p += ctx.ext
+        write_fits_drizzle = True
+        from siril_tpu.io.fits_io import write_fits as _wf
+
+        _wf(out_img, p, bitdepth=FLOAT_IMG)
+        ctx.set_image(out_img, os.path.basename(p))
+        log_message(f"Drizzle-stacked {seq.selnum} frames → "
+                    f"{os.path.basename(p)}")
+        return
     sa = _stack_args_from_flags(pos, flags)
     indices = None
     fspecs = []

@@ -1,0 +1,219 @@
+"""Drizzle — equivalent of ``src/drizzle/`` (STScI cdrizzle port:
+do_kernel_square cdrizzlebox.c:941, dobox:1124, pixel mapping
+cdrizzlemap.c; kernels square/turbo/point/gaussian/lanczos2/3, pixfrac,
+per-pixel weight/coverage output; Bayer drizzle from CFA with per-color
+weight planes).
+
+TPU-native re-design: the reference scatters each input pixel's flux
+onto the output grid — scatter-add lowers poorly on TPU.  Here drizzle
+is expressed as a GATHER: every output pixel inverse-maps to input
+coordinates and integrates the shrunken input pixels (side = pixfrac)
+that its footprint overlaps.  For the affine/homography transforms used
+in registration this is exact for 'turbo' (axis-aligned overlap — the
+reference's fast path) and matches 'square' within the footprint
+linearization; 'point' and 'gaussian'/'lanczos' kernels are direct tap
+weights.  Each frame is one fused device pass; weight maps accumulate
+alongside.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import Optional, Tuple
+
+import numpy as np
+
+from siril_tpu.core.image import SirilImage
+from siril_tpu.utils.log import log_message
+
+KERNEL_SQUARE = 0
+KERNEL_TURBO = 1
+KERNEL_POINT = 2
+KERNEL_GAUSSIAN = 3
+KERNEL_LANCZOS2 = 4
+KERNEL_LANCZOS3 = 5
+
+KERNEL_NAMES = {"square": KERNEL_SQUARE, "turbo": KERNEL_TURBO,
+                "point": KERNEL_POINT, "gaussian": KERNEL_GAUSSIAN,
+                "lanczos2": KERNEL_LANCZOS2, "lanczos3": KERNEL_LANCZOS3}
+
+
+@dataclass
+class DrizzleArgs:
+    scale: float = 2.0
+    pixfrac: float = 1.0
+    kernel: int = KERNEL_SQUARE
+    use_bayer: bool = False            # CFA-direct drizzle
+    pattern: str = "RGGB"
+
+
+@lru_cache(maxsize=8)
+def _drizzle_fn(out_h: int, out_w: int, kernel: int, taps: int):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(frame, wplane, Hinv, pixfrac, inv_scale):
+        """One frame → (out, wht) contributions.
+
+        frame: (H, W); wplane: (H, W) input weights; Hinv maps OUTPUT
+        pixel coords → INPUT pixel coords.
+        """
+        H_in, W_in = frame.shape
+        yy, xx = jnp.mgrid[0:out_h, 0:out_w]
+        xf = xx.astype(jnp.float32)
+        yf = yy.astype(jnp.float32)
+        d = Hinv[2, 0] * xf + Hinv[2, 1] * yf + Hinv[2, 2]
+        sx = (Hinv[0, 0] * xf + Hinv[0, 1] * yf + Hinv[0, 2]) / d
+        sy = (Hinv[1, 0] * xf + Hinv[1, 1] * yf + Hinv[1, 2]) / d
+        # output pixel footprint half-size in input pixels
+        half = 0.5 * inv_scale
+        pf_half = 0.5 * pixfrac
+        acc = jnp.zeros((out_h, out_w), jnp.float32)
+        wht = jnp.zeros((out_h, out_w), jnp.float32)
+        r = taps // 2
+        for dy in range(-r, r + 1):
+            for dx in range(-r, r + 1):
+                ix = jnp.round(sx).astype(jnp.int32) + dx
+                iy = jnp.round(sy).astype(jnp.int32) + dy
+                inb = (ix >= 0) & (ix < W_in) & (iy >= 0) & (iy < H_in)
+                ixc = jnp.clip(ix, 0, W_in - 1)
+                iyc = jnp.clip(iy, 0, H_in - 1)
+                v = frame[iyc, ixc]
+                wv = wplane[iyc, ixc]
+                # framework convention: pixel center AT the integer index
+                cx = ix.astype(jnp.float32)
+                cy = iy.astype(jnp.float32)
+                if kernel in (KERNEL_SQUARE, KERNEL_TURBO):
+                    # 1D overlap of [sx−half, sx+half] with the shrunken
+                    # pixel [cx−pf_half, cx+pf_half], per axis
+                    ox = jnp.maximum(
+                        jnp.minimum(sx + half, cx + pf_half) -
+                        jnp.maximum(sx - half, cx - pf_half), 0.0)
+                    oy = jnp.maximum(
+                        jnp.minimum(sy + half, cy + pf_half) -
+                        jnp.maximum(sy - half, cy - pf_half), 0.0)
+                    w = ox * oy / (pixfrac * pixfrac)
+                elif kernel == KERNEL_POINT:
+                    w = ((jnp.abs(sx - cx) < 0.5) &
+                         (jnp.abs(sy - cy) < 0.5)).astype(jnp.float32)
+                elif kernel == KERNEL_GAUSSIAN:
+                    sig = 0.42466 * pixfrac + 1e-6
+                    d2 = (sx - cx) ** 2 + (sy - cy) ** 2
+                    w = jnp.exp(-0.5 * d2 / (sig * sig))
+                else:   # lanczos
+                    a = 2.0 if kernel == KERNEL_LANCZOS2 else 3.0
+                    tx = (sx - cx)
+                    ty = (sy - cy)
+
+                    def lcz(t):
+                        pt = jnp.pi * t
+                        s = jnp.where(jnp.abs(t) < 1e-7, 1.0,
+                                      a * jnp.sin(pt) * jnp.sin(pt / a) /
+                                      (pt * pt))
+                        return jnp.where(jnp.abs(t) < a, s, 0.0)
+
+                    w = lcz(tx) * lcz(ty)
+                w = jnp.where(inb, w * wv, 0.0)
+                acc = acc + w * v
+                wht = wht + w
+        return acc, wht
+
+    return run
+
+
+def _taps_for(kernel: int, pixfrac: float, inv_scale: float) -> int:
+    if kernel == KERNEL_POINT:
+        return 3
+    if kernel == KERNEL_LANCZOS2:
+        return 5
+    if kernel == KERNEL_LANCZOS3:
+        return 7
+    support = pixfrac + inv_scale
+    return 2 * int(np.ceil(support / 2.0 + 0.5)) + 1
+
+
+class DrizzleAccumulator:
+    """Accumulates drizzled frames into output + weight planes."""
+
+    def __init__(self, out_shape: Tuple[int, int, int],
+                 args: Optional[DrizzleArgs] = None):
+        self.args = args or DrizzleArgs()
+        self.C, self.H, self.W = out_shape
+        self.acc = np.zeros(out_shape, np.float64)
+        self.wht = np.zeros(out_shape, np.float64)
+        self.nframes = 0
+
+    def add_frame(self, img: SirilImage, H_reg: np.ndarray,
+                  weight: float = 1.0):
+        """H_reg maps frame coords → reference coords (regdata H)."""
+        import jax.numpy as jnp
+
+        a = self.args
+        S = np.array([[a.scale, 0, 0], [0, a.scale, 0], [0, 0, 1.0]])
+        Hfull = S @ H_reg                  # frame → output
+        Hinv = np.linalg.inv(Hfull)
+        inv_scale = 1.0 / a.scale
+        taps = _taps_for(a.kernel, a.pixfrac, inv_scale)
+        fn = _drizzle_fn(self.H, self.W, a.kernel, taps)
+        data = img.host()
+        if a.use_bayer and img.is_cfa():
+            from siril_tpu.ops.demosaic import _cfa_masks, effective_pattern
+
+            pat = effective_pattern(img.keywords.bayer_pattern or a.pattern,
+                                    img.keywords.bayer_xoffset,
+                                    img.keywords.bayer_yoffset)
+            rm, gm, bm = _cfa_masks(pat, data.shape[1], data.shape[2])
+            planes = [(0, rm), (1, gm), (2, bm)]
+            for c, mask in planes:
+                acc, wht = fn(jnp.asarray(data[0], jnp.float32),
+                              jnp.asarray(mask.astype(np.float32) * weight),
+                              jnp.asarray(Hinv, jnp.float32),
+                              np.float32(a.pixfrac), np.float32(inv_scale))
+                self.acc[c] += np.asarray(acc)
+                self.wht[c] += np.asarray(wht)
+        else:
+            for c in range(min(self.C, data.shape[0])):
+                wplane = np.full(data.shape[1:], weight, np.float32)
+                acc, wht = fn(jnp.asarray(data[c], jnp.float32),
+                              jnp.asarray(wplane),
+                              jnp.asarray(Hinv, jnp.float32),
+                              np.float32(a.pixfrac), np.float32(inv_scale))
+                self.acc[c] += np.asarray(acc)
+                self.wht[c] += np.asarray(wht)
+        self.nframes += 1
+
+    def finalize(self) -> Tuple[SirilImage, SirilImage]:
+        out = np.where(self.wht > 1e-9,
+                       self.acc / np.maximum(self.wht, 1e-9), 0.0)
+        img = SirilImage(data=np.clip(out, 0.0, 1.0).astype(np.float32))
+        img.log_history(
+            f"Drizzle stack x{self.args.scale} (pixfrac "
+            f"{self.args.pixfrac}, {self.nframes} frames)")
+        wmap = SirilImage(data=(self.wht / max(self.nframes, 1)
+                                ).astype(np.float32))
+        return img, wmap
+
+
+def drizzle_sequence(seq, args: Optional[DrizzleArgs] = None,
+                     reglayer: int = 0):
+    """Drizzle-stack a registered sequence (the applyreg drizzle path,
+    applyreg.c:1111 initialize_drizzle_params)."""
+    args = args or DrizzleArgs()
+    reg = seq.reg(reglayer)
+    if not reg.valid.any():
+        raise ValueError("sequence has no registration data to drizzle")
+    first = seq.read_frame(int(seq.selected_indices()[0]))
+    C = 3 if (args.use_bayer and first.is_cfa()) else first.nchans
+    out_shape = (C, int(seq.ry * args.scale), int(seq.rx * args.scale))
+    acc = DrizzleAccumulator(out_shape, args)
+    for i in seq.selected_indices():
+        if not reg.valid[i]:
+            continue
+        img = seq.read_frame(int(i))
+        acc.add_frame(img, reg.H[int(i)])
+    out, wmap = acc.finalize()
+    log_message(f"Drizzle: {acc.nframes} frames → "
+                f"{out.width}x{out.height}")
+    return out, wmap
