@@ -2155,3 +2155,349 @@ def cmd_seqquality(ctx, args):
     order = np.argsort(-reg.quality)[:5]
     log_message("Best frames: " +
                 ", ".join(f"{i + 1} ({reg.quality[i]:.3f})" for i in order))
+
+
+# ===========================================================================
+# sequence variants of image commands (seqmtf, seqsubsky, …)
+# ===========================================================================
+
+
+def _seq_apply(ctx, seqname, prefix, desc, fn, output_bitdepth=None):
+    """Generic per-frame application of a single-image op over a sequence
+    (the reference's generic_seq_args pattern for filter seq-variants)."""
+    from siril_tpu.core.engine import SeqArgs, run_sequence
+
+    seq = ctx.load_sequence(seqname)
+
+    def image(c, idx, img):
+        return fn(img)
+
+    res = run_sequence(SeqArgs(seq=seq, description=desc, prefix=prefix,
+                               image=image,
+                               output_bitdepth=output_bitdepth))
+    ctx.seq = res.new_seq or seq
+    log_message(f"{desc}: {res.processed} images processed")
+    return res
+
+
+@command("seqmtf", "seqmtf sequencename low mid high [-prefix=]", min_args=4)
+def cmd_seqmtf(ctx, args):
+    from siril_tpu.ops.stretch import MTFParams, apply_mtf
+
+    pos, flags = parse_flags(args)
+    p = MTFParams(shadows=float(pos[1]), midtones=float(pos[2]),
+                  highlights=float(pos[3]))
+    prefix = flags.get("prefix") if isinstance(flags.get("prefix"), str) else "mtf_"
+    _seq_apply(ctx, pos[0], prefix, "seqmtf", lambda im: apply_mtf(im, p))
+
+
+@command("seqsubsky", "seqsubsky sequencename {-rbf|degree} [-prefix=]",
+         min_args=2)
+def cmd_seqsubsky(ctx, args):
+    from siril_tpu.ops.background import BKG_POLY, BKG_RBF, extract_background
+
+    pos, flags = parse_flags(args)
+    if "rbf" in flags:
+        method, degree = BKG_RBF, 0
+    else:
+        method, degree = BKG_POLY, int(float(pos[1]))
+    prefix = flags.get("prefix") if isinstance(flags.get("prefix"), str) else "bkg_"
+    _seq_apply(ctx, pos[0], prefix, "seqsubsky",
+               lambda im: extract_background(
+                   im, method, degree,
+                   smoothing=_f(flags.get("smooth"), 0.5) or 0.5,
+                   nb_samples=int(_f(flags.get("samples"), 20) or 20),
+                   tolerance=_f(flags.get("tolerance"), 1.0) or 1.0))
+
+
+@command("seqcrop", "seqcrop sequencename x y width height [-prefix=]",
+         min_args=5)
+def cmd_seqcrop(ctx, args):
+    from siril_tpu.ops.geometry import crop
+
+    pos, flags = parse_flags(args)
+    x, y, w, h = (int(float(a)) for a in pos[1:5])
+    prefix = flags.get("prefix") if isinstance(flags.get("prefix"), str) else "cropped_"
+    _seq_apply(ctx, pos[0], prefix, "seqcrop",
+               lambda im: crop(im, x, y, w, h))
+
+
+@command("seqresample", "seqresample sequencename factor [-prefix=]", min_args=2)
+def cmd_seqresample(ctx, args):
+    from siril_tpu.ops.geometry import resample
+
+    pos, flags = parse_flags(args)
+    f = float(pos[1])
+    prefix = flags.get("prefix") if isinstance(flags.get("prefix"), str) else "scaled_"
+
+    def fn(im):
+        return resample(im, int(im.width * f), int(im.height * f))
+
+    _seq_apply(ctx, pos[0], prefix, "seqresample", fn)
+
+
+@command("seqfixbanding", "seqfixbanding sequencename amount sigma [-prefix=] [-vertical]",
+         min_args=3)
+def cmd_seqfixbanding(ctx, args):
+    from siril_tpu.ops.filters import fix_banding
+
+    pos, flags = parse_flags(args)
+    prefix = flags.get("prefix") if isinstance(flags.get("prefix"), str) else "unband_"
+    _seq_apply(ctx, pos[0], prefix, "seqfixbanding",
+               lambda im: fix_banding(im, sigma=float(pos[2]),
+                                      amount=float(pos[1]),
+                                      vertical="vertical" in flags))
+
+
+@command("seqfind_cosme", "seqfind_cosme sequencename cold hot [-prefix=]",
+         min_args=3, aliases=("seqfind_cosme_cfa", "seqcosme", "seqcosme_cfa"))
+def cmd_seqfind_cosme(ctx, args):
+    from siril_tpu.ops.cosmetic import auto_detect_and_correct
+
+    pos, flags = parse_flags(args)
+    cold_sig, hot_sig = float(pos[1]), float(pos[2])
+    prefix = flags.get("prefix") if isinstance(flags.get("prefix"), str) else "cc_"
+
+    def fn(im):
+        out = im.host().copy()
+        for c in range(im.nchans):
+            res, _, _ = auto_detect_and_correct(out[c], sig_hot=hot_sig,
+                                                sig_cold=cold_sig,
+                                                is_cfa=im.is_cfa())
+            out[c] = np.asarray(res)
+        return im.copy(data=out)
+
+    _seq_apply(ctx, pos[0], prefix, "seqfind_cosme", fn)
+
+
+@command("seqsplit_cfa", "seqsplit_cfa sequencename [-prefix=]", min_args=1)
+def cmd_seqsplit_cfa(ctx, args):
+    from siril_tpu.core.engine import SeqArgs, run_sequence
+    from siril_tpu.io.fits_io import write_fits
+    from siril_tpu.ops.extraction import split_cfa
+
+    pos, flags = parse_flags(args)
+    seq = ctx.load_sequence(pos[0])
+    prefix = flags.get("prefix") if isinstance(flags.get("prefix"), str) else "CFA_"
+    count = [0]
+
+    def image(c, idx, img):
+        subs = split_cfa(img)
+        num = int(seq.filenum[idx])
+        for i, s in enumerate(subs):
+            write_fits(s, os.path.join(
+                seq.directory,
+                f"{prefix}{i}_{seq.name}{num:0{seq.fixed_len}d}.fit"))
+        count[0] += 1
+        return None
+
+    run_sequence(SeqArgs(seq=seq, description="seqsplit_cfa", image=image,
+                         output=False))
+    log_message(f"split_cfa: {count[0]} frames split")
+
+
+@command("seqextract_ha", "seqextract_Ha sequencename [-prefix=]", min_args=1)
+def cmd_seqextract_ha(ctx, args):
+    from siril_tpu.ops.extraction import extract_ha
+
+    pos, flags = parse_flags(args)
+    prefix = flags.get("prefix") if isinstance(flags.get("prefix"), str) else "Ha_"
+    _seq_apply(ctx, pos[0], prefix, "seqextract_Ha", extract_ha)
+
+
+@command("seqextract_green", "seqextract_Green sequencename [-prefix=]",
+         min_args=1)
+def cmd_seqextract_green(ctx, args):
+    from siril_tpu.ops.extraction import extract_green
+
+    pos, flags = parse_flags(args)
+    prefix = flags.get("prefix") if isinstance(flags.get("prefix"), str) else "Green_"
+    _seq_apply(ctx, pos[0], prefix, "seqextract_Green", extract_green)
+
+
+@command("seqextract_haoiii", "seqextract_HaOIII sequencename", min_args=1)
+def cmd_seqextract_haoiii(ctx, args):
+    from siril_tpu.core.engine import SeqArgs, run_sequence
+    from siril_tpu.io.fits_io import write_fits
+    from siril_tpu.ops.extraction import extract_ha_oiii
+
+    pos, flags = parse_flags(args)
+    seq = ctx.load_sequence(pos[0])
+
+    def image(c, idx, img):
+        ha, oiii = extract_ha_oiii(img)
+        num = int(seq.filenum[idx])
+        write_fits(ha, os.path.join(
+            seq.directory, f"Ha_{seq.name}{num:0{seq.fixed_len}d}.fit"))
+        write_fits(oiii, os.path.join(
+            seq.directory, f"OIII_{seq.name}{num:0{seq.fixed_len}d}.fit"))
+        return None
+
+    run_sequence(SeqArgs(seq=seq, description="seqextract_HaOIII",
+                         image=image, output=False))
+
+
+@command("seqrl", "seqrl sequencename [-iters=] [psf flags]", min_args=1)
+def cmd_seqrl(ctx, args):
+    from siril_tpu.ops.deconvolution import richardson_lucy
+
+    pos, flags = parse_flags(args)
+    psf = _psf_for_deconv(ctx, flags)
+    iters = int(_f(flags.get("iters"), 20) or 20)
+    prefix = flags.get("prefix") if isinstance(flags.get("prefix"), str) else "rl_"
+    _seq_apply(ctx, pos[0], prefix, "seqrl",
+               lambda im: richardson_lucy(im, psf, iterations=iters))
+
+
+@command("seqwiener", "seqwiener sequencename [-alpha=] [psf flags]", min_args=1)
+def cmd_seqwiener(ctx, args):
+    from siril_tpu.ops.deconvolution import wiener
+
+    pos, flags = parse_flags(args)
+    psf = _psf_for_deconv(ctx, flags)
+    alpha = 1.0 / (_f(flags.get("alpha"), 500.0) or 500.0)
+    prefix = flags.get("prefix") if isinstance(flags.get("prefix"), str) else "wiener_"
+    _seq_apply(ctx, pos[0], prefix, "seqwiener",
+               lambda im: wiener(im, psf, alpha=alpha))
+
+
+@command("seqsb", "seqsb sequencename [-iters=] [psf flags]", min_args=1)
+def cmd_seqsb(ctx, args):
+    from siril_tpu.ops.deconvolution import split_bregman_tv
+
+    pos, flags = parse_flags(args)
+    psf = _psf_for_deconv(ctx, flags)
+    iters = int(_f(flags.get("iters"), 10) or 10)
+    prefix = flags.get("prefix") if isinstance(flags.get("prefix"), str) else "sb_"
+    _seq_apply(ctx, pos[0], prefix, "seqsb",
+               lambda im: split_bregman_tv(im, psf, iterations=iters))
+
+
+@command("seqdenoise", "seqdenoise sequencename [-vst]", min_args=1,
+         aliases=("seqatrous",))
+def cmd_seqdenoise(ctx, args):
+    from siril_tpu.ops.wavelets import wavelet_denoise
+
+    pos, flags = parse_flags(args)
+    prefix = flags.get("prefix") if isinstance(flags.get("prefix"), str) else "dn_"
+    _seq_apply(ctx, pos[0], prefix, "seqdenoise",
+               lambda im: wavelet_denoise(im, use_vst="vst" in flags))
+
+
+@command("seqghs", "seqghs sequencename -D= [...]", min_args=2,
+         aliases=("seqght",))
+def cmd_seqghs(ctx, args):
+    from siril_tpu.ops.stretch import GHTParams, STRETCH_PAYNE_NORMAL, apply_ght
+
+    pos, flags = parse_flags(args)
+    p = GHTParams(stretchtype=STRETCH_PAYNE_NORMAL,
+                  D=_f(flags.get("d"), 1.0) or 1.0,
+                  B=_f(flags.get("b"), 0.0) or 0.0,
+                  LP=_f(flags.get("lp"), 0.0) or 0.0,
+                  SP=_f(flags.get("sp"), 0.0) or 0.0,
+                  HP=_f(flags.get("hp"), 1.0) or 1.0)
+    prefix = flags.get("prefix") if isinstance(flags.get("prefix"), str) else "ghs_"
+    _seq_apply(ctx, pos[0], prefix, "seqghs", lambda im: apply_ght(im, p))
+
+
+@command("seqstarnet", "seqstarnet sequencename", min_args=1)
+def cmd_seqstarnet(ctx, args):
+    raise CommandError("starnet integration requires the external StarNet "
+                       "binary (not available in this environment)")
+
+
+@command("merge", "merge seq1 seq2 ... newseq", min_args=3)
+def cmd_merge(ctx, args):
+    from siril_tpu.io.conversion import convert_to_sequence
+
+    *seq_names, dest = args
+    files = []
+    for sn in seq_names:
+        seq = ctx.load_sequence(sn)
+        files.extend(f for f in seq._file_list if f)
+    if not files:
+        raise CommandError("no frames found in input sequences")
+    ctx.seq = convert_to_sequence(files, dest, ctx.cwd, symlink=False)
+    log_message(f"Merged {len(files)} frames into {dest}")
+
+
+# ===========================================================================
+# live stacking + undo + path-parse commands
+# ===========================================================================
+
+
+@command("start_ls", "start_ls [-dark=] [-flat=] [-debayer] [-shift]")
+def cmd_start_ls(ctx, args):
+    from siril_tpu.livestacking.livestack import LiveStackConfig, LiveStacker
+
+    pos, flags = parse_flags(args)
+    cfg = LiveStackConfig()
+    if isinstance(flags.get("dark"), str):
+        cfg.dark = _load_master(ctx, flags["dark"])
+        cfg.calibrate = True
+    if isinstance(flags.get("flat"), str):
+        cfg.flat = _load_master(ctx, flags["flat"])
+        cfg.calibrate = True
+    cfg.debayer = "debayer" in flags
+    cfg.shift_only = "shift" in flags or True
+    ctx.livestacker = LiveStacker(ctx.cwd, cfg)
+    ctx.livestacker.start()
+
+
+@command("livestack", "livestack filename", min_args=0)
+def cmd_livestack(ctx, args):
+    ls = getattr(ctx, "livestacker", None)
+    if ls is None:
+        raise CommandError("live stacking not started (start_ls)")
+    if args:
+        ls.process_file(ctx.path(args[0]))
+    log_message(f"live stack: {ls.count} frames accumulated")
+
+
+@command("stop_ls", "stop_ls")
+def cmd_stop_ls(ctx, args):
+    ls = getattr(ctx, "livestacker", None)
+    if ls is None:
+        raise CommandError("live stacking not started")
+    ls.stop()
+    ls.save_result()
+    ctx.livestacker = None
+
+
+@command("undo", "undo", req=REQ_SINGLE_IMAGE)
+def cmd_undo(ctx, args):
+    us = getattr(ctx, "undo_stack", None)
+    if us is None or not us.can_undo:
+        raise CommandError("nothing to undo")
+    img = us.undo(ctx.image)
+    if img is not None:
+        ctx.image = img
+
+
+@command("redo", "redo", req=REQ_SINGLE_IMAGE)
+def cmd_redo(ctx, args):
+    us = getattr(ctx, "undo_stack", None)
+    if us is None or not us.can_redo:
+        raise CommandError("nothing to redo")
+    img = us.redo(ctx.image)
+    if img is not None:
+        ctx.image = img
+
+
+@command("parse", "parse path_template", req=REQ_SINGLE_IMAGE, min_args=1)
+def cmd_parse(ctx, args):
+    from siril_tpu.utils.pathparse import parse_path
+
+    out = parse_path(args[0], ctx.require_image())
+    log_message(out)
+
+
+@command("online", "online")
+def cmd_online(ctx, args):
+    log_message("Warning: this build runs offline; remote catalogues are "
+                "unavailable (use local catalogue files)")
+
+
+@command("offline", "offline")
+def cmd_offline(ctx, args):
+    log_message("offline mode (default in this build)")

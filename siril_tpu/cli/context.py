@@ -29,6 +29,9 @@ class Session:
     magnitude_offset: float = 0.0              # setmag
     script_version_ok: bool = True
     stop_requested: bool = False
+    undo_stack: Optional[object] = None
+    undo_enabled: bool = True
+    stars: list = field(default_factory=list)
 
     def require_image(self) -> SirilImage:
         if self.image is None:
@@ -46,6 +49,15 @@ class Session:
         return os.path.join(self.cwd, name)
 
     def set_image(self, img: SirilImage, name: str = "") -> None:
+        # swap-file undo (undo.c model): the replaced image becomes the
+        # undo point, except when simply loading a new file (name set)
+        if self.image is not None and img is not self.image and not name \
+                and self.undo_enabled:
+            if self.undo_stack is None:
+                from siril_tpu.core.undo import UndoStack
+
+                self.undo_stack = UndoStack()
+            self.undo_stack.save_state(self.image, "image operation")
         self.image = img
         if name:
             self.image_name = name
