@@ -2501,3 +2501,124 @@ def cmd_online(ctx, args):
 @command("offline", "offline")
 def cmd_offline(ctx, args):
     log_message("offline mode (default in this build)")
+
+
+@command("pyscript", "pyscript script.py [args…]", min_args=1)
+def cmd_pyscript(ctx, args):
+    """Run a Python script with a connected SirilInterface bound as
+    `siril` (the reference spawns a venv + socket; here in-process)."""
+    import runpy
+    import sys
+
+    from siril_tpu.pythonmodule import SirilInterface
+
+    path = ctx.path(args[0])
+    if not os.path.exists(path):
+        raise CommandError(f"script not found: {args[0]}")
+    iface = SirilInterface(session=ctx)
+    iface.connect()
+    old_argv = sys.argv
+    sys.argv = [path] + list(args[1:])
+    try:
+        runpy.run_path(path, init_globals={"siril": iface})
+    except SystemExit:
+        pass
+    except Exception as e:
+        raise CommandError(f"python script failed: {type(e).__name__}: {e}")
+    finally:
+        sys.argv = old_argv
+
+
+@command("spcc", "spcc [-limitmag=] [-catalog=] [-sensor=] [-rfilter=] [-gfilter=] [-bfilter=]",
+         req=REQ_SINGLE_IMAGE | REQ_FOR_RGB)
+def cmd_spcc(ctx, args):
+    from siril_tpu.astrometry.spcc import ResponseLibrary, spcc
+
+    pos, flags = parse_flags(args)
+    cat = _get_catalog(ctx, flags)
+    lib = ResponseLibrary()
+    out = spcc(ctx.require_image(), cat,
+               sensor=str(flags.get("sensor", "generic_qe")),
+               filters=(str(flags.get("rfilter", "R")),
+                        str(flags.get("gfilter", "G")),
+                        str(flags.get("bfilter", "B"))),
+               library=lib,
+               mag_limit=_f(flags.get("limitmag"), 13.0) or 13.0)
+    if out is None:
+        raise CommandError("SPCC failed")
+    ctx.set_image(out)
+
+
+@command("spcc_list", "spcc_list {sensors|filters}")
+def cmd_spcc_list(ctx, args):
+    from siril_tpu.astrometry.spcc import ResponseLibrary
+
+    lib = ResponseLibrary()
+    for name in lib.names():
+        log_message(name)
+
+
+@command("findcompstars", "findcompstars x y [-dvmag=] [-dbv=] [-out=] [-catalog=]",
+         req=REQ_SINGLE_IMAGE, min_args=2)
+def cmd_findcompstars(ctx, args):
+    from siril_tpu.astrometry.compstars import (
+        CompStarArgs,
+        export_compstars_list,
+        export_nina_csv,
+        find_comp_stars,
+    )
+
+    pos, flags = parse_flags(args)
+    cat = _get_catalog(ctx, flags)
+    ca = CompStarArgs()
+    if "dvmag" in flags:
+        ca.delta_vmag = float(flags["dvmag"])
+    if "dbv" in flags:
+        ca.delta_bv = float(flags["dbv"])
+    try:
+        target, comps = find_comp_stars(
+            ctx.require_image(), cat, (float(pos[0]), float(pos[1])), ca)
+    except ValueError as e:
+        raise CommandError(str(e))
+    out = flags.get("out") if isinstance(flags.get("out"), str) else "compstars"
+    export_compstars_list(target, comps, ctx.path(out + ".lst"))
+    export_nina_csv(target, comps, ctx.path(out + ".csv"))
+    log_message(f"wrote {out}.lst and {out}.csv")
+
+
+@command("show", "show [name | ra dec]", req=REQ_SINGLE_IMAGE)
+def cmd_show(ctx, args):
+    from siril_tpu.astrometry.annotations import annotate_image, find_object
+
+    img = ctx.require_image()
+    if args:
+        a = find_object(args[0])
+        if a is None:
+            raise CommandError(f"object '{args[0]}' not found in local "
+                               "catalogues")
+        if img.wcs is not None:
+            x, y = img.wcs.world2pix(np.array([a.ra]), np.array([a.dec]))
+            log_message(f"{a.name}: RA={a.ra:.4f} Dec={a.dec:.4f} "
+                        f"→ pixel ({float(x[0]):.1f}, {float(y[0]):.1f})")
+        else:
+            log_message(f"{a.name}: RA={a.ra:.4f} Dec={a.dec:.4f}")
+        return
+    try:
+        anns = annotate_image(img)
+    except ValueError as e:
+        raise CommandError(str(e))
+    for a in anns:
+        log_message(f"{a.name} at ({a.x:.1f}, {a.y:.1f})")
+    log_message(f"{len(anns)} annotation(s) in field")
+
+
+@command("catsearch", "catsearch name", min_args=1)
+def cmd_catsearch(ctx, args):
+    from siril_tpu.astrometry.annotations import find_object
+    from siril_tpu.ops.wcs import format_dec, format_ra
+
+    a = find_object(" ".join(args))
+    if a is None:
+        raise CommandError(f"object '{' '.join(args)}' not found "
+                           "(local catalogues only in offline mode)")
+    log_message(f"{a.name}: RA {format_ra(a.ra)}, Dec {format_dec(a.dec)}")

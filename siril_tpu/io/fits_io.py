@@ -520,15 +520,34 @@ class FitsReader:
 
     def read_region(self, chan: int, y0: int, y1: int,
                     x0: int = 0, x1: Optional[int] = None) -> np.ndarray:
-        """Read rows [y0, y1) of a channel, in internal top-down convention."""
+        """Read rows [y0, y1) of a channel, in internal top-down convention.
+
+        Hot path of the streaming stacker — uses the native C++ decoder
+        (siril_tpu.native) for i16/f32 full-width reads when available.
+        """
         if x1 is None:
             x1 = self.width
         if self.bottom_up:
             fy0 = self.height - y1
             fy1 = self.height - y0
-            raw = self._mm[chan, fy0:fy1, x0:x1][::-1]
         else:
-            raw = self._mm[chan, y0:y1, x0:x1]
+            fy0, fy1 = y0, y1
+        if x0 == 0 and x1 == self.width and self.hdu.bitpix in (16, -32):
+            from siril_tpu import native
+
+            if native.available():
+                raw = np.ascontiguousarray(self._mm[chan, fy0:fy1]).view(np.uint8)
+                h = y1 - y0
+                if self.hdu.bitpix == 16:
+                    return native.decode_i16_be(raw, self.width, h,
+                                                self.hdu.bzero,
+                                                self.hdu.bscale,
+                                                flip=self.bottom_up)
+                return native.decode_f32_be(raw, self.width, h,
+                                            flip=self.bottom_up)
+        raw = self._mm[chan, fy0:fy1, x0:x1]
+        if self.bottom_up:
+            raw = raw[::-1]
         return _raw_to_float01(np.ascontiguousarray(raw), self.hdu.bitpix,
                                self.hdu.bzero, self.hdu.bscale)
 

@@ -1,0 +1,129 @@
+"""Native (C++) I/O kernels, compiled on demand and loaded via ctypes.
+
+The reference keeps its hot loops in C/C++ (cfitsio conversions, OpenMP
+block assembly); this package is the equivalent: ``native/sirilio.cpp``
+is built once with g++ -O3 -fopenmp into a cached .so.  Everything has a
+numpy fallback, so the framework works without a compiler.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native", "sirilio.cpp")
+
+
+def _build_and_load() -> Optional[ctypes.CDLL]:
+    if not os.path.exists(_SRC):
+        return None
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache = os.path.join(os.path.expanduser("~/.cache/siril_tpu_native"))
+    os.makedirs(cache, exist_ok=True)
+    so = os.path.join(cache, f"sirilio_{digest}.so")
+    if not os.path.exists(so):
+        cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared",
+               "-fPIC", _SRC, "-o", so]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        except (subprocess.CalledProcessError, OSError,
+                subprocess.TimeoutExpired):
+            return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return None
+    # signatures
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.decode_i16_be.argtypes = [u8p, f32p, ctypes.c_int64, ctypes.c_int64,
+                                  ctypes.c_double, ctypes.c_double,
+                                  ctypes.c_int]
+    lib.decode_f32_be.argtypes = [u8p, f32p, ctypes.c_int64, ctypes.c_int64,
+                                  ctypes.c_int]
+    lib.decode_u16_le.argtypes = [u8p, f32p, ctypes.c_int64, ctypes.c_double]
+    lib.assemble_block_i16.argtypes = [
+        ctypes.POINTER(u8p), f32p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i32p, i32p,
+        ctypes.c_double, ctypes.c_double]
+    lib.sirilio_version.restype = ctypes.c_int
+    lib.sirilio_threads.restype = ctypes.c_int
+    return lib
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if not _TRIED:
+        _TRIED = True
+        if os.environ.get("SIRIL_TPU_NO_NATIVE"):
+            _LIB = None
+        else:
+            _LIB = _build_and_load()
+    return _LIB
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _u8ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _f32ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def decode_i16_be(raw: np.ndarray, w: int, h: int, bzero: float,
+                  bscale: float, flip: bool) -> np.ndarray:
+    """raw: contiguous uint8 view of big-endian i16 (h*w values)."""
+    lib = get_lib()
+    out = np.empty(h * w, np.float32)
+    if lib is None:
+        v = raw.view(">i2").astype(np.float32) * np.float32(bscale) + \
+            np.float32(bzero)
+        out = (v * np.float32(1 / 65535.0)).reshape(h, w)
+        return out[::-1].copy() if flip else out
+    lib.decode_i16_be(_u8ptr(raw), _f32ptr(out), w, h, bzero, bscale,
+                      1 if flip else 0)
+    return out.reshape(h, w)
+
+
+def decode_f32_be(raw: np.ndarray, w: int, h: int, flip: bool) -> np.ndarray:
+    lib = get_lib()
+    out = np.empty(h * w, np.float32)
+    if lib is None:
+        v = raw.view(">f4").astype(np.float32).reshape(h, w)
+        return v[::-1].copy() if flip else v
+    lib.decode_f32_be(_u8ptr(raw), _f32ptr(out), w, h, 1 if flip else 0)
+    return out.reshape(h, w)
+
+
+def assemble_block_i16(raw_planes, dst: np.ndarray, w: int, h: int,
+                       y0: int, y1: int, dx: np.ndarray, dy: np.ndarray,
+                       bzero: float, bscale: float) -> bool:
+    """Fill dst (N, (y1-y0)*w) from N raw big-endian-i16 planes with
+    per-frame shifts.  Returns False if the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    n = len(raw_planes)
+    arr = (ctypes.POINTER(ctypes.c_uint8) * n)(
+        *[_u8ptr(p) for p in raw_planes])
+    lib.assemble_block_i16(
+        arr, _f32ptr(dst), n, w, h, y0, y1,
+        dx.astype(np.int32).ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        dy.astype(np.int32).ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        bzero, bscale)
+    return True

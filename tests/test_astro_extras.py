@@ -1,0 +1,116 @@
+"""SPCC machinery, comparison stars, annotations tests."""
+
+import numpy as np
+import pytest
+
+from siril_tpu.astrometry.annotations import annotate_image, find_object
+from siril_tpu.astrometry.catalog import Catalog
+from siril_tpu.astrometry.compstars import CompStarArgs, find_comp_stars
+from siril_tpu.astrometry.spcc import (
+    ResponseLibrary,
+    blackbody_sed,
+    expected_fluxes,
+    spcc,
+)
+from siril_tpu.core.image import SirilImage
+from siril_tpu.ops.wcs import WCS
+
+
+def make_wcs(ra=120.0, dec=35.0, scale=2.0, h=256, w=256):
+    cd = np.array([[-scale / 3600.0, 0], [0, scale / 3600.0]])
+    return WCS(crpix=(w / 2 + .5, h / 2 + .5), crval=(ra, dec), cd=cd,
+               height=h)
+
+
+class TestSPCC:
+    def test_response_library(self):
+        lib = ResponseLibrary()
+        assert "R" in lib.names() and "generic_qe" in lib.names()
+        r = lib.get("R").resampled()
+        assert r.max() > 0
+
+    def test_blackbody_color_ordering(self):
+        lib = ResponseLibrary()
+        qe = lib.get("generic_qe").resampled()
+        resp = [lib.get(f).resampled() * qe for f in ("R", "G", "B")]
+        cool = expected_fluxes(blackbody_sed(3500.0), resp)
+        hot = expected_fluxes(blackbody_sed(15000.0), resp)
+        assert cool[0] / cool[2] > hot[0] / hot[2]   # cool star redder
+
+    def test_spcc_end_to_end(self, rng):
+        w = make_wcs()
+        n = 250
+        ra = 120.0 + rng.uniform(-0.1, 0.1, n)
+        dec = 35.0 + rng.uniform(-0.1, 0.1, n)
+        cat = Catalog(ra=ra, dec=dec, mag=rng.uniform(7, 11, n),
+                      bv=rng.uniform(0.0, 1.2, n))
+        img_data = 0.05 + rng.normal(0, 0.002, (3, 256, 256)).astype(np.float32)
+        x, y = w.world2pix(ra, dec)
+        yy, xx = np.mgrid[0:256, 0:256]
+        from siril_tpu.astrometry.pcc import bv_to_rgb
+
+        for xi, yi, bvi, mi in zip(x, y, cat.bv, cat.mag):
+            if 16 < xi < 240 and 16 < yi < 240:
+                A = min(10 ** (-0.4 * (mi - 11.0)) * 0.1, 0.6)
+                if A < 0.02:
+                    continue
+                g = np.exp(-(((xx - xi) ** 2 + (yy - yi) ** 2) / 4.0))
+                rgb = bv_to_rgb(bvi) * np.array([1.4, 1.0, 0.6])
+                for c in range(3):
+                    img_data[c] += (A * rgb[c] * g).astype(np.float32)
+        img = SirilImage(data=np.clip(img_data, 0, 1))
+        img.wcs = w
+        out = spcc(img, cat, mag_limit=12.0)
+        assert out is not None
+        # white balance must counteract the injected [1.4, 1, 0.6] cast
+        hist = out.history[-1]
+        assert "SPCC" in hist
+
+
+class TestCompStars:
+    def test_selection(self, rng):
+        w = make_wcs()
+        n = 120
+        ra = 120.0 + rng.uniform(-0.08, 0.08, n)
+        dec = 35.0 + rng.uniform(-0.08, 0.08, n)
+        mag = rng.uniform(8, 14, n)
+        bv = rng.uniform(0.0, 1.5, n)
+        cat = Catalog(ra=ra, dec=dec, mag=mag, bv=bv)
+        img = SirilImage(data=np.zeros((1, 256, 256), np.float32))
+        img.wcs = w
+        x, y = w.world2pix(ra, dec)
+        # pick a target that's inside the frame
+        inside = np.nonzero((x > 30) & (x < 220) & (y > 30) & (y < 220))[0]
+        ti = int(inside[0])
+        target, comps = find_comp_stars(img, cat, (float(x[ti]), float(y[ti])),
+                                        CompStarArgs(delta_vmag=2.0,
+                                                     delta_bv=0.6))
+        assert target["mag"] == pytest.approx(float(mag[ti]))
+        for c in comps:
+            assert abs(c["mag"] - target["mag"]) <= 2.0
+            assert abs(c["bv"] - target["bv"]) <= 0.6
+
+    def test_no_star_near_target(self, rng):
+        cat = Catalog(ra=np.array([120.0]), dec=np.array([35.0]),
+                      mag=np.array([9.0]), bv=np.array([0.6]))
+        img = SirilImage(data=np.zeros((1, 256, 256), np.float32))
+        img.wcs = make_wcs()
+        with pytest.raises(ValueError):
+            find_comp_stars(img, cat, (10.0, 10.0))
+
+
+class TestAnnotations:
+    def test_find_object(self):
+        a = find_object("M42")
+        assert a is not None
+        assert a.ra == pytest.approx(83.82, abs=0.1)
+        assert find_object("m 42") is not None
+        assert find_object("NOT_A_THING") is None
+
+    def test_annotate_solved_image(self):
+        img = SirilImage(data=np.zeros((1, 512, 512), np.float32))
+        # center on M42 with a wide field
+        img.wcs = make_wcs(ra=83.82, dec=-5.39, scale=20.0, h=512, w=512)
+        anns = annotate_image(img)
+        names = [a.name for a in anns]
+        assert "M42" in names
