@@ -2622,3 +2622,78 @@ def cmd_catsearch(ctx, args):
         raise CommandError(f"object '{' '.join(args)}' not found "
                            "(local catalogues only in offline mode)")
     log_message(f"{a.name}: RA {format_ra(a.ra)}, Dec {format_dec(a.dec)}")
+
+
+# ===========================================================================
+# ICC / inspector / profile / xtrans commands
+# ===========================================================================
+
+
+@command("icc_assign", "icc_assign profile", req=REQ_SINGLE_IMAGE, min_args=1)
+def cmd_icc_assign(ctx, args):
+    from siril_tpu.ops.icc import assign_profile
+
+    try:
+        ctx.set_image(assign_profile(ctx.require_image(), args[0]))
+    except ValueError as e:
+        raise CommandError(str(e))
+
+
+@command("icc_convert_to", "icc_convert_to profile", req=REQ_SINGLE_IMAGE,
+         min_args=1)
+def cmd_icc_convert(ctx, args):
+    from siril_tpu.ops.icc import convert_to_profile
+
+    try:
+        ctx.set_image(convert_to_profile(ctx.require_image(), args[0]))
+    except ValueError as e:
+        raise CommandError(str(e))
+
+
+@command("icc_remove", "icc_remove", req=REQ_SINGLE_IMAGE)
+def cmd_icc_remove(ctx, args):
+    from siril_tpu.ops.icc import remove_profile
+
+    ctx.set_image(remove_profile(ctx.require_image()))
+
+
+@command("tilt", "tilt", req=REQ_SINGLE_IMAGE, aliases=("seqtilt",))
+def cmd_tilt(ctx, args):
+    from siril_tpu.ops.inspector import sensor_tilt
+
+    try:
+        sensor_tilt(ctx.require_image())
+    except ValueError as e:
+        raise CommandError(str(e))
+
+
+@command("inspector", "inspector", req=REQ_SINGLE_IMAGE)
+def cmd_inspector(ctx, args):
+    from siril_tpu.ops.inspector import aberration_inspector
+
+    ctx.set_image(aberration_inspector(ctx.require_image()))
+
+
+@command("fix_xtrans", "fix_xtrans", req=REQ_SINGLE_IMAGE)
+def cmd_fix_xtrans(ctx, args):
+    from siril_tpu.ops.inspector import fix_xtrans_af
+
+    ctx.set_image(fix_xtrans_af(ctx.require_image()))
+
+
+@command("profile", "profile -from=x,y -to=x,y [-layer=] [-filename=]",
+         req=REQ_SINGLE_IMAGE, min_args=2)
+def cmd_profile(ctx, args):
+    from siril_tpu.ops.inspector import intensity_profile, save_profile_plot
+
+    pos, flags = parse_flags(args)
+    try:
+        p0 = tuple(float(v) for v in str(flags["from"]).split(","))
+        p1 = tuple(float(v) for v in str(flags["to"]).split(","))
+    except (KeyError, ValueError):
+        raise CommandError("usage: profile -from=x,y -to=x,y")
+    prof = intensity_profile(ctx.require_image(), p0, p1)
+    base = flags.get("filename") if isinstance(flags.get("filename"), str) \
+        else "profile"
+    save_profile_plot(prof, ctx.path(base + ".dat"), ctx.path(base + ".png"))
+    log_message(f"profile saved to {base}.dat / {base}.png")

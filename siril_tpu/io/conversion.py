@@ -90,6 +90,21 @@ def convert_to_sequence(inputs: Seq[str], dest_name: str,
         log_message(f"Converted {len(expanded)} frames to {out_path}")
         return Sequence.from_ser(out_path)
 
+    if output == "fitseq":
+        from siril_tpu.io.fits_io import FitseqWriter
+
+        out_path = os.path.join(directory, dest_name + ".fit")
+        first = _read_item(expanded[0], debayer)
+        from siril_tpu.core.image import FLOAT_IMG, USHORT_IMG
+
+        w = FitseqWriter(out_path, bitdepth=first.orig_bitdepth)
+        for item in expanded:
+            w.append(_read_item(item, debayer))
+        w.close()
+        log_message(f"Converted {len(expanded)} frames to FITS cube "
+                    f"{dest_name}.fit")
+        return Sequence.from_fitseq(out_path)
+
     files = []
     for k, item in enumerate(expanded):
         num = start + k

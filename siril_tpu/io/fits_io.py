@@ -490,6 +490,68 @@ def write_fits(
         f.write(b"\x00" * dpad)
 
 
+class FitseqWriter:
+    """Multi-HDU FITS cube sequence writer (io/fits_sequence.c fitseq).
+
+    The first frame is the primary HDU; subsequent frames are IMAGE
+    extensions.  All frames must share shape and bitdepth.
+    """
+
+    def __init__(self, path: Union[str, os.PathLike],
+                 bitdepth: int = USHORT_IMG):
+        self.path = os.fspath(path)
+        self.bitdepth = bitdepth
+        self._f = open(self.path, "wb")
+        self.count = 0
+
+    def append(self, img: SirilImage) -> None:
+        data = img.host()
+        c, hgt, wid = data.shape
+        data = data[:, ::-1, :]            # bottom-up
+        first = self.count == 0
+        cards: List[Tuple[str, object, str]] = []
+        if first:
+            cards.append(("SIMPLE", True, "file conforms to FITS standard"))
+        else:
+            cards.append(("XTENSION", "IMAGE", "IMAGE extension"))
+        if self.bitdepth in (USHORT_IMG, SHORT_IMG):
+            u16 = np.rint(np.clip(data, 0.0, 1.0) * 65535.0).astype(np.uint16)
+            raw = (u16.astype(np.int32) - 32768).astype(">i2")
+            cards.append(("BITPIX", 16, ""))
+            bzero = 32768.0
+        else:
+            raw = data.astype(">f4")
+            cards.append(("BITPIX", -32, ""))
+            bzero = 0.0
+        naxis = 2 if c == 1 else 3
+        cards.append(("NAXIS", naxis, ""))
+        cards.append(("NAXIS1", wid, ""))
+        cards.append(("NAXIS2", hgt, ""))
+        if naxis == 3:
+            cards.append(("NAXIS3", c, ""))
+        if not first:
+            cards.append(("PCOUNT", 0, ""))
+            cards.append(("GCOUNT", 1, ""))
+        if first:
+            cards.append(("EXTEND", True, ""))
+        if bzero:
+            cards.append(("BZERO", bzero, ""))
+            cards.append(("BSCALE", 1.0, ""))
+        cards.extend(keywords_to_cards(img.keywords))
+        hdr = b"".join(_format_card(k, v, cm).encode("ascii", "replace")
+                       for k, v, cm in cards)
+        hdr += _format_card("END", None).encode("ascii")
+        hdr += b" " * ((-len(hdr)) % BLOCK)
+        self._f.write(hdr)
+        db = raw.tobytes()
+        self._f.write(db)
+        self._f.write(b"\x00" * ((-len(db)) % BLOCK))
+        self.count += 1
+
+    def close(self) -> None:
+        self._f.close()
+
+
 # ---------------------------------------------------------------------------
 # Partial reads (streaming stacking path)
 # ---------------------------------------------------------------------------

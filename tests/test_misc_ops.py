@@ -1,0 +1,97 @@
+"""ICC, inspector, fitseq, profile tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from siril_tpu.core.image import FLOAT_IMG, SirilImage
+from siril_tpu.core.sequence import Sequence
+from siril_tpu.io.fits_io import FitseqWriter, read_fits, write_fits
+from siril_tpu.ops.icc import assign_profile, convert_to_profile
+from siril_tpu.ops.inspector import (
+    aberration_inspector,
+    fix_xtrans_af,
+    intensity_profile,
+    sensor_tilt,
+)
+
+
+class TestICC:
+    def test_assign_and_convert_roundtrip(self, rng):
+        img = SirilImage(data=rng.random((3, 16, 16)).astype(np.float32))
+        a = assign_profile(img, "srgb")
+        lin = convert_to_profile(a, "srgblinear")
+        back = convert_to_profile(lin, "srgb")
+        np.testing.assert_allclose(back.host(), a.host(), atol=2e-4)
+
+    def test_linear_darker(self, rng):
+        img = SirilImage(data=np.full((3, 8, 8), 0.5, np.float32))
+        a = assign_profile(img, "srgb")
+        lin = convert_to_profile(a, "srgblinear")
+        assert lin.host().mean() < 0.3     # sRGB 0.5 → linear ~0.214
+
+    def test_unknown_profile(self):
+        img = SirilImage(data=np.zeros((3, 4, 4), np.float32))
+        with pytest.raises(ValueError):
+            assign_profile(img, "adobergb1998")
+
+
+class TestInspector:
+    def test_tilt_uniform_field(self, rng):
+        img = np.full((256, 256), 0.05, np.float32)
+        yy, xx = np.mgrid[0:256, 0:256]
+        for _ in range(40):
+            x, y = rng.uniform(20, 236, 2)
+            img += 0.4 * np.exp(-(((xx - x) ** 2 + (yy - y) ** 2) / 6.0)
+                                ).astype(np.float32)
+        res = sensor_tilt(SirilImage(data=np.clip(img, 0, 1)[None]))
+        assert res.nb_stars >= 20
+        assert res.tilt_pct < 30.0
+
+    def test_inspector_mosaic(self, rng):
+        img = SirilImage(data=rng.random((1, 300, 300)).astype(np.float32))
+        out = aberration_inspector(img, panel=64)
+        assert out.shape == (1, 192, 192)
+
+    def test_fix_xtrans_runs(self, rng):
+        img = SirilImage(data=(0.3 + 0.01 * rng.random((1, 48, 48))
+                               ).astype(np.float32))
+        out = fix_xtrans_af(img)
+        assert np.isfinite(out.host()).all()
+
+    def test_profile_line(self):
+        data = np.tile(np.linspace(0, 1, 32, dtype=np.float32), (32, 1))
+        img = SirilImage(data=data[None])
+        prof = intensity_profile(img, (0, 16), (31, 16))
+        assert prof.shape[1] == 2
+        assert prof[0, 1] == pytest.approx(0.0, abs=0.05)
+        assert prof[-1, 1] == pytest.approx(1.0, abs=0.05)
+
+
+class TestFitseq:
+    def test_write_read_roundtrip(self, tmp_path, rng):
+        frames = [rng.random((1, 16, 20)).astype(np.float32)
+                  for _ in range(4)]
+        p = str(tmp_path / "cube.fit")
+        w = FitseqWriter(p, bitdepth=FLOAT_IMG)
+        for f in frames:
+            w.append(SirilImage(data=f))
+        w.close()
+        seq = Sequence.from_fitseq(p)
+        assert seq.number == 4
+        for i, f in enumerate(frames):
+            np.testing.assert_allclose(seq.read_frame(i).host(), f,
+                                       atol=1e-6)
+
+    def test_region_read(self, tmp_path, rng):
+        frames = [rng.random((1, 24, 16)).astype(np.float32)
+                  for _ in range(3)]
+        p = str(tmp_path / "cube.fit")
+        w = FitseqWriter(p, bitdepth=FLOAT_IMG)
+        for f in frames:
+            w.append(SirilImage(data=f))
+        w.close()
+        seq = Sequence.from_fitseq(p)
+        reg = seq.read_region(0, 1, 5, 15)
+        np.testing.assert_allclose(reg, frames[1][0, 5:15], atol=1e-6)
