@@ -2697,3 +2697,7 @@ def cmd_profile(ctx, args):
         else "profile"
     save_profile_plot(prof, ctx.path(base + ".dat"), ctx.path(base + ".png"))
     log_message(f"profile saved to {base}.dat / {base}.png")
+
+
+# part 2 of the command table (registers into COMMANDS on import)
+from siril_tpu.cli import commands2  # noqa: E402,F401  isort:skip
