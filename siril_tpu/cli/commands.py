@@ -880,6 +880,15 @@ def cmd_seqapplyreg(ctx, args):
         aa.scale = float(flags["scale"])
     if "noclamp" in flags:
         aa.clamp = False
+    # astrometric path (applyreg.c:1188-1213): if the sequence has no
+    # registration data but frames are plate-solved, derive the
+    # homographies from the per-frame WCS solutions (mosaics)
+    if not seq.has_reg(aa.reglayer) or not seq.reg(aa.reglayer).valid.any():
+        from siril_tpu.registration.astrometric import register_astrometric
+
+        if register_astrometric(seq, aa.reglayer) == 0:
+            raise CommandError("no registration data and no WCS solutions "
+                               "in this sequence")
     res = apply_reg_sequence(seq, aa)
     ctx.seq = res.new_seq or seq
     log_message(f"Applied registration to {res.processed} images")
@@ -926,6 +935,9 @@ def _stack_args_from_flags(pos, flags):
         sa.weighting = NBSTARS_WEIGHT
     elif "weight_from_nbstack" in flags:
         sa.weighting = NBSTACK_WEIGHT
+    sa.overlap_norm = "overlap_norm" in flags
+    if "feather" in flags and flags["feather"] is not True:
+        sa.feather_dist = int(float(flags["feather"]))
     sa.create_rejmaps = "rejmap" in flags or "rejmaps" in flags
     sa.merge_rejmaps = flags.get("rejmap") == "merged"
     sa.output_norm = "output_norm" in flags

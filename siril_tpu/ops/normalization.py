@@ -185,3 +185,158 @@ def _cache(seq, layer, idx, med, mad, location, scale, lite):
     st.total = st.total or seq.rx * seq.ry
     st.ngoodpix = st.ngoodpix or st.total
     seq.set_frame_stats(layer, idx, st)
+
+
+# ---------------------------------------------------------------------------
+# overlap normalization (mosaics) — normalization.c:296-925
+# ---------------------------------------------------------------------------
+
+
+def compute_overlap(seq: Sequence, layer: int, i: int, j: int):
+    """Overlap rectangles of frames i and j from their shift-only H
+    (compute_overlap, normalization.c:420): intersect the two frames'
+    footprints in reference space, then convert back to each frame's
+    pixel coordinates.  Returns ((xi,yi,w,h), (xj,yj,w,h)) or None."""
+    H = seq.reg(layer).H
+    txi, tyi = round(float(H[i][0, 2])), round(float(H[i][1, 2]))
+    txj, tyj = round(float(H[j][0, 2])), round(float(H[j][1, 2]))
+    if seq.is_variable and seq.imgsize is not None:
+        rxi, ryi = int(seq.imgsize[i][0]), int(seq.imgsize[i][1])
+        rxj, ryj = int(seq.imgsize[j][0]), int(seq.imgsize[j][1])
+    else:
+        rxi = rxj = seq.rx
+        ryi = ryj = seq.ry
+    x0 = max(txi, txj)
+    y0 = max(tyi, tyj)
+    x1 = min(txi + rxi, txj + rxj)
+    y1 = min(tyi + ryi, tyj + ryj)
+    if x0 >= x1 or y0 >= y1:
+        return None
+    w, h = x1 - x0, y1 - y0
+    return (x0 - txi, y0 - tyi, w, h), (x0 - txj, y0 - tyj, w, h)
+
+
+def _pair_estimators(di: np.ndarray, dj: np.ndarray, lite: bool):
+    """Location/scale of each frame's pixels over the common overlap,
+    excluding pixels that are zero in either frame
+    (_compute_estimators_for_images, normalization.c:458-600)."""
+    from siril_tpu.ops.statistics import ikss_lite_np
+
+    m = (di != 0) & (dj != 0)
+    n = int(m.sum())
+    if n == 0:
+        return 0, (0.0, 1.0), (0.0, 1.0)
+    vi = di[m].astype(np.float64)
+    vj = dj[m].astype(np.float64)
+    out = []
+    for v in (vi, vj):
+        med = float(np.median(v))
+        mad = float(np.median(np.abs(v - med)))
+        if lite:
+            out.append((med, 1.5 * mad if mad > 0 else 1.0))
+        else:
+            ls = ikss_lite_np(v, med, mad) if mad > 0 else None
+            if ls is None:
+                out.append((med, 1.5 * mad if mad > 0 else 1.0))
+            else:
+                out.append((float(ls[0]),
+                            float(ls[1]) if ls[1] > 0 else 1.0))
+    return n, out[0], out[1]
+
+
+def solve_overlap_coeffs(nb: int, ref: int, Nij: np.ndarray,
+                         Mij: np.ndarray, additive: bool) -> np.ndarray:
+    """Weighted LSQ solve for per-frame offsets (additive) or scale
+    ratios (multiplicative) from pairwise overlap estimators
+    (solve_overlap_coeffs, normalization.c:296-355).  Returns the
+    full-length coefficient vector with the reference entry = identity."""
+    index = [i for i in range(nb) if i != ref]
+    N = nb - 1
+    A = np.zeros((N, N))
+    B = np.zeros(N)
+    for a, ii in enumerate(index):
+        if additive:
+            B[a] = Nij[ii, ref] * (Mij[ref, ii] - Mij[ii, ref])
+        else:
+            B[a] = Nij[ii, ref] * Mij[ref, ii] * Mij[ii, ref]
+        for b, ij in enumerate(index):
+            if ii == ij:
+                for k in range(nb):
+                    if k != ii:
+                        A[a, b] += (Nij[ii, k] if additive
+                                    else Nij[ii, k] * Mij[ii, k] ** 2)
+            else:
+                A[a, b] = (-float(Nij[ii, ij]) if additive
+                           else -Nij[ii, ij] * Mij[ii, ij] * Mij[ij, ii])
+                if additive:
+                    B[a] += Nij[ii, ij] * (Mij[ij, ii] - Mij[ii, ij])
+    x = np.linalg.solve(A, B)
+    full = np.zeros(nb) if additive else np.ones(nb)
+    for a, ii in enumerate(index):
+        full[ii] = x[a]
+    return full
+
+
+def compute_overlap_normalization(seq: Sequence, indices: np.ndarray,
+                                  mode: int, lite: bool = False,
+                                  reglayer: int = 0) -> NormCoeffs:
+    """Overlap-driven normalization for mosaics
+    (compute_normalization_overlaps, normalization.c:680-925): pairwise
+    overlap location/scale estimators + global least-squares solve so
+    every frame agrees with its neighbours, anchored at the reference."""
+    idx = [int(v) for v in indices]
+    nb = len(idx)
+    L = seq.nb_layers
+    offset = np.zeros((L, nb))
+    mul = np.ones((L, nb))
+    scale = np.ones((L, nb))
+    if mode == NO_NORM or nb < 2:
+        return NormCoeffs(offset, mul, scale)
+    ref_abs = seq.get_reference()
+    try:
+        ref = idx.index(ref_abs)
+    except ValueError:
+        ref = 0
+    layer = min(max(reglayer, 0), L - 1)
+
+    # cache frames (mosaics are capped well below deep-sky stack sizes —
+    # the reference warns above 30 frames, stacking.h:9)
+    frames = {k: seq.read_frame(k).host() for k in idx}
+    Nij = np.zeros((L, nb, nb))
+    Mij = np.zeros((L, nb, nb))
+    Sij = np.ones((L, nb, nb))
+    for a in range(nb):
+        for b in range(a + 1, nb):
+            ov = compute_overlap(seq, layer, idx[a], idx[b])
+            if ov is None:
+                continue
+            (xi, yi, w, h), (xj, yj, _, _) = ov
+            for n in range(L):
+                di = frames[idx[a]][n][yi:yi + h, xi:xi + w]
+                dj = frames[idx[b]][n][yj:yj + h, xj:xj + w]
+                cnt, (la, sa), (lb, sb) = _pair_estimators(di, dj, lite)
+                Nij[n, a, b] = Nij[n, b, a] = cnt
+                Mij[n, a, b] = la
+                Mij[n, b, a] = lb
+                Sij[n, a, b] = sa
+                Sij[n, b, a] = sb
+
+    for n in range(L):
+        if mode in (MULTIPLICATIVE_SCALING, ADDITIVE_SCALING):
+            sc = solve_overlap_coeffs(nb, ref, Nij[n], Sij[n],
+                                      additive=False)
+            scale[n] = sc
+            # re-normalize locations by the scales found
+            Mn = Mij[n] * sc[:, None]
+        else:
+            Mn = Mij[n]
+        if mode in (ADDITIVE, ADDITIVE_SCALING):
+            offset[n] = -solve_overlap_coeffs(nb, ref, Nij[n], Mn,
+                                              additive=True)
+        elif mode == MULTIPLICATIVE:
+            mul[n] = solve_overlap_coeffs(nb, ref, Nij[n], Mn,
+                                          additive=False)
+    # stack kernel applies v' = v·scale − offset, and the solved additive
+    # coefficients must be ADDED (reference: poffset = −coeffs,
+    # normalization.c:894) — the sign flip above does exactly that.
+    return NormCoeffs(offset, mul, scale)

@@ -69,6 +69,7 @@ class StackArgs:
     reglayer: int = 0
     block_mb: int = 2048                # device budget per block (MB)
     feather_dist: int = 0
+    overlap_norm: bool = False          # mosaic pairwise-overlap solve
 
 
 @dataclass
@@ -214,8 +215,7 @@ def _frame_shifts(seq: Sequence, indices: np.ndarray, layer: int):
     if layer not in seq.regparam or not seq.regparam[layer].valid.any():
         return None
     H = seq.regparam[layer].H[indices]
-    nontrivial = ~np.allclose(H, np.eye(3)[None], atol=1e-12)
-    if not nontrivial:
+    if np.allclose(H, np.eye(3)[None], atol=1e-12):
         return None
     # only use when all H are pure translations
     A = H[:, :2, :2]
@@ -279,10 +279,17 @@ def stack_sequence(seq: Sequence, args: StackArgs,
 
     # normalization (mean/rej only — main_stack:76 order)
     do_norm = args.method in ("rej", "mean") and args.normalize != NO_NORM
-    coeffs = compute_normalization(
-        seq, indices, args.normalize if do_norm else NO_NORM,
-        lite=args.lite_norm, force=args.force_norm,
-        equalize_rgb=args.equalize_rgb, reglayer=args.reglayer)
+    if do_norm and args.overlap_norm:
+        from siril_tpu.ops.normalization import compute_overlap_normalization
+
+        coeffs = compute_overlap_normalization(
+            seq, indices, args.normalize, lite=args.lite_norm,
+            reglayer=args.reglayer)
+    else:
+        coeffs = compute_normalization(
+            seq, indices, args.normalize if do_norm else NO_NORM,
+            lite=args.lite_norm, force=args.force_norm,
+            equalize_rgb=args.equalize_rgb, reglayer=args.reglayer)
 
     weights = None
     if args.method in ("rej", "mean") and args.weighting != NO_WEIGHT:

@@ -244,3 +244,36 @@ def test_load_seq_and_setcompress(ctx, tmp_path):
     assert ctx.prefs.comp_enabled
     run(ctx, "setcompress", 0)
     assert not ctx.prefs.comp_enabled
+
+
+def test_mosaic_end_to_end(ctx, tmp_path):
+    """seqapplyreg derives H from WCS (astrometric path) and stacking with
+    -overlap_norm equalizes mosaic panel levels."""
+    from siril_tpu.ops.wcs import WCS
+
+    rng = np.random.default_rng(41)
+    scene = (0.2 + 0.3 * rng.random((96, 160))).astype(np.float32)
+    scale = 2.8e-4
+    crops = [(0, 0), (64, 0)]           # two panels, 96x96, 32px overlap
+    offs = [0.0, 0.04]
+    for k, ((sx, sy), o) in enumerate(zip(crops, offs)):
+        d = scene[sy:sy + 96, sx:sx + 96] + o
+        img = SirilImage(data=d[None])
+        img.wcs = WCS(crpix=(48.0 - sx, 48.0 + sy), crval=(180.0, 10.0),
+                      cd=np.array([[-scale, 0.0], [0.0, scale]]),
+                      height=96)
+        write_fits(img, str(tmp_path / f"pan_{k + 1:05d}.fit"),
+                   bitdepth=-32)
+    run(ctx, "seqapplyreg", "pan_", "-framing=max")
+    assert ctx.seq is not None
+    out = ctx.seq
+    assert out.rx >= 150                # union of the two panels
+    run(ctx, "stack", out.name, "rej", "3", "3", "-norm=add",
+        "-overlap_norm", "-out=mosaic")
+    res = ctx.image.host()[0]
+    assert res.shape[1] >= 150
+    # panel-2-only region must match the scene level (offset removed)
+    h, w = res.shape
+    right = res[40:56, w - 30:w - 6]
+    sright = scene[40:56, scene.shape[1] - 30:scene.shape[1] - 6]
+    assert abs(float(right.mean()) - float(sright.mean())) < 0.01

@@ -143,3 +143,44 @@ class TestShiftDFT:
         for i, (dx, dy) in enumerate(shifts):
             assert reg.H[i][0, 2] == pytest.approx(-dx, abs=0.5), f"f{i} dx"
             assert reg.H[i][1, 2] == pytest.approx(-dy, abs=0.5), f"f{i} dy"
+
+
+# ---------------------------------------------------------------------------
+# astrometric registration (astrometric.c compute_Hs_from_astrometry)
+# ---------------------------------------------------------------------------
+
+
+def test_register_astrometric_from_wcs(tmp_path):
+    from siril_tpu.core.image import SirilImage
+    from siril_tpu.core.sequence import Sequence
+    from siril_tpu.io.fits_io import write_fits
+    from siril_tpu.ops.wcs import WCS
+    from siril_tpu.registration.astrometric import register_astrometric
+
+    rng = np.random.default_rng(31)
+    scale = 2.8e-4                      # deg/px
+    files = []
+    # three frames whose WCS differ by pure pixel translations
+    shifts = [(0.0, 0.0), (12.0, 0.0), (0.0, -8.0)]
+    for k, (dx, dy) in enumerate(shifts):
+        d = rng.uniform(0.1, 0.4, (1, 64, 64)).astype(np.float32)
+        img = SirilImage(data=d)
+        img.wcs = WCS(crpix=(32.0 - dx, 32.0 - dy), crval=(180.0, 10.0),
+                      cd=np.array([[-scale, 0.0], [0.0, scale]]),
+                      height=64)
+        p = str(tmp_path / f"ast_{k + 1:05d}.fit")
+        write_fits(img, p, bitdepth=-32)
+        files.append(p)
+    seq = Sequence.from_files(files, name="ast_")
+    seq.nb_layers = 1
+    seq.reference_image = 0
+    n = register_astrometric(seq, 0)
+    assert n == 3
+    H = seq.reg(0).H
+    np.testing.assert_allclose(H[0], np.eye(3), atol=1e-6)
+    # crpix shifted by −dx ⇒ frame pixels land dx to the right in ref
+    for k, (dx, dy) in enumerate(shifts):
+        p = H[k] @ np.array([32.0, 32.0, 1.0])
+        p = p[:2] / p[2]
+        # top-down pixel convention: FITS crpix y-shift flips sign
+        np.testing.assert_allclose(p, [32.0 + dx, 32.0 - dy], atol=0.05)

@@ -143,3 +143,56 @@ class TestShiftedStack:
         res = stk.stack_sequence(seq, stk.StackArgs(method="rej"))
         assert res.image.keywords.stackcnt == 4
         assert res.image.keywords.livetime == pytest.approx(240.0)
+
+
+# ---------------------------------------------------------------------------
+# overlap normalization (mosaics) — normalization.c:296-925
+# ---------------------------------------------------------------------------
+
+
+def test_overlap_normalization_recovers_offsets(tmp_path):
+    from siril_tpu.core.image import SirilImage
+    from siril_tpu.core.sequence import Sequence
+    from siril_tpu.io.fits_io import write_fits
+    from siril_tpu.ops.normalization import (
+        ADDITIVE,
+        ADDITIVE_SCALING,
+        compute_overlap,
+        compute_overlap_normalization,
+    )
+
+    rng = np.random.default_rng(21)
+    scene = (0.2 + 0.3 * rng.random((160, 160))).astype(np.float32)
+    crops = [(0, 0), (40, 0), (0, 40)]        # scene-space origins
+    offs = [0.0, 0.05, -0.03]                  # injected level differences
+    files = []
+    for k, ((sx, sy), o) in enumerate(zip(crops, offs)):
+        d = scene[sy:sy + 96, sx:sx + 96] + o
+        p = str(tmp_path / f"mos_{k + 1:05d}.fit")
+        write_fits(SirilImage(data=d[None].astype(np.float32)), p,
+                   bitdepth=-32)
+        files.append(p)
+    seq = Sequence.from_files(files, name="mos_")
+    seq.nb_layers = 1
+    reg = seq.reg(0)
+    for k, (sx, sy) in enumerate(crops):
+        reg.H[k] = np.eye(3)
+        reg.H[k][0, 2] = sx          # frame → ref translation
+        reg.H[k][1, 2] = sy
+        reg.valid[k] = True
+    seq.reference_image = 0
+
+    ov = compute_overlap(seq, 0, 0, 1)
+    assert ov is not None
+    (xi, yi, w, h), (xj, yj, w2, h2) = ov
+    assert (w, h) == (56, 96) and (xi, xj) == (40, 0)
+
+    co = compute_overlap_normalization(seq, np.arange(3), ADDITIVE)
+    # stack kernel applies v − offset: recovered offsets must equal the
+    # injected level differences relative to the reference frame
+    np.testing.assert_allclose(co.offset[0], [0.0, 0.05, -0.03], atol=2e-3)
+
+    # with scaling mode on identically-scaled frames, scales stay ~1
+    co2 = compute_overlap_normalization(seq, np.arange(3), ADDITIVE_SCALING)
+    np.testing.assert_allclose(co2.scale[0], 1.0, atol=0.05)
+    np.testing.assert_allclose(co2.offset[0], [0.0, 0.05, -0.03], atol=4e-3)
