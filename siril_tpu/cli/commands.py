@@ -846,6 +846,16 @@ def cmd_register(ctx, args):
                                             ra.interpolation)
     if "noclamp" in flags:
         ra.clamp = False
+    if "scale" in flags:
+        ra.scale = float(flags["scale"])
+    if isinstance(flags.get("extref"), str):
+        ra.extref = ctx.path(flags["extref"])
+    ra.save_starlists = "nostarlist" not in flags
+    if "selected" in flags:
+        pass        # frames outside the selection are already excluded
+    if isinstance(flags.get("disto"), str):
+        log_warning("register: -disto= master distortion files are not "
+                    "supported yet; solve with SIP via platesolve instead")
     res = register_sequence(seq, ra)
     if res.new_seq is not None:
         ctx.seq = res.new_seq
@@ -2053,6 +2063,18 @@ def cmd_light_curve(ctx, args):
     rows = light_curve(seq, coords[0], coords[1:], layer=chan,
                        cfg=_phot_cfg(ctx), out_path=ctx.path(out))
     log_message(f"Light curve: {len(rows)} points written to {out}")
+    if "aavso" in flags:
+        from siril_tpu.ops.photometry import save_aavso_extended
+
+        aout = os.path.splitext(ctx.path(out))[0] + "_aavso.csv"
+        n = save_aavso_extended(
+            rows, aout,
+            starid=str(flags.get("starid", "object")),
+            obscode=str(flags.get("obscode", "XXX")),
+            filt=str(flags.get("filter", "V")),
+            chart=str(flags.get("chart", "na")))
+        log_message(f"AAVSO extended report: {n} rows → "
+                    f"{os.path.basename(aout)}")
 
 
 @command("seqpsf", "seqpsf sequencename channel x y", min_args=4)

@@ -50,6 +50,10 @@ def load_any(path: str) -> SirilImage:
         from siril_tpu.io.ser import SerFile
 
         return SerFile(path).read_frame(0)
+    if ext == ".xisf":
+        from siril_tpu.io.xisf import read_xisf
+
+        return read_xisf(path)
     raise ValueError(f"unsupported input format: {path}")
 
 

@@ -210,3 +210,34 @@ def light_curve(seq, target_xy: Tuple[float, float],
         for r in rows:
             f.write(f"{r[0]} {r[1]} {r[2]:.5f} {r[3]:.5f}\n")
     return rows
+
+
+def save_aavso_extended(rows, out_path: str, starid: str = "object",
+                        obscode: str = "XXX", filt: str = "V",
+                        chart: str = "na", cname: str = "ENSEMBLE",
+                        kname: str = "na", notes: str = "na") -> int:
+    """AAVSO extended file format writer (io/aavso_extended.c:40-52;
+    https://www.aavso.org/aavso-extended-file-format).
+
+    ``rows``: light_curve() output [(frame, date_obs, mag, err), ...].
+    DATE is the Julian date of the observation.
+    """
+    from siril_tpu.utils.dates import date_obs_to_julian
+
+    n = 0
+    with open(out_path, "w") as f:
+        f.write("#TYPE=EXTENDED\n")
+        f.write(f"#OBSCODE={obscode}\n")
+        f.write("#SOFTWARE=siril_tpu\n")
+        f.write("#DELIM=,\n")
+        f.write("#DATE=JD\n")
+        f.write("#OBSTYPE=CCD\n")
+        f.write("#NAME,DATE,MAG,MERR,FILT,TRANS,MTYPE,CNAME,CMAG,KNAME,"
+                "KMAG,AMASS,GROUP,CHART,NOTES\n")
+        for frame, date_obs, mag, err in rows:
+            jd = date_obs_to_julian(date_obs) if date_obs else None
+            date = f"{jd:.5f}" if jd else "na"
+            f.write(f"{starid},{date},{mag:.3f},{err:.3f},{filt},NO,STD,"
+                    f"{cname},na,{kname},na,na,na,{chart},{notes}\n")
+            n += 1
+    return n

@@ -56,6 +56,9 @@ class RegArgs:
     max_stars: int = 2000
     starfinder: StarFinderParams = field(default_factory=StarFinderParams)
     follow_star: bool = False
+    scale: float = 1.0                  # output upscale (register -scale=)
+    extref: str = ""                    # external reference image path
+    save_starlists: bool = False        # write per-frame .lst star lists
 
 
 def _frame_metrics(stars: List[PSFStar]):
@@ -78,7 +81,13 @@ def register_sequence(seq: Sequence, args: Optional[RegArgs] = None):
     layer = min(args.reglayer, max(seq.nb_layers - 1, 0)) \
         if seq.nb_layers > 0 else 0
     ref_idx = seq.get_reference()
-    ref_img = seq.read_frame(ref_idx)
+    if args.extref:
+        # external reference image (register -extref=, command.c)
+        from siril_tpu.io.conversion import load_any
+
+        ref_img = load_any(args.extref)
+    else:
+        ref_img = seq.read_frame(ref_idx)
     if seq.nb_layers < 0:
         seq.nb_layers = ref_img.nchans
     layer = min(args.reglayer, ref_img.nchans - 1)
@@ -101,9 +110,21 @@ def register_sequence(seq: Sequence, args: Optional[RegArgs] = None):
         reg.number_of_stars[idx] = len(stars)
         reg.weighted_fwhm[idx] = (2.0 * fwhm * (nb_ref - len(stars)) / nb_ref
                                   + fwhm) if nb_ref else fwhm
-        if idx == ref_idx:
+        if args.save_starlists:
+            from siril_tpu.registration.starfinder import save_star_list_csv
+
+            save_star_list_csv(stars, os.path.join(
+                seq.directory, f"{seq.name}{idx + 1:05d}.lst"))
+        if idx == ref_idx and not args.extref:
             reg.H[idx] = np.eye(3)
             reg.valid[idx] = True
+            if args.output and not args.two_pass and args.scale != 1.0:
+                S = np.diag([args.scale, args.scale, 1.0])
+                out_shape = (int(seq.ry * args.scale),
+                             int(seq.rx * args.scale))
+                return img.copy(data=warp_homography(
+                    img.host(), S, out_shape, args.interpolation,
+                    args.clamp))
             return img if args.output and not args.two_pass else None
         m = match_stars(ref_stars, stars, ttype=args.ttype,
                         min_pairs=min(args.min_pairs, 4))
@@ -116,9 +137,14 @@ def register_sequence(seq: Sequence, args: Optional[RegArgs] = None):
         reg.valid[idx] = True
         if args.two_pass or not args.output:
             return None
-        warped = warp_homography(img.host(), m.H,
-                                 (seq.ry, seq.rx), args.interpolation,
-                                 args.clamp)
+        H = m.H
+        out_shape = (seq.ry, seq.rx)
+        if args.scale != 1.0:
+            H = np.diag([args.scale, args.scale, 1.0]) @ H
+            out_shape = (int(seq.ry * args.scale),
+                         int(seq.rx * args.scale))
+        warped = warp_homography(img.host(), H, out_shape,
+                                 args.interpolation, args.clamp)
         out = img.copy(data=warped)
         out.log_history("Registration with global star alignment")
         return out

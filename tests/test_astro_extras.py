@@ -114,3 +114,39 @@ class TestAnnotations:
         anns = annotate_image(img)
         names = [a.name for a in anns]
         assert "M42" in names
+
+
+def test_aavso_extended_report(tmp_path):
+    from siril_tpu.ops.photometry import save_aavso_extended
+
+    rows = [(0, "2026-08-10T01:02:03", 11.135, 0.003),
+            (1, "2026-08-10T01:12:03", 11.140, 0.004)]
+    p = str(tmp_path / "report.csv")
+    n = save_aavso_extended(rows, p, starid="SS CYG", obscode="TST01",
+                            chart="X16382L")
+    assert n == 2
+    lines = open(p).read().splitlines()
+    assert lines[0] == "#TYPE=EXTENDED"
+    assert "#OBSCODE=TST01" in lines
+    assert lines[6].startswith("#NAME,DATE,MAG")
+    first = lines[7].split(",")
+    assert first[0] == "SS CYG"
+    jd = float(first[1])
+    assert 2461262.0 < jd < 2461263.0       # JD of 2026-08-10
+    assert first[2] == "11.135"
+
+
+def test_julian_date_roundtrip():
+    from siril_tpu.utils.dates import (
+        date_obs_to_julian,
+        datetime_to_julian,
+        julian_to_datetime,
+        parse_date_obs,
+    )
+
+    # known value: 2000-01-01T12:00:00 UTC = JD 2451545.0
+    dt = parse_date_obs("2000-01-01T12:00:00")
+    assert abs(datetime_to_julian(dt) - 2451545.0) < 1e-6
+    back = julian_to_datetime(2451545.0)
+    assert back.year == 2000 and back.hour == 12
+    assert date_obs_to_julian("") is None

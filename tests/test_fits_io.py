@@ -101,3 +101,57 @@ class TestHeaderEdge:
         write_fits(img, p, row_order="TOP-DOWN")
         back = read_fits(p)
         np.testing.assert_array_equal(back.host(), img.host())
+
+
+# ---------------------------------------------------------------------------
+# XISF round-trip (io/xisf.py — SirilXISFReader.cpp equivalent)
+# ---------------------------------------------------------------------------
+
+
+def test_xisf_roundtrip(tmp_path):
+    from siril_tpu.core.image import SirilImage
+    from siril_tpu.io.xisf import read_xisf, write_xisf
+
+    rng = np.random.default_rng(17)
+    data = rng.uniform(0, 1, (3, 24, 32)).astype(np.float32)
+    img = SirilImage(data=data)
+    img.keywords.extra["EXPTIME"] = 30
+    p = str(tmp_path / "t.xisf")
+    write_xisf(img, p, "Float32")
+    back = read_xisf(p)
+    np.testing.assert_allclose(back.host(), data, atol=1e-7)
+    assert back.keywords.extra.get("EXPTIME") == 30
+
+    # UInt16 + zlib compression
+    p2 = str(tmp_path / "t16.xisf")
+    write_xisf(img, p2, "UInt16", compress=True)
+    back2 = read_xisf(p2)
+    np.testing.assert_allclose(back2.host(), data, atol=1.0 / 65535.0)
+
+    # interleaved (Normal) storage readable too
+    import zlib
+
+    raw = np.moveaxis((data * 65535 + 0.5).astype("<u2"), 0, -1).tobytes()
+    hdr = ('<?xml version="1.0"?>'
+           '<xisf xmlns="http://www.pixinsight.com/xisf" version="1.0">'
+           '<Image geometry="32:24:3" sampleFormat="UInt16" '
+           'pixelStorage="Normal" location="attachment:2064:%d"/></xisf>'
+           % len(raw)).encode()
+    p3 = str(tmp_path / "normal.xisf")
+    with open(p3, "wb") as f:
+        f.write(b"XISF0100" + len(hdr).to_bytes(4, "little") + b"\0" * 4)
+        f.write(hdr + b"\0" * (2064 - 16 - len(hdr)))
+        f.write(raw)
+    back3 = read_xisf(p3)
+    np.testing.assert_allclose(back3.host(), data, atol=1.0 / 65535.0)
+
+
+def test_xisf_via_load_any(tmp_path):
+    from siril_tpu.core.image import SirilImage
+    from siril_tpu.io.conversion import load_any
+    from siril_tpu.io.xisf import write_xisf
+
+    img = SirilImage(data=np.full((1, 8, 8), 0.25, np.float32))
+    p = str(tmp_path / "x.xisf")
+    write_xisf(img, p)
+    assert abs(float(load_any(p).host().mean()) - 0.25) < 1e-6

@@ -184,3 +184,50 @@ def test_register_astrometric_from_wcs(tmp_path):
         p = p[:2] / p[2]
         # top-down pixel convention: FITS crpix y-shift flips sign
         np.testing.assert_allclose(p, [32.0 + dx, 32.0 - dy], atol=0.05)
+
+
+def test_register_scale_and_extref(tmp_path):
+    """register -scale=2 doubles output geometry; -extref aligns against
+    an external reference image."""
+    from siril_tpu.cli.commands import COMMANDS
+    from siril_tpu.cli.context import Session
+    from siril_tpu.core.image import SirilImage
+    from siril_tpu.io.fits_io import write_fits
+
+    rng = np.random.default_rng(51)
+    h = w = 96
+    yy, xx = np.mgrid[0:h, 0:w]
+    stars = [(20, 25), (70, 30), (40, 70), (75, 75), (15, 60),
+             (55, 15), (30, 45), (65, 55), (45, 30), (80, 45),
+             (25, 80), (60, 85)]
+
+    def render(dx, dy):
+        img = rng.normal(0.05, 0.002, (h, w)).astype(np.float32)
+        for sx, sy in stars:
+            img += 0.6 * np.exp(-(((xx - sx - dx) ** 2 +
+                                   (yy - sy - dy) ** 2) / (2 * 1.8 ** 2)))
+        return np.clip(img, 0, 1)[None]
+
+    for k, (dx, dy) in enumerate([(0, 0), (3, -2), (-2, 4)]):
+        write_fits(SirilImage(data=render(dx, dy)),
+                   str(tmp_path / f"rs_{k + 1:05d}.fit"), bitdepth=-32)
+    write_fits(SirilImage(data=render(1, 1)), str(tmp_path / "ext.fit"),
+               bitdepth=-32)
+
+    ctx = Session(cwd=str(tmp_path))
+    COMMANDS["register"].fn(ctx, ["rs_", "-scale=2", "-transf=shift"])
+    assert ctx.seq.rx == 2 * w and ctx.seq.ry == 2 * h
+    # star lists saved by default (star_finder.c:823 cache behavior)
+    import glob as g
+
+    assert g.glob(str(tmp_path / "rs_*.lst"))
+
+    ctx2 = Session(cwd=str(tmp_path))
+    COMMANDS["register"].fn(ctx2, ["rs_", "-extref=ext.fit", "-noout",
+                                   "-transf=shift", "-nostarlist"])
+    seq2 = ctx2.seq
+    H = seq2.reg(0).H
+    # every frame (incl. frame 0) must carry a shift vs the external ref:
+    # frame content at (0,0), ext at (+1,+1) → H maps frame→ext = +1
+    assert abs(H[0][0, 2] - 1) < 0.3 and abs(H[0][1, 2] - 1) < 0.3
+    assert abs(H[1][0, 2] - (-2)) < 0.3    # ext(+1) − frame(+3) = −2
