@@ -54,15 +54,27 @@ def run_stack(d):
         seq = read_seqfile(seqfile)      # reuses cached per-frame stats
     else:
         seq = Sequence.scan("light_", d)
-    args = StackArgs(method="rej", rejection=rj.SIGMA,
-                     siglow=SIGMA[0], sighigh=SIGMA[1])
+    # the reference's default deep-sky stack: winsorized sigma clipping
+    # with IKSS additive+scaling normalization
+    # (OSC_Preprocessing.ssf: `stack r_pp_light rej 3 3 -norm=addscale`)
+    from siril_tpu.ops.normalization import ADDITIVE_SCALING
+
+    args = StackArgs(method="rej", rejection=rj.WINSORIZED,
+                     siglow=SIGMA[0], sighigh=SIGMA[1],
+                     normalize=ADDITIVE_SCALING)
     res = stack_sequence(seq, args)
     return res.elapsed_s
 
 
 def measure(platform: str, d) -> float:
     """Run in a subprocess so the JAX platform can differ."""
+    # the axon sitecustomize pins JAX_PLATFORMS at interpreter startup, so
+    # an env var is not enough — override via jax.config before any
+    # backend initialization
+    force = ("import jax; jax.config.update('jax_platforms', 'cpu');"
+             if platform == "cpu" else "")
     code = (
+        force +
         "import sys, json; sys.path.insert(0, %r);"
         "import bench; t1 = bench.run_stack(%r);"   # warm (compile)
         "t2 = bench.run_stack(%r);"                  # hot
@@ -97,7 +109,7 @@ def main():
             vs_baseline = 0.0
 
         print(json.dumps({
-            "metric": "sigma_clip_stack_throughput_50x1Mpix",
+            "metric": "winsorized_addscale_stack_throughput_50x1Mpix",
             "value": round(tput_tpu, 2),
             "unit": "Mpix/s",
             "vs_baseline": round(vs_baseline, 2),

@@ -123,8 +123,11 @@ def cmd_save(ctx: Session, args):
     if not os.path.splitext(p)[1]:
         p += ctx.ext
     bd = USHORT_IMG if ctx.force_16bit else ctx.image.orig_bitdepth
-    write_fits(ctx.image, p, bitdepth=bd)
-    log_message(f"Saving FITS: '{os.path.basename(p)}'")
+    comp = getattr(ctx.prefs, "comp_enabled", False) and \
+        getattr(ctx.prefs, "comp_method", "rice") or None
+    write_fits(ctx.image, p, bitdepth=bd, compression=comp)
+    log_message(f"Saving FITS: '{os.path.basename(p)}'"
+                + (f" (compressed: {comp})" if comp else ""))
 
 
 def _save_pil(ctx, args, fmt, mode="u8"):
@@ -1425,15 +1428,30 @@ def cmd_rgradient(ctx, args):
                             float(args[1]), float(args[2]), float(args[3])))
 
 
-@command("denoise", "denoise [-vst] [-nb_layers=]", req=REQ_SINGLE_IMAGE)
+@command("denoise", "denoise [-mod=m] [-vst | -da3d | -sos=n [-rho=r]] [-indep] [-mask]",
+         req=REQ_SINGLE_IMAGE)
 def cmd_denoise(ctx, args):
-    from siril_tpu.ops.wavelets import wavelet_denoise
+    """NL-Bayes denoiser (filters/nlbayes, `denoise` command flags
+    command_list.h:46).  -da3d falls back to an extra guided refinement
+    pass; -mod blends with the original."""
+    from siril_tpu.ops.nlbayes import nlbayes_denoise
 
     pos, flags = parse_flags(args)
-    ctx.set_image(wavelet_denoise(
-        ctx.require_image(),
-        nb_layers=int(_f(flags.get("nb_layers"), 4) or 4),
-        use_vst="vst" in flags))
+    sos = int(_f(flags.get("sos"), 0) or 0)
+    rho = _f(flags.get("rho"), 0.3) or 0.3
+    img = ctx.require_image()
+    out = nlbayes_denoise(img, use_vst="vst" in flags,
+                          sos_iters=sos, sos_rho=rho)
+    if "da3d" in flags:
+        from siril_tpu.ops.filters import guided_filter
+
+        out = guided_filter(out, radius=4, eps=1e-4)
+    mod = _f(flags.get("mod"), 1.0) or 1.0
+    if mod < 1.0:
+        blend = (mod * out.host() + (1.0 - mod) * img.host())
+        out = img.copy(data=blend.astype(np.float32))
+        out.log_history(f"denoise mod={mod}")
+    ctx.set_image(out)
 
 
 @command("wavelet", "wavelet nbr_layers type", req=REQ_SINGLE_IMAGE, min_args=1)
@@ -2407,15 +2425,31 @@ def cmd_seqsb(ctx, args):
                lambda im: split_bregman_tv(im, psf, iterations=iters))
 
 
-@command("seqdenoise", "seqdenoise sequencename [-vst]", min_args=1,
-         aliases=("seqatrous",))
+@command("seqdenoise", "seqdenoise sequencename [-vst | -sos=n [-rho=r]]",
+         min_args=1)
 def cmd_seqdenoise(ctx, args):
-    from siril_tpu.ops.wavelets import wavelet_denoise
+    from siril_tpu.ops.nlbayes import nlbayes_denoise
 
     pos, flags = parse_flags(args)
     prefix = flags.get("prefix") if isinstance(flags.get("prefix"), str) else "dn_"
+    sos = int(_f(flags.get("sos"), 0) or 0)
+    rho = _f(flags.get("rho"), 0.3) or 0.3
     _seq_apply(ctx, pos[0], prefix, "seqdenoise",
-               lambda im: wavelet_denoise(im, use_vst="vst" in flags))
+               lambda im: nlbayes_denoise(im, use_vst="vst" in flags,
+                                          sos_iters=sos, sos_rho=rho))
+
+
+@command("seqatrous", "seqatrous sequencename nbr_layers [-prefix=]",
+         min_args=1)
+def cmd_seqatrous(ctx, args):
+    from siril_tpu.ops.wavelets import wavelet_denoise
+
+    pos, flags = parse_flags(args)
+    n = int(float(pos[1])) if len(pos) > 1 else 4
+    prefix = flags.get("prefix") if isinstance(flags.get("prefix"), str) else "atrous_"
+    _seq_apply(ctx, pos[0], prefix, "seqatrous",
+               lambda im: wavelet_denoise(im, nb_layers=n,
+                                          use_vst="anscombe" in flags))
 
 
 @command("seqghs", "seqghs sequencename -D= [...]", min_args=2,

@@ -384,12 +384,47 @@ def keywords_to_cards(kw: Keywords) -> List[Tuple[str, object, str]]:
 # ---------------------------------------------------------------------------
 
 
+def _read_zimage(path, h) -> SirilImage:
+    """Decode a tiled-compressed image extension (fits_compress.py)."""
+    from siril_tpu.io.fits_compress import read_compressed_hdu
+
+    with open(path, "rb") as f:
+        f.seek(h.data_offset)
+        buf = f.read(h.data_nbytes)
+    data, zbitpix = read_compressed_hdu(buf, h.header)
+    row_order = str(h.header.get("ROWORDER", "BOTTOM-UP")
+                    or "BOTTOM-UP").upper()
+    if row_order != "TOP-DOWN":
+        data = np.ascontiguousarray(data[:, ::-1, :])
+    img = SirilImage(
+        data=data,
+        keywords=header_to_keywords(h.header),
+        orig_bitdepth=zbitpix if zbitpix != 16 else USHORT_IMG,
+        header_text=h.header.text(),
+        history=h.header.history(),
+    )
+    try:
+        from siril_tpu.ops.wcs import WCS
+
+        w = WCS.from_header(h.header)
+        if w is not None:
+            img.wcs = w
+    except ImportError:
+        pass
+    return img
+
+
 def read_fits(path: Union[str, os.PathLike], hdu_index: int = 0) -> SirilImage:
     """Read a FITS image → SirilImage.  Reference: readfits
-    (image_format_fits.c:1201)."""
+    (image_format_fits.c:1201).  Handles plain image HDUs and tiled
+    compressed (ZIMAGE / fpack .fz) extensions."""
     hdus = scan_hdus(path)
-    img_hdus = [h for h in hdus if len(h.naxes) >= 2 and all(n > 0 for n in h.naxes)]
+    img_hdus = [h for h in hdus if len(h.naxes) >= 2 and all(n > 0 for n in h.naxes)
+                and not h.header.get("ZIMAGE")]
+    zimg_hdus = [h for h in hdus if h.header.get("ZIMAGE")]
     if not img_hdus:
+        if zimg_hdus:
+            return _read_zimage(path, zimg_hdus[hdu_index])
         raise ValueError(f"{path}: no image HDU found")
     h = img_hdus[hdu_index]
     c, hgt, wid = h.shape_chw
@@ -425,9 +460,11 @@ def write_fits(
     path: Union[str, os.PathLike],
     bitdepth: Optional[int] = None,
     row_order: str = "BOTTOM-UP",
+    compression: Optional[str] = None,
 ) -> None:
     """Write a SirilImage to FITS.  Reference: savefits
-    (image_format_fits.c:1393)."""
+    (image_format_fits.c:1393).  ``compression``: None, 'rice', 'gzip1'
+    or 'gzip2' → tiled-compressed ZIMAGE extension (setcompress)."""
     bd = bitdepth if bitdepth is not None else img.orig_bitdepth
     if bd == SHORT_IMG:
         bd = USHORT_IMG
@@ -435,6 +472,36 @@ def write_fits(
     c, hgt, wid = data.shape
     if row_order.upper() != "TOP-DOWN":
         data = data[:, ::-1, :]
+
+    if compression:
+        from siril_tpu.io.fits_compress import build_compressed_hdu
+
+        cmap = {"rice": "RICE_1", "gzip1": "GZIP_1", "gzip2": "GZIP_2",
+                "gzip": "GZIP_1"}
+        cmptype = cmap.get(str(compression).lower(), "RICE_1")
+        zbitpix = -32 if bd in (FLOAT_IMG, DOUBLE_IMG) else 16
+        kw = img.keywords.copy()
+        kw.row_order = row_order.upper()
+        kw.program = kw.program or "siril_tpu"
+        extra = list(keywords_to_cards(kw))
+        if img.wcs is not None:
+            try:
+                extra.extend(img.wcs.to_cards())
+            except AttributeError:
+                pass
+        for hline in img.history:
+            extra.append(("HISTORY", hline, ""))
+        primary = (_format_card("SIMPLE", True, "")
+                   + _format_card("BITPIX", 8, "")
+                   + _format_card("NAXIS", 0, "")
+                   + _format_card("EXTEND", True, "")
+                   + _format_card("END", None))
+        primary += " " * ((-len(primary)) % BLOCK)
+        with open(path, "wb") as f:
+            f.write(primary.encode("ascii"))
+            f.write(build_compressed_hdu(np.ascontiguousarray(data),
+                                         zbitpix, cmptype, extra))
+        return
 
     cards: List[Tuple[str, object, str]] = [
         ("SIMPLE", True, "file conforms to FITS standard"),

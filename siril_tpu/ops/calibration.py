@@ -109,6 +109,10 @@ def dark_optimization_k(raw, dark, use_exposure: bool,
     return (b + a) * 0.5
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
 def make_calibrate_kernel(has_bias: bool, has_dark: bool, has_flat: bool,
                           has_cc: bool, is_cfa: bool):
     """Fused (raw − bias − k·dark)/(flat/μ) + cosmetic, one jit."""

@@ -67,13 +67,13 @@ def _conv2same(x, k):
     return out[0, 0]
 
 
-def demosaic_bilinear(cfa: np.ndarray, pattern: str):
-    """Bilinear interpolation as three convolutions over masked planes."""
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1)
+def _bilinear_fn():
     import jax
     import jax.numpy as jnp
-
-    h, w = cfa.shape
-    rm, gm, bm = _cfa_masks(pattern, h, w)
 
     @jax.jit
     def run(x, rm, gm, bm):
@@ -91,6 +91,16 @@ def demosaic_bilinear(cfa: np.ndarray, pattern: str):
         b = interp(bm, krb)
         return jnp.stack([r, g, b])
 
+    return run
+
+
+def demosaic_bilinear(cfa: np.ndarray, pattern: str):
+    """Bilinear interpolation as three convolutions over masked planes."""
+    import jax.numpy as jnp
+
+    h, w = cfa.shape
+    rm, gm, bm = _cfa_masks(pattern, h, w)
+    run = _bilinear_fn()
     return np.asarray(run(jnp.asarray(cfa), jnp.asarray(rm),
                           jnp.asarray(gm), jnp.asarray(bm)))
 
@@ -124,11 +134,19 @@ def demosaic_vng(cfa: np.ndarray, pattern: str):
     the color estimates of directions whose gradient ≤ 1.5·min_gradient
     (the classic VNG threshold rule), vectorized over the image.
     """
-    import jax
     import jax.numpy as jnp
 
     h, w = cfa.shape
     rm, gm, bm = _cfa_masks(pattern, h, w)
+    run = _vng_fn()
+    return np.asarray(run(jnp.asarray(cfa), jnp.asarray(rm),
+                          jnp.asarray(gm), jnp.asarray(bm)))
+
+
+@lru_cache(maxsize=1)
+def _vng_fn():
+    import jax
+    import jax.numpy as jnp
 
     @jax.jit
     def run(x, rm, gm, bm):
@@ -171,8 +189,7 @@ def demosaic_vng(cfa: np.ndarray, pattern: str):
         return jnp.stack([channel(rm, None), channel(gm, None),
                           channel(bm, None)])
 
-    return np.asarray(run(jnp.asarray(cfa), jnp.asarray(rm), jnp.asarray(gm),
-                          jnp.asarray(bm)))
+    return run
 
 
 def debayer(cfa: np.ndarray, pattern: str, method: int = BAYER_RCD,

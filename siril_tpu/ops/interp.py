@@ -129,26 +129,19 @@ def sample_plane(plane, sy, sx, method: int):
     raise ValueError(f"bad interpolation {method}")
 
 
-@partial(np.vectorize, excluded=(0,))
-def _noop(*a):                                   # pragma: no cover
-    pass
+from functools import lru_cache
 
 
-def warp_homography(data, H, out_shape: Tuple[int, int],
-                    method: int = INTERP_LANCZOS4,
-                    clamp: bool = True):
-    """Warp (C,H,W) by 3×3 homography: out(x) = in(H⁻¹·x)
-    (cvTransformImage semantics: H maps source → target; we invert).
-
-    Returns (C, out_h, out_w) with black outside.
-    """
+@lru_cache(maxsize=32)
+def _warp_fn(out_h: int, out_w: int, method: int, clamp: bool):
+    """Compiled warp for one (output shape, method, clamp) config —
+    memoized so repeated per-frame warps reuse one device executable
+    (a fresh jit per frame costs a multi-second program reload through
+    the axon tunnel)."""
     import jax
     import jax.numpy as jnp
 
-    Hinv = np.linalg.inv(np.asarray(H, np.float64))
-    out_h, out_w = out_shape
-
-    @partial(jax.jit, static_argnames=())
+    @jax.jit
     def run(planes, Hinv):
         yy, xx = jnp.mgrid[0:out_h, 0:out_w]
         xf = xx.astype(jnp.float32)
@@ -168,6 +161,22 @@ def warp_homography(data, H, out_shape: Tuple[int, int],
 
         return jax.vmap(one)(planes)
 
+    return run
+
+
+def warp_homography(data, H, out_shape: Tuple[int, int],
+                    method: int = INTERP_LANCZOS4,
+                    clamp: bool = True):
+    """Warp (C,H,W) by 3×3 homography: out(x) = in(H⁻¹·x)
+    (cvTransformImage semantics: H maps source → target; we invert).
+
+    Returns (C, out_h, out_w) with black outside.
+    """
+    import jax.numpy as jnp
+
+    Hinv = np.linalg.inv(np.asarray(H, np.float64))
+    run = _warp_fn(int(out_shape[0]), int(out_shape[1]), int(method),
+                   bool(clamp))
     return np.asarray(run(jnp.asarray(data, jnp.float32),
                           jnp.asarray(Hinv, jnp.float32)))
 

@@ -111,10 +111,18 @@ def _norm_apply(stack, scale, offset, mul, mode: int):
     return stack * scale[:, None] * mul[:, None]
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
 def make_block_kernel(rtype: int, mode: int, siglow: float, sighigh: float,
                       n_full: int, max_outliers: int, with_weights: bool,
                       want_maps: bool = True):
     """Build the fused normalize+reject+mean jit for one stack config.
+
+    Memoized: a fresh ``jax.jit`` per stack call would re-load the
+    executable onto the device every run — through the axon tunnel that
+    is a multi-second cost, dwarfing the 80 ms kernel itself.
 
     When ``want_maps`` is False, per-pixel rejection counts are reduced to
     two scalars ON DEVICE — device→host transfers through the tunnel cost
@@ -125,6 +133,10 @@ def make_block_kernel(rtype: int, mode: int, siglow: float, sighigh: float,
 
     @jax.jit
     def kernel(stack, scale, offset, mul, weights, critical):
+        if stack.dtype == jnp.int16:
+            # device-side u16 decode: raw FITS i16 (BZERO 32768) → [0,1].
+            # Halves the host→device traffic vs shipping f32.
+            stack = (stack.astype(jnp.float32) + 32768.0) * (1.0 / 65535.0)
         normed = _norm_apply(stack, scale, offset, mul, mode)
         mean, rl, rh = rj.rejection_mean(
             normed, rtype, siglow, sighigh,
@@ -276,6 +288,10 @@ def stack_sequence(seq: Sequence, args: StackArgs,
 
     if args.method in ("sum", "min", "max"):
         return _stack_accumulate(seq, args, indices, t0)
+
+    res = _resident_stack(seq, args, indices, t0)
+    if res is not None:
+        return res
 
     # normalization (mean/rej only — main_stack:76 order)
     do_norm = args.method in ("rej", "mean") and args.normalize != NO_NORM
@@ -483,3 +499,188 @@ def _finalize_metadata(seq: Sequence, indices: np.ndarray,
         img.keywords.date_obs = min(dates)
     img.log_history(f"Stacking with {len(indices)} images")
     return img
+
+
+# ---------------------------------------------------------------------------
+# HBM-resident stacking (single-upload fast path)
+# ---------------------------------------------------------------------------
+
+_RESIDENT_BUDGET_BYTES = 4 << 30     # raw u16 frames kept on device
+
+
+def _resident_stack(seq: Sequence, args: StackArgs,
+                    indices: np.ndarray, t0: float):
+    """Single-upload stack: raw u16 frames go host→HBM ONCE (half the
+    bytes of f32), decode + per-frame estimators + rejection all run on
+    device, ONE device→host fetch returns the result.
+
+    Through the axon tunnel (~45 MB/s real bandwidth) the streaming path
+    is wire-bound: 50×1Mpix f32 = 200 MB ≈ 4.4 s of transfer alone.  This
+    path moves 100 MB once and fetches 4 MB — the kernels themselves cost
+    ~80 ms.  Returns None when not applicable (shifted frames, non-u16
+    inputs, or stacks larger than the HBM budget) — the row-block
+    streaming path handles those.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from siril_tpu.core.sequence import SEQ_FITSEQ, SEQ_REGULAR
+
+    if seq.seq_type not in (SEQ_REGULAR, SEQ_FITSEQ):
+        return None
+    if args.method not in ("rej", "mean", "med"):
+        return None
+    if args.create_rejmaps or args.feather_dist or args.overlap_norm:
+        return None
+    n = len(indices)
+    L, H, W = seq.nb_layers, seq.ry, seq.rx
+    if _frame_shifts(seq, indices, args.reglayer) is not None:
+        return None
+    if n * L * H * W * 2 > _RESIDENT_BUDGET_BYTES:
+        return None
+    try:
+        readers = [seq.open_reader(int(i)) for i in indices]
+    except (ValueError, OSError):
+        return None
+    for r in readers:
+        if (r.hdu.bitpix != 16 or r.hdu.bzero != 32768.0
+                or r.hdu.bscale != 1.0 or r.nchans != L
+                or r.height != H or r.width != W):
+            return None
+
+    # host: gather native-endian i16 [n, L, H·W] (top-down)
+    raw = np.empty((n, L, H * W), np.int16)
+    pool = cf.ThreadPoolExecutor(max_workers=8)
+
+    def one(k):
+        r = readers[k]
+        mm = r._mm
+        a = mm[:, ::-1, :] if r.bottom_up else mm
+        raw[k] = np.ascontiguousarray(a).astype("<i2").reshape(L, H * W)
+
+    list(pool.map(one, range(n)))
+    pool.shutdown(wait=False)
+    dev = jax.device_put(raw)                 # the single big upload
+
+    do_norm = args.normalize != NO_NORM
+    if do_norm:
+        _resident_fill_stats(seq, indices, dev, args.lite_norm,
+                             force=args.force_norm)
+    coeffs = compute_normalization(
+        seq, indices, args.normalize if do_norm else NO_NORM,
+        lite=args.lite_norm, force=False,
+        equalize_rgb=args.equalize_rgb, reglayer=args.reglayer)
+    weights = None
+    if args.weighting != NO_WEIGHT:
+        weights = compute_weights(seq, indices, args, coeffs)
+
+    rtype = args.rejection if args.method == "rej" else rj.NO_REJEC
+    if args.method == "med":
+        rtype = -1
+    critical = np.zeros(1, np.float32)
+    max_outliers = 0
+    if rtype == rj.GESDT:
+        max_outliers = int(np.floor(n * args.siglow))
+        critical = rj.gesdt_critical_values(n, args.sighigh, max_outliers)
+
+    means = []
+    rl_tot = jnp.zeros((), jnp.float32)
+    rh_tot = jnp.zeros((), jnp.float32)
+    for c in range(L):
+        x16 = dev[:, c]
+        if rtype == -1:
+            xf = (x16.astype(jnp.float32) + 32768.0) * (1.0 / 65535.0)
+            mean = rj.median_stack(xf)
+            rl = rh = jnp.zeros((), jnp.int32)
+        else:
+            kernel = make_block_kernel(
+                rtype, args.normalize if do_norm else NO_NORM,
+                float(args.siglow), float(args.sighigh), n, max_outliers,
+                weights is not None, want_maps=False)
+            w_dev = (jnp.asarray(np.broadcast_to(
+                weights[c][:, None], (n, H * W)).copy())
+                if weights is not None else jnp.zeros((1, 1), jnp.float32))
+            mean, rl, rh = kernel(
+                x16,
+                jnp.asarray(coeffs.scale[c], jnp.float32),
+                jnp.asarray(coeffs.offset[c], jnp.float32),
+                jnp.asarray(coeffs.mul[c], jnp.float32),
+                w_dev, jnp.asarray(critical))
+        means.append(mean)
+        rl_tot = rl_tot + rl.astype(jnp.float32)
+        rh_tot = rh_tot + rh.astype(jnp.float32)
+
+    # ONE device→host fetch for everything
+    packed = jnp.concatenate(
+        [jnp.stack(means).ravel(), rl_tot[None], rh_tot[None]])
+    host = np.asarray(packed)
+    result = host[:L * H * W].reshape(L, H, W).astype(np.float32)
+    tot_rej = (int(host[-2]), int(host[-1]))
+    seq.close_readers()
+
+    if args.output_norm:
+        result = norm_to_0_1_range(result)
+    elif args.use_32bit:
+        result = np.clip(result, 0.0, 1.0)
+    img = _finalize_metadata(seq, indices, result)
+    return StackResult(image=img, total_rejected=tot_rej,
+                       elapsed_s=time.perf_counter() - t0)
+
+
+@functools.lru_cache(maxsize=4)
+def _resident_est_fn(lite: bool):
+    import jax
+    import jax.numpy as jnp
+
+    from siril_tpu.ops.statistics import norm_estimators_jax
+
+    @jax.jit
+    def run(x16):
+        xf = (x16.astype(jnp.float32) + 32768.0) * (1.0 / 65535.0)
+        est = norm_estimators_jax(xf, lite=lite)
+        return jnp.stack([est["median"], est["mad"],
+                          est["location"], est["scale"]])
+
+    return run
+
+
+def _resident_fill_stats(seq: Sequence, indices: np.ndarray, dev,
+                         lite: bool, force: bool = False) -> None:
+    """Compute missing per-frame estimators from the device-resident
+    stack and cache them in the sequence stats store."""
+    import jax.numpy as jnp
+
+    from siril_tpu.ops.statistics import ImStats
+
+    L = seq.nb_layers
+    need_layers = []
+    for layer in range(L):
+        for idx in indices:
+            st = None if force else seq.get_frame_stats(layer, int(idx))
+            ok = st is not None and (
+                (lite and st.median and st.mad) or
+                (not lite and st.location and st.scale))
+            if not ok:
+                need_layers.append(layer)
+                break
+    if not need_layers:
+        return
+    run = _resident_est_fn(bool(lite))
+    outs = [run(dev[:, layer]) for layer in need_layers]
+    host = np.asarray(jnp.stack(outs))        # [Lneed, 4, N] one fetch
+    for li, layer in enumerate(need_layers):
+        med, mad, loc, sca = host[li]
+        for k, idx in enumerate(indices):
+            st = seq.get_frame_stats(layer, int(idx)) or ImStats()
+            st.median = float(med[k])
+            st.mad = float(mad[k])
+            if not lite:
+                st.location = float(loc[k])
+                st.scale = float(sca[k])
+            st.total = st.total or seq.rx * seq.ry
+            st.ngoodpix = st.ngoodpix or st.total
+            seq.set_frame_stats(layer, int(idx), st)
+    try:
+        seq.save()
+    except Exception:
+        pass

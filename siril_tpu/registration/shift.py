@@ -20,6 +20,27 @@ from siril_tpu.core.sequence import Sequence
 from siril_tpu.utils.log import log_message
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8)
+def _phasecorr_fn(H: int, W: int):
+    """Compiled phase-correlation for one frame shape (memoized — a fresh
+    jit per call would re-load the device executable every time)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(r, f):
+        R = jnp.fft.rfft2(r)
+        F = jnp.fft.rfft2(f)
+        cross = R[None] * jnp.conj(F)
+        cross = cross / jnp.maximum(jnp.abs(cross), 1e-12)
+        return jnp.fft.irfft2(cross, s=(H, W))
+
+    return run
+
+
 def phase_correlate(ref: np.ndarray, frames: np.ndarray,
                     subpixel: bool = True):
     """Phase correlation of (N, H, W) frames vs (H, W) ref.
@@ -28,20 +49,10 @@ def phase_correlate(ref: np.ndarray, frames: np.ndarray,
     transform (regdata convention: reg(x) = frame(x − dx)).  For frame
     content displaced by +d relative to ref this returns −d.
     """
-    import jax
     import jax.numpy as jnp
 
     H, W = ref.shape
-
-    @jax.jit
-    def run(r, f):
-        R = jnp.fft.rfft2(r)
-        F = jnp.fft.rfft2(f)
-        cross = R[None] * jnp.conj(F)
-        cross = cross / jnp.maximum(jnp.abs(cross), 1e-12)
-        corr = jnp.fft.irfft2(cross, s=(H, W))
-        return corr
-
+    run = _phasecorr_fn(H, W)
     corr = np.asarray(run(jnp.asarray(ref, jnp.float32),
                           jnp.asarray(frames, jnp.float32)))
     N = corr.shape[0]
@@ -153,14 +164,10 @@ def register_comet(seq: Sequence, pos1: Tuple[float, float], t1: str,
     return reg
 
 
-def template_match(ref_patch: np.ndarray, frames: np.ndarray):
-    """KOMBAT-style normalized cross-correlation template match via FFT.
-    Returns (N, 2) positions of the best match (x, y) per frame."""
+@lru_cache(maxsize=8)
+def _template_fn(th: int, tw: int, H: int, W: int):
     import jax
     import jax.numpy as jnp
-
-    th, tw = ref_patch.shape
-    N, H, W = frames.shape
 
     @jax.jit
     def run(t, f):
@@ -171,6 +178,17 @@ def template_match(ref_patch: np.ndarray, frames: np.ndarray):
         corr = jnp.fft.irfft2(F * T[None], s=(H + th, W + tw))
         return corr[:, th - 1:th - 1 + H - th + 1, tw - 1:tw - 1 + W - tw + 1]
 
+    return run
+
+
+def template_match(ref_patch: np.ndarray, frames: np.ndarray):
+    """KOMBAT-style normalized cross-correlation template match via FFT.
+    Returns (N, 2) positions of the best match (x, y) per frame."""
+    import jax.numpy as jnp
+
+    th, tw = ref_patch.shape
+    N, H, W = frames.shape
+    run = _template_fn(th, tw, H, W)
     corr = np.asarray(run(jnp.asarray(ref_patch, jnp.float32),
                           jnp.asarray(frames, jnp.float32)))
     out = np.zeros((N, 2))

@@ -155,3 +155,61 @@ def test_xisf_via_load_any(tmp_path):
     p = str(tmp_path / "x.xisf")
     write_xisf(img, p)
     assert abs(float(load_any(p).host().mean()) - 0.25) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# tiled FITS compression (io/fits_compress.py, setcompress)
+# ---------------------------------------------------------------------------
+
+
+def test_rice_codec_roundtrip():
+    from siril_tpu.io.fits_compress import rice_decode, rice_encode
+
+    rng = np.random.default_rng(0)
+    for n in (1, 31, 32, 33, 257):
+        for bp in (1, 2, 4):
+            lim = {1: 120, 2: 30000, 4: 2_000_000_000}[bp]
+            x = rng.integers(-lim, lim, n)
+            assert np.array_equal(rice_decode(rice_encode(x, bp), n, bp), x)
+    # smooth data actually compresses
+    smooth = (np.sin(np.linspace(0, 20, 4096)) * 10000).astype(np.int64)
+    enc = rice_encode(smooth, 2)
+    assert len(enc) < 4096 * 2 * 0.6
+
+
+def test_compressed_fits_roundtrip(tmp_path):
+    from siril_tpu.core.image import SirilImage
+    from siril_tpu.io.fits_io import read_fits, write_fits
+
+    rng = np.random.default_rng(3)
+    img = SirilImage(data=rng.uniform(0, 1, (3, 48, 64)).astype(np.float32))
+    img.keywords.exposure = 25.0
+    for comp, bd, tol in [("rice", 16, 1 / 65535), ("gzip1", 16, 1 / 65535),
+                          ("gzip2", 16, 1 / 65535), ("rice", -32, 0.0),
+                          ("gzip2", -32, 0.0)]:
+        p = str(tmp_path / f"c_{comp}_{bd}.fits")
+        write_fits(img, p, bitdepth=bd, compression=comp)
+        back = read_fits(p)
+        assert np.abs(back.host() - img.host()).max() <= tol + 1e-9
+        assert back.keywords.exposure == 25.0
+        # container really is a ZIMAGE BINTABLE, not a plain image
+        blob = open(p, "rb").read(5760).decode("ascii", "replace")
+        assert "ZIMAGE" in blob and "BINTABLE" in blob
+
+
+def test_setcompress_save_path(tmp_path):
+    from siril_tpu.cli.commands import COMMANDS
+    from siril_tpu.cli.context import Session
+    from siril_tpu.core.image import SirilImage
+    from siril_tpu.io.fits_io import read_fits, write_fits
+
+    ctx = Session(cwd=str(tmp_path))
+    img = SirilImage(data=np.full((1, 16, 16), 0.5, np.float32))
+    write_fits(img, str(tmp_path / "a.fit"))
+    COMMANDS["load"].fn(ctx, ["a.fit"])
+    COMMANDS["setcompress"].fn(ctx, ["1", "-type=rice"])
+    COMMANDS["save"].fn(ctx, ["b"])
+    blob = open(str(tmp_path / "b.fit"), "rb").read(5760)
+    assert b"ZIMAGE" in blob
+    back = read_fits(str(tmp_path / "b.fit"))
+    assert abs(float(back.host().mean()) - 0.5) < 1e-4

@@ -95,3 +95,24 @@ class TestFitseq:
         seq = Sequence.from_fitseq(p)
         reg = seq.read_region(0, 1, 5, 15)
         np.testing.assert_allclose(reg, frames[1][0, 5:15], atol=1e-6)
+
+
+def test_op_descriptor_registry():
+    """op_descriptor.h equivalent: registry integrity + flags."""
+    from siril_tpu.core.opdesc import (
+        OP_MASK_CAPABLE,
+        OP_REQ_RGB,
+        all_ops,
+        get,
+    )
+
+    ops = all_ops()
+    assert len(ops) >= 40
+    # ids are unique "area.op" identities
+    assert all("." in k for k in ops)
+    g = get("filters.gauss")
+    assert g.mask_capable and g.mem_ratio >= 1.0
+    assert get("color.ccm").flags & OP_REQ_RGB
+    assert get("geom.crop").geometry_changing
+    assert get("stack.rej").mem_ratio > get("stretch.mtf").mem_ratio
+    assert get("nope.nope") is None
