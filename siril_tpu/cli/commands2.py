@@ -803,3 +803,67 @@ def cmd_seqgps(ctx, args):
         if any(k.startswith("GPS") for k in kw):
             found += 1
     log_message(f"seqgps: GPS data in {found}/{seq.number} frames")
+
+
+# ===========================================================================
+# fused HBM-resident pipeline (TPU-native extension, siril_tpu/pipeline.py)
+# ===========================================================================
+
+
+@command("fusedstack",
+         "fusedstack sequencename [rejection] [sig_low sig_high] [-norm=] "
+         "[-bias=] [-dark=] [-flat=] [-transf=] [-out=]",
+         min_args=1)
+def cmd_fusedstack(ctx, args):
+    """TPU-native fused calibrate+register+stack: the whole sequence stays
+    resident in device HBM across stages — no intermediate pp_/r_
+    sequences, one upload and one result fetch.  Extension command (not in
+    the reference, which materializes every stage: SURVEY.md §5
+    checkpoint/resume)."""
+    from siril_tpu.io.conversion import load_any
+    from siril_tpu.io.fits_io import write_fits
+    from siril_tpu.ops import rejection as rj
+    from siril_tpu.ops.calibration import CalibArgs
+    from siril_tpu.ops.normalization import ADDITIVE_SCALING, NORM_NAMES
+    from siril_tpu.ops.stacking import StackArgs
+    from siril_tpu.pipeline import FusedArgs, fused_preprocess_stack
+    from siril_tpu.registration.matching import (
+        HOMOGRAPHY_TRANSFORMATION,
+        SHIFT_TRANSFORMATION,
+    )
+    from siril_tpu.cli.commands import _is_number, _sf_params
+
+    pos, flags = parse_flags(args)
+    seq = ctx.load_sequence(pos[0])
+    sa = StackArgs(method="rej")
+    rest = pos[1:]
+    if rest and not _is_number(rest[0]):
+        sa.rejection = rj.REJECTION_NAMES.get(rest[0].lower(), rj.WINSORIZED)
+        rest = rest[1:]
+    if len(rest) >= 2:
+        sa.siglow, sa.sighigh = float(rest[0]), float(rest[1])
+    sa.normalize = NORM_NAMES.get(str(flags.get("norm", "addscale")).lower(),
+                                  ADDITIVE_SCALING)
+    calib = None
+    if any(k in flags for k in ("bias", "dark", "flat")):
+        calib = CalibArgs()
+        if isinstance(flags.get("bias"), str):
+            calib.bias = load_any(ctx.path(flags["bias"]))
+        if isinstance(flags.get("dark"), str):
+            calib.dark = load_any(ctx.path(flags["dark"]))
+        if isinstance(flags.get("flat"), str):
+            calib.flat = load_any(ctx.path(flags["flat"]))
+    fa = FusedArgs(calib=calib, stack=sa, starfinder=_sf_params(ctx),
+                   register="noreg" not in flags)
+    if flags.get("transf") == "homography":
+        fa.ttype = HOMOGRAPHY_TRANSFORMATION
+    res = fused_preprocess_stack(seq, fa)
+    name = flags.get("out") if isinstance(flags.get("out"), str) \
+        else seq.name + "fused"
+    p = ctx.path(name)
+    if not os.path.splitext(p)[1]:
+        p += ctx.ext
+    write_fits(res.image, p, bitdepth=-32)
+    ctx.set_image(res.image, os.path.basename(p))
+    log_message(f"fusedstack: saved {os.path.basename(p)} "
+                f"({res.elapsed_s:.2f}s)")

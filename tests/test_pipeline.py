@@ -1,0 +1,86 @@
+"""Fused HBM-resident pipeline tests (siril_tpu/pipeline.py)."""
+
+import os
+
+import numpy as np
+
+from siril_tpu.core.image import SirilImage
+from siril_tpu.core.sequence import Sequence
+from siril_tpu.io.fits_io import write_fits
+from siril_tpu.ops import rejection as rj
+from siril_tpu.ops.normalization import ADDITIVE_SCALING
+from siril_tpu.ops.stacking import StackArgs
+from siril_tpu.pipeline import FusedArgs, fused_preprocess_stack
+from siril_tpu.registration.starfinder import StarFinderParams
+
+
+def make_seq(tmp_path, rng, shifts, with_gradient=False):
+    h, w = 160, 192
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = 0.05 + rng.normal(0, 0.002, (h, w)).astype(np.float32)
+    for _ in range(16):
+        x0 = rng.uniform(30, w - 30)
+        y0 = rng.uniform(30, h - 30)
+        base += 0.5 * np.exp(-(((xx + 0.5 - x0) ** 2 +
+                                (yy + 0.5 - y0) ** 2) / (2 * 2.0 ** 2)))
+    base = np.clip(base, 0, 1)
+    for i, (dx, dy) in enumerate(shifts):
+        f = np.roll(np.roll(base, dy, 0), dx, 1) \
+            + rng.normal(0, 0.002, (h, w)).astype(np.float32)
+        f[rng.integers(0, h, 30), rng.integers(0, w, 30)] = 0.95
+        img = SirilImage(data=np.clip(f, 1e-4, 1)[None])
+        img.keywords.exposure = 10.0
+        write_fits(img, str(tmp_path / f"fl_{i:05d}.fit"), bitdepth=16)
+    return Sequence.scan("fl_", str(tmp_path)), base
+
+
+def test_fused_register_and_stack(tmp_path):
+    rng = np.random.default_rng(3)
+    seq, base = make_seq(tmp_path, rng,
+                         [(0, 0), (4, 2), (-3, 5), (6, -4), (2, 2)])
+    args = FusedArgs(stack=StackArgs(method="rej", rejection=rj.WINSORIZED,
+                                     normalize=ADDITIVE_SCALING),
+                     starfinder=StarFinderParams(radius=6))
+    res = fused_preprocess_stack(seq, args)
+    out = res.image.host()[0]
+    interior = np.s_[20:-20, 20:-20]
+    err = np.abs(out[interior] - base[interior]).mean()
+    # aligned, cosmic rays rejected, no intermediate sequences written
+    assert err < 0.01
+    assert out[interior].max() < 0.9
+    assert sum(res.total_rejected) > 0
+    assert not any(f.startswith(("pp_", "r_"))
+                   for f in os.listdir(tmp_path))
+    # regdata was still recorded in the sequence (checkpoint parity)
+    assert seq.reg(0).valid.sum() == 5
+
+
+def test_fused_with_calibration(tmp_path):
+    from siril_tpu.ops.calibration import CalibArgs
+
+    rng = np.random.default_rng(4)
+    seq, base = make_seq(tmp_path, rng, [(0, 0), (2, -1), (-1, 3)])
+    dark_level = 0.02
+    dark = SirilImage(data=np.full((1, 160, 192), dark_level, np.float32))
+    # frames don't contain the dark, but subtracting it must shift levels
+    args = FusedArgs(calib=CalibArgs(dark=dark, use_cosmetic=False),
+                     stack=StackArgs(method="rej", rejection=rj.SIGMA),
+                     starfinder=StarFinderParams(radius=6))
+    res = fused_preprocess_stack(seq, args)
+    out = res.image.host()[0]
+    # background ≈ base background − dark level
+    bg_out = np.median(out)
+    bg_base = np.median(base)
+    assert abs((bg_base - bg_out) - dark_level) < 0.005
+
+
+def test_fusedstack_command(tmp_path):
+    from siril_tpu.cli.commands import COMMANDS
+    from siril_tpu.cli.context import Session
+
+    rng = np.random.default_rng(5)
+    make_seq(tmp_path, rng, [(0, 0), (3, 1), (-2, 2)])
+    ctx = Session(cwd=str(tmp_path))
+    COMMANDS["fusedstack"].fn(ctx, ["fl_", "rej", "3", "3", "-out=final"])
+    assert os.path.exists(tmp_path / "final.fit")
+    assert ctx.image is not None
