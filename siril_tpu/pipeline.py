@@ -112,11 +112,10 @@ def fused_preprocess_stack(seq: Sequence, args: Optional[FusedArgs] = None
         ref_abs = seq.get_reference()
         if ref_abs in list(indices):
             ref_pos = int(np.nonzero(indices == ref_abs)[0][0])
-        stars_all = []
-        for k in range(n):
-            stars = detect_stars(np.asarray(frames[k, layer]),
-                                 args.starfinder, max_stars=args.max_stars)
-            stars_all.append(stars)
+        from siril_tpu.registration.starfinder import detect_stars_batch
+
+        stars_all = detect_stars_batch(frames[:, layer], args.starfinder,
+                                       max_stars=args.max_stars)
         ref_stars = stars_all[ref_pos]
         if len(ref_stars) < args.min_pairs:
             raise RuntimeError("not enough stars on the reference frame")

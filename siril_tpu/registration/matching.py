@@ -44,72 +44,73 @@ class MatchResult:
 
 
 def _triangles(pts: np.ndarray, max_stars: int = 25):
+    """All C(n,3) triangles, fully vectorized.
+
+    Returns (points, invariants[T,2] = (b/a, c/a) with a≥b≥c, and
+    canonical vertex order[T,3]: vertices sorted by ascending sum of
+    adjacent side lengths — equivalently by DESCENDING opposite side)."""
     n = min(len(pts), max_stars)
-    p = pts[:n]
-    tris = []
-    for (i, j, k) in combinations(range(n), 3):
-        d = np.array([np.hypot(*(p[j] - p[i])), np.hypot(*(p[k] - p[j])),
-                      np.hypot(*(p[k] - p[i]))])
-        order = np.argsort(d)[::-1]          # a >= b >= c
-        a, b, c = d[order]
-        if a < 1e-6 or c / a < 0.05:         # degenerate/thin triangles
-            continue
-        # vertex opposite each side, arranged canonical
-        verts = [(j, k, i), (i, k, j), (i, j, k)]
-        tris.append((b / a, c / a, (i, j, k), a))
-    return p, tris
+    p = np.asarray(pts[:n], np.float64)
+    if n < 3:
+        return p, np.zeros((0, 2)), np.zeros((0, 3), np.int32)
+    combos = np.array(list(combinations(range(n), 3)), np.int32)  # [T,3]
+    pi = p[combos[:, 0]]
+    pj = p[combos[:, 1]]
+    pk = p[combos[:, 2]]
+    # opposite side lengths per vertex: d_opp[i] = |j-k| etc.
+    d_opp = np.stack([
+        np.hypot(*(pj - pk).T),          # opposite vertex i
+        np.hypot(*(pi - pk).T),          # opposite vertex j
+        np.hypot(*(pi - pj).T),          # opposite vertex k
+    ], axis=1)                            # [T,3]
+    srt = np.sort(d_opp, axis=1)[:, ::-1]             # a >= b >= c
+    a, b, c = srt[:, 0], srt[:, 1], srt[:, 2]
+    good = (a > 1e-6) & (c / np.maximum(a, 1e-12) >= 0.05)
+    inv = np.stack([b / np.maximum(a, 1e-12),
+                    c / np.maximum(a, 1e-12)], axis=1)[good]
+    # canonical vertex order: descending opposite side
+    order = np.argsort(-d_opp, axis=1, kind="stable")[good]       # [T,3]
+    verts = np.take_along_axis(combos[good], order, axis=1)
+    return p, inv, verts.astype(np.int32)
 
 
 def match_triangles(stars_ref: np.ndarray, stars_frame: np.ndarray,
                     max_stars: int = 25, tol: float = 0.01):
-    """Triangle-space voting → list of (ref_idx, frame_idx) pairs."""
-    pr, tr = _triangles(stars_ref, max_stars)
-    pf, tf = _triangles(stars_frame, max_stars)
-    if not tr or not tf:
+    """Triangle-space voting → list of (ref_idx, frame_idx) pairs.
+    Vectorized (atFindTrans equivalent): invariant-space candidate pairs
+    via one distance matrix, votes accumulated with np.add.at."""
+    pr, inv_r, vr = _triangles(stars_ref, max_stars)
+    pf, inv_f, vf = _triangles(stars_frame, max_stars)
+    if len(inv_r) == 0 or len(inv_f) == 0:
         return []
-    inv_r = np.array([[t[0], t[1]] for t in tr])
-    inv_f = np.array([[t[0], t[1]] for t in tf])
-    votes: dict = {}
-    # match invariants with a kd-ish brute force (few thousand each)
     d2 = ((inv_r[:, None, :] - inv_f[None, :, :]) ** 2).sum(-1)
-    cand = np.argwhere(d2 < tol * tol)
-    for (a, b) in cand:
-        (i1, j1, k1) = tr[a][2]
-        (i2, j2, k2) = tf[b][2]
-        # align vertices by side-length correspondence: sort each
-        # triangle's vertices by (sum of adjacent side lengths)
-        for (u, v) in _vertex_pairing(pr, (i1, j1, k1), pf, (i2, j2, k2)):
-            votes[(u, v)] = votes.get((u, v), 0) + 1
-    if not votes:
+    ca, cb = np.nonzero(d2 < tol * tol)
+    if ca.size == 0:
         return []
+    votes = np.zeros((len(pr), len(pf)), np.int32)
+    np.add.at(votes, (vr[ca].ravel(), vf[cb].ravel()), 1)
+    vmax = int(votes.max())
+    if vmax == 0:
+        return []
+    thresh = max(vmax // 4, 2)
     # greedy: strongest unique pairings
-    items = sorted(votes.items(), key=lambda kv: -kv[1])
-    thresh = max(items[0][1] // 4, 2)
-    used_r, used_f, pairs = set(), set(), []
-    for (u, v), c in items:
-        if c < thresh:
+    flat = votes.ravel()
+    order = np.argsort(flat)[::-1]
+    used_r = np.zeros(len(pr), bool)
+    used_f = np.zeros(len(pf), bool)
+    pairs = []
+    nf = len(pf)
+    for k in order:
+        cnt = int(flat[k])
+        if cnt < thresh:
             break
-        if u in used_r or v in used_f:
+        u, v = divmod(int(k), nf)
+        if used_r[u] or used_f[v]:
             continue
-        used_r.add(u)
-        used_f.add(v)
+        used_r[u] = True
+        used_f[v] = True
         pairs.append((u, v))
     return pairs
-
-
-def _vertex_pairing(pr, tri_r, pf, tri_f):
-    def keyed(p, tri):
-        pts = [p[i] for i in tri]
-        out = []
-        for ix, i in enumerate(tri):
-            s = sum(np.hypot(*(pts[ix] - pts[jx]))
-                    for jx in range(3) if jx != ix)
-            out.append((s, i))
-        return [i for _, i in sorted(out)]
-
-    kr = keyed(pr, tri_r)
-    kf = keyed(pf, tri_f)
-    return list(zip(kr, kf))
 
 
 # ---------------------------------------------------------------------------

@@ -149,8 +149,13 @@ def detect_stars(layer: np.ndarray, params: Optional[StarFinderParams] = None,
                         0.5 < s2.fwhmx <= small:
                     stars[i] = s2
 
-    # quality filters (minimize_candidates checks)
-    sat = float(np.max(layer))
+    return _filter_and_dedup(stars, x0s, y0s, R, box, p, noise,
+                             float(np.max(layer)))
+
+
+def _filter_and_dedup(stars, x0s, y0s, R, box, p, noise, sat):
+    """Quality filters + min-separation dedup (minimize_candidates
+    checks, star_finder.c:569)."""
     keep: List[PSFStar] = []
     for i, s in enumerate(stars):
         if not np.isfinite([s.A, s.B, s.x0, s.y0, s.fwhmx, s.fwhmy]).all():
@@ -182,6 +187,128 @@ def detect_stars(layer: np.ndarray, params: Optional[StarFinderParams] = None,
         if all((s.x0 - t.x0) ** 2 + (s.y0 - t.y0) ** 2 >= min_d2
                for t in out):
             out.append(s)
+    return out
+
+
+@lru_cache(maxsize=8)
+def _batch_candidate_fn(r: int, k: int):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    single = _candidate_fn(r, k)
+
+    @jax.jit
+    def run(frames, thrs):
+        # per-frame detection stats on device: median + MAD noise
+        return jax.vmap(single)(frames, thrs)
+
+    return run
+
+
+@lru_cache(maxsize=8)
+def _batch_stats_fn():
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(frames):
+        n = frames.shape[0]
+        flat = frames.reshape(n, -1)
+        med = jnp.median(flat, axis=1)
+        mad = jnp.median(jnp.abs(flat - med[:, None]), axis=1)
+        mx = flat.max(axis=1)
+        return jnp.stack([med, 1.4826 * mad, mx])
+
+    return run
+
+
+@lru_cache(maxsize=8)
+def _batch_gather_fn(b: int):
+    import jax
+    from jax import lax
+
+    @jax.jit
+    def run(frames, fi, ys, xs):
+        def one(i, y0, x0):
+            return lax.dynamic_slice(frames[i], (y0, x0), (b, b))
+        return jax.vmap(one)(fi, ys, xs)
+
+    return run
+
+
+def detect_stars_batch(frames, params: Optional[StarFinderParams] = None,
+                       max_stars: int = 500) -> List[List[PSFStar]]:
+    """Batched peaker over N frames in a handful of device calls — used
+    by the fused pipeline where per-frame round-trips through the axon
+    tunnel (~30 ms latency each) dominate per-frame detection.
+
+    ``frames``: (N, H, W) array (device-resident or host).  Detection
+    noise uses the device MAD estimate (≈ bgnoise on sky-dominated
+    frames) instead of the host k-sigma estimator of the single-frame
+    path.  Returns one star list per frame.
+    """
+    import jax.numpy as jnp
+
+    p = params or StarFinderParams()
+    frames = jnp.asarray(frames, jnp.float32)
+    N, H, W = frames.shape
+    R = int(p.radius)
+    box = 2 * R + 1
+    if H < 4 * box or W < 4 * box:
+        R = max(min(H, W) // 8, 3)
+        box = 2 * R + 1
+    K = int(max_stars)
+
+    stats = np.asarray(_batch_stats_fn()(frames))       # [3, N] one fetch
+    bgs, noises, sats = stats[0], np.maximum(stats[1], 1e-7), stats[2]
+    thrs = (bgs + p.sigma * noises).astype(np.float32)
+
+    vals, idx = _batch_candidate_fn(R, K)(frames, jnp.asarray(thrs))
+    vals = np.asarray(vals)                             # [N, K] one fetch
+    idx = np.asarray(idx)
+
+    # flatten valid candidates across frames
+    fi, ki = np.nonzero(vals > -np.inf)
+    if fi.size == 0:
+        return [[] for _ in range(N)]
+    cy = (idx[fi, ki] // W).astype(np.int32)
+    cx = (idx[fi, ki] % W).astype(np.int32)
+    y0s = np.clip(cy - R, 0, H - box).astype(np.int32)
+    x0s = np.clip(cx - R, 0, W - box).astype(np.int32)
+    patches = np.asarray(_batch_gather_fn(box)(
+        frames, jnp.asarray(fi.astype(np.int32)), jnp.asarray(y0s),
+        jnp.asarray(x0s)))                              # one fetch
+
+    fit = fit_psf_batch(patches, profile=p.profile)     # one device call
+    stars = stars_from_fit(fit, x0s, y0s, box, p.profile)
+
+    # second-chance refit for blended candidates (same rule as the
+    # single-frame path): one extra batched fit on smaller crops
+    if box >= 13:
+        retry = [i for i, s in enumerate(stars)
+                 if np.isfinite(s.fwhmx) and
+                 (s.roundness < p.roundness or s.fwhmx > box / 2)]
+        if retry:
+            half = box // 2
+            small = (half // 2) * 2 + 1
+            off = (box - small) // 2
+            sub = patches[retry][:, off:off + small, off:off + small]
+            fit2 = fit_psf_batch(sub, profile=p.profile)
+            stars2 = stars_from_fit(fit2, x0s[retry] + off,
+                                    y0s[retry] + off, small, p.profile)
+            for k, i in enumerate(retry):
+                s2 = stars2[k]
+                if s2.roundness > stars[i].roundness and \
+                        0.5 < s2.fwhmx <= small:
+                    stars[i] = s2
+
+    out: List[List[PSFStar]] = []
+    for f in range(N):
+        sel = np.nonzero(fi == f)[0]
+        out.append(_filter_and_dedup(
+            [stars[i] for i in sel], x0s[sel], y0s[sel], R, box, p,
+            float(noises[f]), float(sats[f])))
     return out
 
 

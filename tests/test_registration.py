@@ -231,3 +231,28 @@ def test_register_scale_and_extref(tmp_path):
     # frame content at (0,0), ext at (+1,+1) → H maps frame→ext = +1
     assert abs(H[0][0, 2] - 1) < 0.3 and abs(H[0][1, 2] - 1) < 0.3
     assert abs(H[1][0, 2] - (-2)) < 0.3    # ext(+1) − frame(+3) = −2
+
+
+def test_detect_stars_batch_matches_single(rng):
+    """Batched detection finds the same stars as the per-frame path."""
+    from siril_tpu.registration.starfinder import (
+        StarFinderParams,
+        detect_stars,
+        detect_stars_batch,
+    )
+
+    imgs = []
+    poss = []
+    for k in range(4):
+        img, pos = star_field(rng, h=160, w=160, n=12, margin=30)
+        imgs.append(img)
+        poss.append(pos)
+    batch = detect_stars_batch(np.stack(imgs), StarFinderParams(radius=6))
+    assert len(batch) == 4
+    for k in range(4):
+        single = detect_stars(imgs[k], StarFinderParams(radius=6))
+        # same star count within 2 and matching positions
+        assert abs(len(batch[k]) - len(single)) <= 2
+        for s in single[:8]:
+            d = min(np.hypot(t.x0 - s.x0, t.y0 - s.y0) for t in batch[k])
+            assert d < 0.5
