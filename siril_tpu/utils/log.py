@@ -11,6 +11,14 @@ _hooks: List[Callable[[str, str], None]] = []
 _progress_hooks: List[Callable[[float, Optional[str]], None]] = []
 _lock = threading.Lock()
 verbosity = 1
+_MAX_BUFFER = 10000
+_buffer: List[str] = []          # ring buffer (GUI console equivalent)
+
+
+def get_log_buffer() -> List[str]:
+    """Recent log lines (sirilpy get_siril_log backing store)."""
+    with _lock:
+        return list(_buffer)
 
 
 def add_log_hook(fn) -> None:
@@ -27,6 +35,9 @@ def _emit(level: str, msg: str) -> None:
             stream = sys.stderr if level == "error" else sys.stdout
             prefix = {"error": "Error: ", "warning": "Warning: "}.get(level, "")
             print(f"{prefix}{msg}", file=stream, flush=True)
+        _buffer.append(msg)
+        if len(_buffer) > _MAX_BUFFER:
+            del _buffer[:_MAX_BUFFER // 2]
         for h in _hooks:
             try:
                 h(level, msg)

@@ -87,3 +87,69 @@ class TestInterface:
 
         out = read_fits(os.path.join(iface.ctx.cwd, "out.fit"))
         np.testing.assert_allclose(out.host(), 0.1, atol=1e-6)
+
+
+def test_extended_interface(tmp_path):
+    """sirilpy surface extensions: frames, bgsamples, polygons, plots,
+    selection stats, header import, log buffer."""
+    import os
+
+    from siril_tpu.pythonmodule.connection import SirilInterface
+
+    rng = np.random.default_rng(2)
+    s = SirilInterface()
+    s.connect(str(tmp_path))
+    # create a small sequence on disk through the file helpers
+    imgs = []
+    for i in range(3):
+        img = SirilImage(data=rng.uniform(0.1, 0.6, (1, 32, 32))
+                         .astype(np.float32))
+        s.save_image_file(img, f"py_{i + 1:05d}.fit", bitdepth=16)
+        imgs.append(img)
+    seq = s.create_new_seq("pyseq", [f"py_{i + 1:05d}.fit"
+                                     for i in range(3)])
+    assert s.get_seq_frame_count() == 3
+    assert s.get_seq_frame_filename(0).endswith("py_00001.fit")
+    assert s.get_seq_imgdata(1)["incl"]
+    # frame pixel write-back
+    newdata = np.full((32, 32), 0.25, np.float32)
+    s.set_seq_frame_pixeldata(1, newdata)
+    back = s.get_seq_frame_pixeldata(1)
+    assert abs(float(back.mean()) - 0.25) < 1e-3
+
+    s.cmd("load", "py_00001.fit")
+    assert s.is_image_loaded()
+    s.set_selection(4, 4, 16, 16)
+    st = s.get_selection_stats(0)
+    assert 0.05 < st.median < 0.7
+    # header string import
+    s.set_image_metadata_from_header_string("MYKEY = 7 / comment")
+    assert s.get_image_keywords().extra["MYKEY"] == 7
+    assert "MYKEY" in s.get_image_unknown_keys()
+    # bg samples + polygons
+    s.set_image_bgsamples([(4, 4), (20, 20)])
+    assert len(s.get_image_bgsamples()) == 2
+    s.clear_image_bgsamples()
+    assert s.get_image_bgsamples() == []
+    s.mask_add_polygon([(2, 2), (30, 2), (30, 30), (2, 30)])
+    m = s.get_image_mask()
+    assert m is not None and m[16, 16] == 1.0 and m[0, 0] == 0.0
+    s.mask_subtract_polygon([(10, 10), (22, 10), (22, 22), (10, 22)])
+    assert s.get_image_mask()[16, 16] == 0.0
+    # plots
+    assert s.xy_plot({"x": [1, 2, 3], "y": [2, 4, 9], "title": "t"})
+    assert any(f.startswith("plot_") and f.endswith(".dat")
+               for f in os.listdir(tmp_path))
+    # log buffer
+    s.log("hello-from-test")
+    assert any("hello-from-test" in ln for ln in s.get_siril_log(10))
+    # display-state holders round-trip
+    s.set_siril_zoom(2.0)
+    assert s.get_siril_panzoom()[2] == 2.0
+    s.set_siril_stf_linked(False)
+    assert not s.get_siril_stf_linked()
+    # messageboxes auto-acknowledge headless
+    assert s.confirm_messagebox("t", "m")
+    # analyse from file
+    info = s.analyse_image_from_file("py_00002.fit")
+    assert info["shape"] == (1, 32, 32)
