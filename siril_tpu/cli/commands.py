@@ -1866,7 +1866,7 @@ def cmd_split(ctx, args):
     log_message(f"Split into {space} channels")
 
 
-@command("rgbcomp", "rgbcomp r g b [-out=]", min_args=3)
+@command("rgbcomp", "rgbcomp r g b [-align] [-out=]", min_args=3)
 def cmd_rgbcomp(ctx, args):
     from siril_tpu.io.fits_io import write_fits
     from siril_tpu.ops.colors import rgb_compose
@@ -1876,6 +1876,10 @@ def cmd_rgbcomp(ctx, args):
     g = _load_operand(ctx, pos[1])
     b = _load_operand(ctx, pos[2])
     out = rgb_compose(r, g, b)
+    if "align" in flags:
+        from siril_tpu.ops.colors import align_rgb_channels
+
+        out = align_rgb_channels(out)
     name = flags.get("out") if isinstance(flags.get("out"), str) else "composed"
     write_fits(out, ctx.path(name + ctx.ext))
     ctx.set_image(out, name)

@@ -261,3 +261,34 @@ def rgb_compose(r: SirilImage, g: SirilImage, b: SirilImage) -> SirilImage:
     out = r.copy(data=data)
     out.log_history("RGB composition")
     return out
+
+
+def align_rgb_channels(img: SirilImage) -> SirilImage:
+    """Compositing channel alignment (src/compositing/align_rgb.c):
+    register R and B onto G by FFT phase correlation with sub-pixel
+    refinement, then shift each channel into alignment."""
+    import jax.numpy as jnp
+
+    from siril_tpu.registration.shift import phase_correlate
+
+    if img.nchans != 3:
+        return img
+    data = img.host()
+    ref = data[1]
+    others = np.stack([data[0], data[2]])
+    d = phase_correlate(ref, others)           # frame→ref translations
+    out = data.copy()
+    from siril_tpu.ops.interp import INTERP_BILINEAR, warp_homography
+
+    for k, c in enumerate((0, 2)):
+        dx, dy = float(d[k][0]), float(d[k][1])
+        if abs(dx) < 0.05 and abs(dy) < 0.05:
+            continue
+        H = np.eye(3)
+        H[0, 2], H[1, 2] = dx, dy
+        out[c] = warp_homography(data[c][None], H,
+                                 (img.height, img.width),
+                                 INTERP_BILINEAR, clamp=False)[0]
+    res = img.copy(data=out)
+    res.log_history("RGB channel alignment")
+    return res

@@ -116,3 +116,65 @@ def test_op_descriptor_registry():
     assert get("geom.crop").geometry_changing
     assert get("stack.rej").mem_ratio > get("stretch.mtf").mem_ratio
     assert get("nope.nope") is None
+
+
+def test_siegel_and_poly_fit():
+    from siril_tpu.ops.fitting import (
+        find_linear_coeff,
+        poly_fit,
+        robust_poly_fit,
+        siegel_fit,
+    )
+
+    rng = np.random.default_rng(13)
+    x = np.linspace(0, 10, 60)
+    y = 2.5 * x + 1.0 + rng.normal(0, 0.05, 60)
+    y[::7] += 15.0                        # gross outliers
+    s, i = siegel_fit(x, y)
+    assert abs(s - 2.5) < 0.05 and abs(i - 1.0) < 0.3
+    # plain LSQ is pulled by outliers; robust fit is not
+    c_plain = poly_fit(x, y, 1)
+    c_rob = robust_poly_fit(x, y, 1)
+    assert abs(c_rob[1] - 2.5) < abs(c_plain[1] - 2.5)
+    # linear match coefficients
+    img = rng.uniform(0.1, 0.8, (64, 64)).astype(np.float32)
+    ref = 0.7 * img + 0.05
+    a, b = find_linear_coeff(img, ref)
+    assert abs(a - 0.7) < 0.01 and abs(b - 0.05) < 0.01
+
+
+def test_curve_transform():
+    from siril_tpu.core.image import SirilImage
+    from siril_tpu.ops.curves import CURVE_LINEAR, apply_curve, build_curve_lut
+
+    # identity curve changes nothing
+    lut = build_curve_lut([(0, 0), (1, 1)])
+    assert abs(lut[2048] - 0.5) < 1e-3
+    img = SirilImage(data=np.full((1, 16, 16), 0.25, np.float32))
+    out = apply_curve(img, [(0, 0), (0.5, 0.8), (1, 1)])
+    # S-boost lifts 0.25 above linear
+    assert float(out.host().mean()) > 0.35
+    out2 = apply_curve(img, [(0, 0), (1, 1)], algo=CURVE_LINEAR)
+    assert abs(float(out2.host().mean()) - 0.25) < 1e-3
+    # spline passes through control points
+    lut2 = build_curve_lut([(0, 0), (0.5, 0.8), (1, 1)])
+    assert abs(lut2[2048] - 0.8) < 2e-3
+
+
+def test_align_rgb_channels():
+    from siril_tpu.core.image import SirilImage
+    from siril_tpu.ops.colors import align_rgb_channels
+
+    rng = np.random.default_rng(14)
+    h = w = 96
+    yy, xx = np.mgrid[0:h, 0:w]
+    g = 0.05 + rng.normal(0, 0.002, (h, w)).astype(np.float32)
+    for x0, y0 in [(30, 30), (60, 40), (45, 70), (70, 70)]:
+        g += 0.5 * np.exp(-(((xx - x0) ** 2 + (yy - y0) ** 2) / 8.0))
+    r = np.roll(np.roll(g, 2, 0), 3, 1)       # R displaced by (3,2)
+    b = np.roll(np.roll(g, -2, 0), -1, 1)
+    img = SirilImage(data=np.clip(np.stack([r, g, b]), 0, 1))
+    out = align_rgb_channels(img).host()
+    interior = np.s_[10:-10, 10:-10]
+    assert np.abs(out[0][interior] - g[interior]).mean() < 0.01
+    assert np.abs(out[2][interior] - g[interior]).mean() < 0.01
