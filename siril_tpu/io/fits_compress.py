@@ -238,18 +238,33 @@ def build_compressed_hdu(data_chw: np.ndarray, bitpix: int,
     else:
         raise ValueError("compressed write supports bitpix 16 or -32")
 
-    tiles = []
-    for ch in range(c):
-        for row in range(h):
-            tiles.append(compress_tile(planes[ch, row], cmptype, bytepix))
-    heap = b"".join(tiles)
-    ntiles = len(tiles)
-    desc = np.zeros((ntiles, 2), ">i4")
-    off = 0
-    for k, t in enumerate(tiles):
-        desc[k, 0] = len(t)
-        desc[k, 1] = off
-        off += len(t)
+    ntiles = c * h
+    heap = None
+    if cmptype == "RICE_1" and bytepix == 2:
+        # native OpenMP batch coder (native/sirilio.cpp rice_encode_tiles)
+        from siril_tpu import native
+
+        res = native.rice_encode_tiles_i16(
+            planes.reshape(ntiles, w).astype(np.int16)) \
+            if native.available() else None
+        if res is not None:
+            heap, offs, lens = res
+            desc = np.zeros((ntiles, 2), ">i4")
+            desc[:, 0] = lens
+            desc[:, 1] = offs
+    if heap is None:
+        tiles = []
+        for ch in range(c):
+            for row in range(h):
+                tiles.append(compress_tile(planes[ch, row], cmptype,
+                                           bytepix))
+        heap = b"".join(tiles)
+        desc = np.zeros((ntiles, 2), ">i4")
+        off = 0
+        for k, t in enumerate(tiles):
+            desc[k, 0] = len(t)
+            desc[k, 1] = off
+            off += len(t)
 
     cards = [
         ("XTENSION", "BINTABLE", "binary table extension"),
@@ -261,7 +276,7 @@ def build_compressed_hdu(data_chw: np.ndarray, bitpix: int,
         ("GCOUNT", 1, ""),
         ("TFIELDS", 1, ""),
         ("TTYPE1", "COMPRESSED_DATA", ""),
-        ("TFORM1", f"1PB({max(len(t) for t in tiles) if tiles else 0})", ""),
+        ("TFORM1", f"1PB({int(desc[:, 0].max()) if ntiles else 0})", ""),
         ("ZIMAGE", True, "tiled image compression"),
         ("ZCMPTYPE", cmptype, ""),
         ("ZBITPIX", bitpix, ""),
@@ -313,6 +328,19 @@ def read_compressed_hdu(buf: bytes, hdr) -> Tuple[np.ndarray, int]:
     heap_start = ntiles * 8
     out = np.empty((c, h, w), np.float64)
     is_float = zbitpix < 0
+    if cmptype == "RICE_1" and bytepix == 2 and not is_float:
+        from siril_tpu import native
+
+        if native.available():
+            dec = native.rice_decode_tiles_i16(
+                buf[heap_start:], desc[:, 1].astype(np.int64),
+                desc[:, 0].astype(np.int64), w)
+            if dec is not None:
+                out[:] = (dec.reshape(c, h, w).astype(np.float64)
+                          * bscale + bzero)
+                out /= 65535.0
+                return (np.clip(out, 0.0, 1.0).astype(np.float32),
+                        zbitpix)
     for k in range(ntiles):
         ln, off = int(desc[k, 0]), int(desc[k, 1])
         raw = buf[heap_start + off:heap_start + off + ln]

@@ -59,6 +59,16 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         ctypes.c_double, ctypes.c_double]
     lib.sirilio_version.restype = ctypes.c_int
     lib.sirilio_threads.restype = ctypes.c_int
+    i64 = ctypes.c_int64
+    i64p = ctypes.POINTER(i64)
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    lib.rice_encode_tile.argtypes = [i64p, i64, ctypes.c_int, u8p, i64]
+    lib.rice_encode_tile.restype = i64
+    lib.rice_decode_tile.argtypes = [u8p, i64, i64, ctypes.c_int, i64p]
+    lib.rice_encode_tiles_i16.argtypes = [i16p, i64, i64, u8p, i64, i64p,
+                                          i64p]
+    lib.rice_encode_tiles_i16.restype = i64
+    lib.rice_decode_tiles_i16.argtypes = [u8p, i64p, i64p, i64, i64, i16p]
     return lib
 
 
@@ -127,3 +137,45 @@ def assemble_block_i16(raw_planes, dst: np.ndarray, w: int, h: int,
         dy.astype(np.int32).ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         bzero, bscale)
     return True
+
+
+def rice_encode_tiles_i16(data: np.ndarray):
+    """Batch RICE-encode [ntiles, tile_pix] int16 rows (native, OpenMP).
+    Returns (heap_bytes, offsets, lengths) or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    d = np.ascontiguousarray(data, np.int16)
+    ntiles, tile_pix = d.shape
+    cap = int(d.nbytes * 2 + ntiles * 64)
+    heap = np.empty(cap, np.uint8)
+    offsets = np.empty(ntiles, np.int64)
+    lengths = np.empty(ntiles, np.int64)
+    total = lib.rice_encode_tiles_i16(
+        d.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        ntiles, tile_pix,
+        heap.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if total < 0:
+        return None
+    return heap[:total].tobytes(), offsets, lengths
+
+
+def rice_decode_tiles_i16(heap: bytes, offsets: np.ndarray,
+                          lengths: np.ndarray, tile_pix: int):
+    lib = get_lib()
+    if lib is None:
+        return None
+    hb = np.frombuffer(heap, np.uint8)
+    ntiles = len(offsets)
+    out = np.empty((ntiles, tile_pix), np.int16)
+    lib.rice_decode_tiles_i16(
+        hb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        np.ascontiguousarray(offsets, np.int64).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int64)),
+        np.ascontiguousarray(lengths, np.int64).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int64)),
+        ntiles, tile_pix,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+    return out
