@@ -114,3 +114,75 @@ def sharded_rejection_kernel(mesh: Mesh, rtype: int, siglow: float,
                                  n_full=n_frames)
 
     return jax.jit(step, in_shardings=(pix,), out_shardings=(out, out, out))
+
+
+def fused_pipeline_step(mesh: Mesh, rtype: int, mode: int,
+                        siglow: float, sighigh: float,
+                        n_frames: int, height: int, width: int,
+                        interp_method: int = 1):
+    """Multi-chip fused calibrate→warp→stack step (the sharded variant of
+    siril_tpu/pipeline.py):
+
+      raw u16 frames [N, H, W]   sharded (frame, ·, ·)   — dp over frames
+        → device decode + dark/flat calibration          [frame-parallel]
+        → per-frame homography warp (vmap)               [frame-parallel]
+        → reshard [N, H·W] to (·, pix)                   [all_to_all]
+        → per-frame estimators + coefficients            [pix-reduced psum]
+        → fused normalize+reject+mean                    [pixel-parallel]
+
+    Masters and homographies are replicated (tiny). All collectives come
+    from sharding annotations — XLA emits all_to_all for the reshard and
+    psum/all_gather for the estimator reductions over ICI.
+    """
+    from siril_tpu.ops import rejection as rj
+    from siril_tpu.ops.interp import _warp_body
+    from siril_tpu.ops.normalization import (ADDITIVE, ADDITIVE_SCALING,
+                                             MULTIPLICATIVE,
+                                             MULTIPLICATIVE_SCALING, NO_NORM)
+    from siril_tpu.ops.statistics import norm_estimators_jax
+
+    frame_sh = NamedSharding(mesh, P("frame", None, None))
+    rep = NamedSharding(mesh, P())
+    pix_sh = NamedSharding(mesh, P(None, "pix"))
+    out_sh = NamedSharding(mesh, P("pix"))
+
+    def step(raw_i16, Hinvs, dark, flat, ref_pos):
+        x = (raw_i16.astype(jnp.float32) + 32768.0) * (1.0 / 65535.0)
+        x = x - dark[None]
+        fl = jnp.where(flat == 0.0, 1.0, flat)[None]
+        x = jnp.where(flat[None] == 0.0, 0.0, x / fl)
+        # per-frame warp: frame-parallel, no cross-chip traffic
+        warped = jax.vmap(
+            lambda p, hi: _warp_body(p[None], hi, height, width,
+                                     interp_method, False)[0]
+        )(x, Hinvs)
+        flat_px = warped.reshape(n_frames, height * width)
+        flat_px = jax.lax.with_sharding_constraint(flat_px, pix_sh)
+
+        est = norm_estimators_jax(flat_px, lite=True)
+        loc = est["location"]
+        sca = est["scale"]
+        loc0 = loc[ref_pos]
+        sca0 = sca[ref_pos]
+        if mode in (ADDITIVE_SCALING, MULTIPLICATIVE_SCALING):
+            scale = jnp.where(sca == 0.0, 1.0,
+                              sca0 / jnp.where(sca == 0, 1.0, sca))
+        else:
+            scale = jnp.ones_like(sca)
+        if mode in (ADDITIVE, ADDITIVE_SCALING):
+            normed = jnp.where(flat_px != 0.0,
+                               flat_px * scale[:, None]
+                               - (scale * loc - loc0)[:, None], 0.0)
+        elif mode in (MULTIPLICATIVE, MULTIPLICATIVE_SCALING):
+            mul = jnp.where(loc == 0.0, 1.0,
+                            loc0 / jnp.where(loc == 0, 1.0, loc))
+            normed = flat_px * scale[:, None] * mul[:, None]
+        else:
+            normed = flat_px
+        mean, rl, rh = rj.rejection_mean(normed, rtype, siglow, sighigh,
+                                         n_full=n_frames)
+        return mean, rl.sum(), rh.sum()
+
+    return jax.jit(step,
+                   in_shardings=(frame_sh, rep, rep, rep, None),
+                   out_shardings=(out_sh, None, None))

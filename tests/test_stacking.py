@@ -196,3 +196,41 @@ def test_overlap_normalization_recovers_offsets(tmp_path):
     co2 = compute_overlap_normalization(seq, np.arange(3), ADDITIVE_SCALING)
     np.testing.assert_allclose(co2.scale[0], 1.0, atol=0.05)
     np.testing.assert_allclose(co2.offset[0], [0.0, 0.05, -0.03], atol=4e-3)
+
+
+def test_fused_pipeline_step_multichip():
+    """Sharded fused step (decode+calibrate+warp+reshard+stack) compiles
+    and executes on the virtual 8-device mesh and matches a single-device
+    reference computation."""
+    import jax
+    import jax.numpy as jnp
+
+    from siril_tpu.ops import rejection as rj
+    from siril_tpu.ops.normalization import ADDITIVE_SCALING
+    from siril_tpu.parallel.sharding import fused_pipeline_step, make_mesh
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(7)
+    N, H, W = 8, 32, 32
+    raw = rng.integers(-20000, 20000, (N, H, W)).astype(np.int16)
+    Hinvs = np.tile(np.eye(3, dtype=np.float32), (N, 1, 1))
+    dark = np.zeros((H, W), np.float32)
+    flat = np.ones((H, W), np.float32)
+
+    mesh = make_mesh(2, 4, devices=devs[:8])
+    step = fused_pipeline_step(mesh, rj.SIGMA, ADDITIVE_SCALING,
+                               3.0, 3.0, N, H, W)
+    mean, rl, rh = step(jnp.asarray(raw), jnp.asarray(Hinvs),
+                        jnp.asarray(dark), jnp.asarray(flat), 0)
+    mean = np.asarray(mean)
+    # single-device reference: identity warp → decode + sigma stack
+    mesh1 = make_mesh(1, 1, devices=devs[:1])
+    step1 = fused_pipeline_step(mesh1, rj.SIGMA, ADDITIVE_SCALING,
+                                3.0, 3.0, N, H, W)
+    mean1 = np.asarray(step1(jnp.asarray(raw), jnp.asarray(Hinvs),
+                             jnp.asarray(dark), jnp.asarray(flat), 0)[0])
+    np.testing.assert_allclose(mean, mean1, atol=1e-5)
