@@ -45,6 +45,12 @@ def main(argv=None) -> int:
     ap.add_argument("command", nargs="*", help="single command to run")
     args = ap.parse_args(argv)
 
+    # xprof device tracing: SIRIL_TPU_TRACE=<dir> captures a profiler
+    # trace of the whole run (utils/trace.py, SURVEY §5)
+    from siril_tpu.utils.trace import maybe_trace_env
+
+    maybe_trace_env()
+
     if args.version:
         from siril_tpu.cli.commands import VERSION
 

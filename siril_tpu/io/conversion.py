@@ -54,6 +54,10 @@ def load_any(path: str) -> SirilImage:
         from siril_tpu.io.xisf import read_xisf
 
         return read_xisf(path)
+    if ext == ".pic":
+        from siril_tpu.io.internal_formats import read_pic
+
+        return read_pic(path)
     raise ValueError(f"unsupported input format: {path}")
 
 

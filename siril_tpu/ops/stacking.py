@@ -558,9 +558,13 @@ def _resident_stack(seq: Sequence, args: StackArgs,
         a = mm[:, ::-1, :] if r.bottom_up else mm
         raw[k] = np.ascontiguousarray(a).astype("<i2").reshape(L, H * W)
 
-    list(pool.map(one, range(n)))
+    from siril_tpu.utils.trace import stage
+
+    with stage("stack.read_raw"):
+        list(pool.map(one, range(n)))
     pool.shutdown(wait=False)
-    dev = jax.device_put(raw)                 # the single big upload
+    with stage("stack.upload"):
+        dev = jax.device_put(raw)             # the single big upload
 
     do_norm = args.normalize != NO_NORM
     if do_norm:
@@ -613,7 +617,8 @@ def _resident_stack(seq: Sequence, args: StackArgs,
     # ONE device→host fetch for everything
     packed = jnp.concatenate(
         [jnp.stack(means).ravel(), rl_tot[None], rh_tot[None]])
-    host = np.asarray(packed)
+    with stage("stack.kernel+fetch"):
+        host = np.asarray(packed)
     result = host[:L * H * W].reshape(L, H, W).astype(np.float32)
     tot_rej = (int(host[-2]), int(host[-1]))
     seq.close_readers()

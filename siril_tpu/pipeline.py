@@ -85,9 +85,12 @@ def fused_preprocess_stack(seq: Sequence, args: Optional[FusedArgs] = None
             "staged calibrate/register/stack commands for this sequence")
 
     # ---- 1. upload + decode + calibrate, in frame chunks -----------------
+    from siril_tpu.utils.trace import stage
+
     cal_state = None
     if args.calib is not None:
-        cal_state = prepare_calibration(args.calib, first)
+        with stage("fused.prepare_masters"):
+            cal_state = prepare_calibration(args.calib, first)
     decoded: List = []
     pool_read = _raw_reader(seq, indices, L, H, W)
     for start in range(0, n, args.frame_chunk):
@@ -114,8 +117,10 @@ def fused_preprocess_stack(seq: Sequence, args: Optional[FusedArgs] = None
             ref_pos = int(np.nonzero(indices == ref_abs)[0][0])
         from siril_tpu.registration.starfinder import detect_stars_batch
 
-        stars_all = detect_stars_batch(frames[:, layer], args.starfinder,
-                                       max_stars=args.max_stars)
+        with stage("fused.star_detection"):
+            stars_all = detect_stars_batch(frames[:, layer],
+                                           args.starfinder,
+                                           max_stars=args.max_stars)
         ref_stars = stars_all[ref_pos]
         if len(ref_stars) < args.min_pairs:
             raise RuntimeError("not enough stars on the reference frame")
@@ -150,8 +155,9 @@ def fused_preprocess_stack(seq: Sequence, args: Optional[FusedArgs] = None
             Hs = Hs[good]
             indices = indices[good]
             n = len(indices)
-        frames = warp_homography_batch(frames, Hs, (H, W),
-                                       args.interpolation, args.clamp)
+        with stage("fused.warp"):
+            frames = warp_homography_batch(frames, Hs, (H, W),
+                                           args.interpolation, args.clamp)
 
     # ---- 4. on-device estimators + rejection stack -----------------------
     sa = args.stack
@@ -184,7 +190,8 @@ def fused_preprocess_stack(seq: Sequence, args: Optional[FusedArgs] = None
 
     packed = jnp.concatenate(
         [jnp.stack(means).ravel(), rl_tot[None], rh_tot[None]])
-    host = np.asarray(packed)                            # the ONE fetch
+    with stage("fused.stack+fetch"):
+        host = np.asarray(packed)                        # the ONE fetch
     result = host[:L * H * W].reshape(L, H, W).astype(np.float32)
     tot = (int(host[-2]), int(host[-1]))
     if sa.output_norm:

@@ -1,0 +1,94 @@
+"""First-class timing/tracing — the TPU build's answer to the
+reference's ad-hoc ``START_TIMER/END_TIMER`` macros and per-op elapsed
+logging (SURVEY §5: "add first-class timing (xprof-compatible) per
+stage").
+
+Two layers:
+
+- ``stage(name)`` context manager: wall-clock per pipeline stage,
+  accumulated in a process-wide registry; ``report()`` renders it.
+  Enabled always (nanosecond-cheap).
+- xprof device tracing: set ``SIRIL_TPU_TRACE=/path`` (or call
+  ``start_device_trace``) to capture a ``jax.profiler`` trace viewable in
+  TensorBoard/Perfetto — covers XLA kernels, transfers, and host gaps.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+from collections import defaultdict
+from contextlib import contextmanager
+from typing import Dict, Iterator, List, Tuple
+
+_lock = threading.Lock()
+_acc: Dict[str, List[float]] = defaultdict(list)
+_device_trace_dir = None
+
+
+@contextmanager
+def stage(name: str) -> Iterator[None]:
+    """Time one pipeline stage (show_time equivalent, accumulated)."""
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        dt = time.perf_counter() - t0
+        with _lock:
+            _acc[name].append(dt)
+
+
+def timings() -> Dict[str, Tuple[int, float, float]]:
+    """{stage: (calls, total_s, mean_s)}."""
+    with _lock:
+        return {k: (len(v), sum(v), sum(v) / len(v))
+                for k, v in _acc.items() if v}
+
+
+def report() -> str:
+    rows = sorted(timings().items(), key=lambda kv: -kv[1][1])
+    if not rows:
+        return "no stage timings recorded"
+    width = max(len(k) for k, _ in rows)
+    lines = [f"{'stage':<{width}}  calls   total s    mean s"]
+    for k, (n, tot, mean) in rows:
+        lines.append(f"{k:<{width}}  {n:5d}  {tot:8.3f}  {mean:8.4f}")
+    return "\n".join(lines)
+
+
+def reset() -> None:
+    with _lock:
+        _acc.clear()
+
+
+def start_device_trace(logdir: str = None) -> bool:
+    """Begin an xprof (jax.profiler) device trace."""
+    global _device_trace_dir
+    logdir = logdir or os.environ.get("SIRIL_TPU_TRACE")
+    if not logdir or _device_trace_dir:
+        return False
+    import jax
+
+    os.makedirs(logdir, exist_ok=True)
+    jax.profiler.start_trace(logdir)
+    _device_trace_dir = logdir
+    return True
+
+
+def stop_device_trace() -> bool:
+    global _device_trace_dir
+    if not _device_trace_dir:
+        return False
+    import jax
+
+    jax.profiler.stop_trace()
+    _device_trace_dir = None
+    return True
+
+
+def maybe_trace_env() -> None:
+    """Start a device trace if SIRIL_TPU_TRACE is set (called by the CLI
+    entry so any scripted run can be profiled without code changes)."""
+    if os.environ.get("SIRIL_TPU_TRACE"):
+        start_device_trace()

@@ -213,3 +213,29 @@ def test_setcompress_save_path(tmp_path):
     assert b"ZIMAGE" in blob
     back = read_fits(str(tmp_path / "b.fit"))
     assert abs(float(back.host().mean()) - 0.5) < 1e-4
+
+
+def test_pic_roundtrip(tmp_path):
+    from siril_tpu.core.image import SirilImage
+    from siril_tpu.io.conversion import load_any
+    from siril_tpu.io.internal_formats import read_pic, write_pic
+
+    rng = np.random.default_rng(8)
+    for c in (1, 3):
+        img = SirilImage(data=rng.uniform(0, 1, (c, 20, 24))
+                         .astype(np.float32))
+        img.keywords.binning_x = 2
+        p = str(tmp_path / f"t{c}.pic")
+        write_pic(img, p)
+        back = read_pic(p)
+        assert back.nchans == c
+        np.testing.assert_allclose(back.host(), img.host(),
+                                   atol=1.0 / 65535.0)
+        assert back.keywords.binning_x == 2
+    assert load_any(str(tmp_path / "t1.pic")).width == 24
+    import pytest
+
+    with open(tmp_path / "bad.pic", "wb") as f:
+        f.write(b"\x00" * 290)
+    with pytest.raises(ValueError):
+        read_pic(str(tmp_path / "bad.pic"))

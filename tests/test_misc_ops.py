@@ -178,3 +178,39 @@ def test_align_rgb_channels():
     interior = np.s_[10:-10, 10:-10]
     assert np.abs(out[0][interior] - g[interior]).mean() < 0.01
     assert np.abs(out[2][interior] - g[interior]).mean() < 0.01
+
+
+def test_stage_timers_and_report():
+    from siril_tpu.utils import trace
+
+    trace.reset()
+    with trace.stage("unit.demo"):
+        pass
+    with trace.stage("unit.demo"):
+        pass
+    t = trace.timings()
+    assert t["unit.demo"][0] == 2
+    rep = trace.report()
+    assert "unit.demo" in rep and "calls" in rep
+    trace.reset()
+    assert trace.timings() == {}
+
+
+def test_stack_records_stage_timings(tmp_path):
+    from siril_tpu.core.image import SirilImage
+    from siril_tpu.core.sequence import Sequence
+    from siril_tpu.io.fits_io import write_fits
+    from siril_tpu.ops import rejection as rj
+    from siril_tpu.ops.stacking import StackArgs, stack_sequence
+    from siril_tpu.utils import trace
+
+    rng = np.random.default_rng(15)
+    for i in range(4):
+        write_fits(SirilImage(data=rng.uniform(0.1, 0.5, (1, 32, 32))
+                              .astype(np.float32)),
+                   str(tmp_path / f"tt_{i + 1:05d}.fit"), bitdepth=16)
+    trace.reset()
+    seq = Sequence.scan("tt_", str(tmp_path))
+    stack_sequence(seq, StackArgs(method="rej", rejection=rj.SIGMA))
+    t = trace.timings()
+    assert any(k.startswith("stack.") for k in t)
