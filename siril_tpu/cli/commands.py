@@ -958,6 +958,13 @@ def _stack_args_from_flags(pos, flags):
     return sa
 
 
+def _apply_mem_budget(ctx, sa):
+    """setmem → device block budget (the reference's memory-ratio model,
+    OS_utils.c get_max_memory_in_MB driving block heights)."""
+    ratio = getattr(ctx.prefs, "memory_ratio", 0.9) or 0.9
+    sa.block_mb = max(int(2048 * min(ratio, 4.0)), 128)
+
+
 @command("stack", "stack seqfilename {sum|min|max|med|rej} [type] [sigma_low sigma_high] [-norm=] [-weight_from_…] [-out=]",
          min_args=1)
 def cmd_stack(ctx, args):
@@ -991,6 +998,7 @@ def cmd_stack(ctx, args):
                     f"{os.path.basename(p)}")
         return
     sa = _stack_args_from_flags(pos, flags)
+    _apply_mem_budget(ctx, sa)
     indices = None
     fspecs = []
     from siril_tpu.core.filtering import apply_filters, parse_filter_flag

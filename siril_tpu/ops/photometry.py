@@ -144,10 +144,19 @@ def seq_photometry(seq, x0: float, y0: float, layer: int = 0,
     cfg = cfg or PhotConfig()
     results = []
     cx, cy = x0, y0
+    # partial-window reads (readfits_partial / seq_opened_read_region
+    # path): only a strip around the tracked star is read per frame —
+    # strip height covers the fit box plus the photometry sky annulus
+    strip = box + 2 * int(np.ceil(cfg.outer)) + 8
+    H, W = seq.ry, seq.rx
+    use_partial = H > 2 * strip and seq.rx > 0
     for idx in seq.selected_indices():
-        img = seq.read_frame(int(idx))
-        lay = img.host()[min(layer, img.nchans - 1)]
-        H, W = lay.shape
+        if use_partial:
+            img = None
+        else:
+            img = seq.read_frame(int(idx))
+            lay = img.host()[min(layer, img.nchans - 1)]
+            H, W = lay.shape
         # registered position via regdata H (frame→ref): invert to find
         # the star in frame coords
         tx, ty = x0, y0
@@ -159,7 +168,17 @@ def seq_photometry(seq, x0: float, y0: float, layer: int = 0,
             tx, ty = cx, cy
         bx = int(np.clip(tx - box // 2, 0, max(W - box, 0)))
         by = int(np.clip(ty - box // 2, 0, max(H - box, 0)))
-        patch = lay[by:by + box, bx:bx + box]
+        row0 = 0
+        if use_partial:
+            row0 = int(np.clip(ty - strip // 2, 0, max(H - strip, 0)))
+            try:
+                lay = seq.read_region(min(layer, max(seq.nb_layers - 1, 0)),
+                                      int(idx), row0, row0 + strip)
+            except (ValueError, OSError):
+                img = seq.read_frame(int(idx))
+                lay = img.host()[min(layer, img.nchans - 1)]
+                row0 = 0
+        patch = lay[by - row0:by - row0 + box, bx:bx + box]
         if patch.shape != (box, box):
             results.append((int(idx), None))
             continue
@@ -171,9 +190,11 @@ def seq_photometry(seq, x0: float, y0: float, layer: int = 0,
         sy0 = by + float(fit["y0"][0])
         if follow:
             cx, cy = sx0, sy0
-        phot = measure_star(lay, sx0, sy0, fx, cfg,
-                            img.keywords.cvf or None)
-        date = img.keywords.date_obs
+        kw = (img.keywords if img is not None
+              else seq.read_frame_metadata(int(idx)))
+        phot = measure_star(lay, sx0, sy0 - row0, fx, cfg,
+                            kw.cvf or None)
+        date = kw.date_obs
         results.append((int(idx), {"phot": phot, "x": sx0, "y": sy0,
                                    "fwhm": fx, "date_obs": date}))
     return results
