@@ -955,6 +955,7 @@ def _stack_args_from_flags(pos, flags):
     sa.merge_rejmaps = flags.get("rejmap") == "merged"
     sa.output_norm = "output_norm" in flags
     sa.use_32bit = "16b" not in flags
+    sa.maximize = "maximize" in flags
     return sa
 
 
@@ -999,6 +1000,28 @@ def cmd_stack(ctx, args):
         return
     sa = _stack_args_from_flags(pos, flags)
     _apply_mem_budget(ctx, sa)
+    if "upscale" in flags:
+        # legacy x2 up-scale-before-stack (upscaling.c): materialize a
+        # temporary 2x sequence with doubled registration shifts
+        from siril_tpu.ops.geometry import resample
+
+        def up2(im):
+            return resample(im, im.width * 2, im.height * 2)
+
+        res_up = _seq_apply(ctx, pos[0], "upscaled_", "upscale x2", up2)
+        up_seq = res_up.new_seq
+        if up_seq is not None and seq.has_reg(sa.reglayer):
+            reg_src = seq.reg(sa.reglayer)
+            reg_dst = up_seq.reg(sa.reglayer)
+            sel = [int(i) for i in seq.selected_indices()]
+            for k, i in enumerate(sel[: up_seq.number]):
+                Hm = reg_src.H[i].copy()
+                Hm[0, 2] *= 2.0
+                Hm[1, 2] *= 2.0
+                reg_dst.H[k] = Hm
+                reg_dst.valid[k] = reg_src.valid[i]
+            up_seq.save()
+            seq = ctx.seq = up_seq
     indices = None
     fspecs = []
     from siril_tpu.core.filtering import apply_filters, parse_filter_flag

@@ -70,6 +70,7 @@ class StackArgs:
     block_mb: int = 2048                # device budget per block (MB)
     feather_dist: int = 0
     overlap_norm: bool = False          # mosaic pairwise-overlap solve
+    maximize: bool = False              # expand canvas to max framing
 
 
 @dataclass
@@ -435,20 +436,33 @@ def norm_to_0_1_range(a: np.ndarray) -> np.ndarray:
 
 def _stack_accumulate(seq: Sequence, args: StackArgs, indices: np.ndarray,
                       t0: float) -> StackResult:
-    """sum / min / max stacks (sum.c, stackminmax.c) with shift-only reg."""
+    """sum / min / max stacks (sum.c, stackminmax.c) with shift-only reg;
+    ``maximize`` expands the canvas to the union of shifted footprints
+    (compute_max_framing, stacking.h:207)."""
     L, H, W = seq.nb_layers, seq.ry, seq.rx
+    shifts = _frame_shifts(seq, indices, args.reglayer)
+    ox = oy = 0
+    if args.maximize and shifts is not None:
+        dxs, dys = shifts
+        x0 = min(0, int(dxs.min()))
+        y0 = min(0, int(dys.min()))
+        x1 = max(W, W + int(dxs.max()))
+        y1 = max(H, H + int(dys.max()))
+        W, H = x1 - x0, y1 - y0
+        ox, oy = -x0, -y0
     if args.method == "sum":
         acc = np.zeros((L, H, W), np.float64)
     elif args.method == "min":
         acc = np.full((L, H, W), np.inf, np.float32)
     else:
         acc = np.full((L, H, W), -np.inf, np.float32)
-    shifts = _frame_shifts(seq, indices, args.reglayer)
     for k, idx in enumerate(indices):
         img = seq.read_frame(int(idx)).host()
         if shifts is not None:
-            dx, dy = int(shifts[0][k]), int(shifts[1][k])
-            img = _shift_image(img, dx, dy)
+            dx, dy = int(shifts[0][k]) + ox, int(shifts[1][k]) + oy
+            img = _shift_into(img, dx, dy, H, W)
+        elif (H, W) != img.shape[1:]:
+            img = _shift_into(img, ox, oy, H, W)
         if args.method == "sum":
             acc += img
         elif args.method == "min":
@@ -464,11 +478,14 @@ def _stack_accumulate(seq: Sequence, args: StackArgs, indices: np.ndarray,
     return StackResult(image=out_img, elapsed_s=time.perf_counter() - t0)
 
 
-def _shift_image(img: np.ndarray, dx: int, dy: int) -> np.ndarray:
-    out = np.zeros_like(img)
+def _shift_into(img: np.ndarray, dx: int, dy: int,
+                out_h: int = None, out_w: int = None) -> np.ndarray:
     c, h, w = img.shape
-    sy0, sy1 = max(dy, 0), min(h + dy, h)
-    sx0, sx1 = max(dx, 0), min(w + dx, w)
+    oh = out_h if out_h is not None else h
+    ow = out_w if out_w is not None else w
+    out = np.zeros((c, oh, ow), img.dtype)
+    sy0, sy1 = max(dy, 0), min(h + dy, oh)
+    sx0, sx1 = max(dx, 0), min(w + dx, ow)
     if sy1 > sy0 and sx1 > sx0:
         out[:, sy0:sy1, sx0:sx1] = img[:, sy0 - dy:sy1 - dy, sx0 - dx:sx1 - dx]
     return out

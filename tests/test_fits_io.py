@@ -239,3 +239,24 @@ def test_pic_roundtrip(tmp_path):
         f.write(b"\x00" * 290)
     with pytest.raises(ValueError):
         read_pic(str(tmp_path / "bad.pic"))
+
+
+def test_compare_fits_tool(tmp_path, capsys):
+    from siril_tpu.core.image import SirilImage
+    from siril_tpu.io.fits_io import write_fits
+    from siril_tpu.tools.compare_fits import compare
+
+    rng = np.random.default_rng(9)
+    d = rng.uniform(0, 1, (1, 16, 16)).astype(np.float32)
+    a = str(tmp_path / "a.fit")
+    b = str(tmp_path / "b.fit")
+    write_fits(SirilImage(data=d), a, bitdepth=-32)
+    write_fits(SirilImage(data=d), b, bitdepth=-32)
+    assert compare(a, b) == 0
+    d2 = d.copy()
+    d2[0, 3, 4] += 0.01
+    write_fits(SirilImage(data=d2), b, bitdepth=-32)
+    assert compare(a, b) == 1
+    assert compare(a, b, tol=0.02) == 0
+    out = capsys.readouterr().out
+    assert "DIFFER" in out and "IDENTICAL" in out

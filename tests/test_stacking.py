@@ -131,7 +131,7 @@ class TestShiftedStack:
         h, w = frames.shape[1:]
         shifted = np.zeros_like(frames)
         for i, (dx, dy) in enumerate(shifts):
-            img = stk._shift_image(frames[i][None], dx, dy)[0]
+            img = stk._shift_into(frames[i][None], dx, dy)[0]
             shifted[i] = img
         cnt = (shifted != 0).sum(axis=0)
         mean = shifted.sum(axis=0) / np.maximum(cnt, 1)
@@ -234,3 +234,36 @@ def test_fused_pipeline_step_multichip():
     mean1 = np.asarray(step1(jnp.asarray(raw), jnp.asarray(Hinvs),
                              jnp.asarray(dark), jnp.asarray(flat), 0)[0])
     np.testing.assert_allclose(mean, mean1, atol=1e-5)
+
+
+def test_stack_maximize_and_upscale(tmp_path):
+    """-maximize expands the sum-stack canvas; -upscale stacks a x2
+    sequence (upscaling.c legacy path)."""
+    from siril_tpu.cli.commands import COMMANDS
+    from siril_tpu.cli.context import Session
+    from siril_tpu.core.image import SirilImage
+    from siril_tpu.core.sequence import Sequence
+    from siril_tpu.io.fits_io import write_fits
+
+    rng = np.random.default_rng(22)
+    for i in range(3):
+        write_fits(SirilImage(data=rng.uniform(0.2, 0.4, (1, 40, 48))
+                              .astype(np.float32)),
+                   str(tmp_path / f"mx_{i + 1:05d}.fit"), bitdepth=16)
+    ctx = Session(cwd=str(tmp_path))
+    seq = ctx.load_sequence("mx_")
+    seq.nb_layers = 1
+    reg = seq.reg(0)
+    for k, (dx, dy) in enumerate([(0, 0), (6, 0), (0, -4)]):
+        reg.H[k] = np.eye(3)
+        reg.H[k][0, 2] = dx
+        reg.H[k][1, 2] = dy
+        reg.valid[k] = True
+    seq.save()
+    COMMANDS["stack"].fn(ctx, ["mx_", "sum", "-maximize", "-out=maxsum"])
+    assert ctx.image.width == 48 + 6 and ctx.image.height == 40 + 4
+
+    ctx2 = Session(cwd=str(tmp_path))
+    COMMANDS["stack"].fn(ctx2, ["mx_", "rej", "3", "3", "-upscale",
+                                "-out=up2"])
+    assert ctx2.image.width == 96 and ctx2.image.height == 80
