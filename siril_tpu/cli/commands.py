@@ -394,9 +394,18 @@ def cmd_boxselect(ctx, args):
         log_message("no selection")
 
 
-@command("update_key", "update_key key value", req=REQ_SINGLE_IMAGE, min_args=1)
+@command("update_key", "update_key [-delete] [-modify] [-comment] key [value]",
+         req=REQ_SINGLE_IMAGE, min_args=1)
 def cmd_update_key(ctx, args):
     img = ctx.require_image()
+    pos, flags = parse_flags(args)
+    args = pos
+    if "delete" in flags or len(args) == 1:
+        img.keywords.extra.pop(args[0].upper(), None)
+        return
+    if "comment" in flags:
+        img.history.append(f"COMMENT {' '.join(args)}")
+        return
     if len(args) == 1:
         img.keywords.extra.pop(args[0].upper(), None)
     else:
@@ -774,16 +783,44 @@ def cmd_merge_cfa(ctx, args):
 # ===========================================================================
 
 
-@command("setfindstar", "setfindstar [-radius=] [-sigma=] [-roundness=] …")
+@command("setfindstar", "setfindstar [reset] [-radius=] [-sigma=] [-roundness=] [-focal=] [-pixelsize=] [-convergence=] [-gaussian|-moffat] [-minbeta=] [-minA=] [-maxA=] [-maxR=] [-relax=on|off]")
 def cmd_setfindstar(ctx, args):
     pos, flags = parse_flags(args)
     p = ctx.prefs
+    if pos and pos[0] == "reset":
+        from siril_tpu.core.settings import Preferences
+
+        d = Preferences()
+        for f in ("sf_radius", "sf_sigma", "sf_roundness", "sf_convergence",
+                  "sf_relax", "sf_profile", "sf_min_beta", "sf_min_a",
+                  "sf_max_a", "sf_max_r"):
+            setattr(p, f, getattr(d, f, getattr(p, f, None)))
     if "radius" in flags:
         p.sf_radius = int(float(flags["radius"]))
     if "sigma" in flags:
         p.sf_sigma = float(flags["sigma"])
     if "roundness" in flags:
         p.sf_roundness = float(flags["roundness"])
+    if "convergence" in flags:
+        p.sf_convergence = int(float(flags["convergence"]))
+    if "relax" in flags:
+        p.sf_relax = str(flags["relax"]).lower() in ("on", "1", "true")
+    if "gaussian" in flags:
+        p.sf_profile = 0
+    if "moffat" in flags:
+        p.sf_profile = 1
+    if "minbeta" in flags:
+        p.sf_min_beta = float(flags["minbeta"])
+    if "mina" in flags:
+        p.sf_min_a = float(flags["mina"])
+    if "maxa" in flags:
+        p.sf_max_a = float(flags["maxa"])
+    if "maxr" in flags:
+        p.sf_max_r = float(flags["maxr"])
+    if "focal" in flags:
+        p.focal_length = float(flags["focal"])
+    if "pixelsize" in flags:
+        p.pixel_size = float(flags["pixelsize"])
     log_message(f"starfinder: radius={p.sf_radius} sigma={p.sf_sigma} "
                 f"roundness={p.sf_roundness}")
 
@@ -792,8 +829,15 @@ def _sf_params(ctx):
     from siril_tpu.registration.starfinder import StarFinderParams
 
     p = ctx.prefs
-    return StarFinderParams(radius=p.sf_radius, sigma=p.sf_sigma,
-                            roundness=p.sf_roundness)
+    return StarFinderParams(
+        radius=p.sf_radius, sigma=p.sf_sigma, roundness=p.sf_roundness,
+        convergence=getattr(p, "sf_convergence", 1),
+        relax_checks=getattr(p, "sf_relax", False),
+        profile=getattr(p, "sf_profile", 0),
+        min_beta=getattr(p, "sf_min_beta", 1.5),
+        min_A=getattr(p, "sf_min_a", 0.0),
+        max_A=getattr(p, "sf_max_a", 0.0),
+        max_r=getattr(p, "sf_max_r", 1.0))
 
 
 @command("findstar", "findstar [-out=]", req=REQ_SINGLE_IMAGE)
@@ -893,6 +937,58 @@ def cmd_seqapplyreg(ctx, args):
         aa.scale = float(flags["scale"])
     if "noclamp" in flags:
         aa.clamp = False
+    # frame filtering (-filter-fwhm= etc., sequence_filtering.c)
+    from siril_tpu.core.filtering import apply_filters, parse_filter_flag
+
+    fspecs = []
+    for k, v in flags.items():
+        if k.startswith("filter-"):
+            spec = parse_filter_flag(k, v)
+            if spec is not None:
+                fspecs.append(spec)
+    if fspecs:
+        kept = apply_filters(seq, fspecs, aa.reglayer)
+        mask = np.zeros(seq.number, bool)
+        mask[np.asarray(kept, int)] = True
+        seq.incl[:] = seq.incl & mask
+        log_message(f"seqapplyreg filter: {int(seq.incl.sum())} of "
+                    f"{seq.number} frames kept")
+    if "drizzle" in flags:
+        # per-frame drizzle output sequence (applyreg.c drizzle path)
+        from siril_tpu.core.sequence import Sequence as _Seq
+        from siril_tpu.io.fits_io import write_fits
+        from siril_tpu.ops.drizzle import (
+            KERNEL_NAMES,
+            DrizzleArgs,
+            DrizzleAccumulator,
+        )
+
+        da = DrizzleArgs(scale=_f(flags.get("scale"), 2.0) or 2.0,
+                         pixfrac=_f(flags.get("pixfrac"), 1.0) or 1.0)
+        if isinstance(flags.get("kernel"), str):
+            da.kernel = KERNEL_NAMES.get(flags["kernel"].lower(), da.kernel)
+        reg = seq.reg(aa.reglayer)
+        first = seq.read_frame(int(seq.selected_indices()[0]))
+        da.use_bayer = first.is_cfa()
+        C = 3 if (da.use_bayer and first.is_cfa()) else first.nchans
+        out_shape = (C, int(seq.ry * da.scale), int(seq.rx * da.scale))
+        prefix = aa.prefix or "r_"
+        outs = []
+        for i in seq.selected_indices():
+            if not reg.valid[i]:
+                continue
+            acc = DrizzleAccumulator(out_shape, da)
+            acc.add_frame(seq.read_frame(int(i)), reg.H[int(i)])
+            out_img, _ = acc.finalize()
+            pth = ctx.path(f"{prefix}{seq.name}{int(seq.filenum[i]):05d}.fit")
+            write_fits(out_img, pth, bitdepth=FLOAT_IMG)
+            outs.append(pth)
+        new_seq = _Seq.from_files(outs, name=f"{prefix}{seq.name}")
+        new_seq.save()
+        ctx.seq = new_seq
+        log_message(f"seqapplyreg: drizzled {len(outs)} frames at "
+                    f"x{da.scale}")
+        return
     # astrometric path (applyreg.c:1188-1213): if the sequence has no
     # registration data but frames are plate-solved, derive the
     # homographies from the per-frame WCS solutions (mosaics)
@@ -1608,6 +1704,14 @@ def cmd_makepsf(ctx, args):
 
 
 def _psf_for_deconv(ctx, flags):
+    if isinstance(flags.get("loadpsf"), str):
+        # -loadpsf=file: PSF from a FITS image (command.c rl flags)
+        from siril_tpu.io.conversion import load_any
+
+        arr = load_any(ctx.path(flags["loadpsf"])).host()[0]
+        a = np.asarray(arr, np.float64)
+        ssum = a.sum()
+        return (a / ssum if ssum > 0 else a).astype(np.float32)
     psf = getattr(ctx, "psf", None)
     if psf is None or flags:
         psf = _get_psf(ctx, flags)
@@ -1623,7 +1727,10 @@ def cmd_rl(ctx, args):
     ctx.set_image(richardson_lucy(
         ctx.require_image(), psf,
         iterations=int(_f(flags.get("iters"), 20) or 20),
-        tv_alpha=_f(flags.get("alpha"), 0.0) or 0.0))
+        tv_alpha=_f(flags.get("alpha"), 0.0) or 0.0,
+        step=_f(flags.get("gdstep"), 0.0005) or 0.0005,
+        multiplicative="mul" in flags or "gdstep" not in flags,
+        stop_delta=_f(flags.get("stop"), 0.0) or 0.0))
 
 
 @command("wiener", "wiener [-alpha=] [psf flags]", req=REQ_SINGLE_IMAGE)
@@ -1873,11 +1980,16 @@ def cmd_subsky(ctx, args):
         method, degree = BKG_RBF, 0
     else:
         method, degree = BKG_POLY, int(float(pos[0])) if pos else 4
+    from siril_tpu.ops.background import DIVIDE, SUBTRACT
+
+    corr = DIVIDE if str(flags.get("mode", "")).lower() == "divide"         or "divide" in flags else SUBTRACT
     ctx.set_image(extract_background(
         ctx.require_image(), method, degree,
-        smoothing=_f(flags.get("smooth"), 0.5) or 0.5,
+        smoothing=_f(flags.get("smooth"),
+                     _f(flags.get("smoothness"), 0.5)) or 0.5,
         nb_samples=int(_f(flags.get("samples"), 20) or 20),
-        tolerance=_f(flags.get("tolerance"), 1.0) or 1.0))
+        tolerance=_f(flags.get("tolerance"), 1.0) or 1.0,
+        correction=corr, dither="dither" in flags))
 
 
 @command("split", "split r g b [-hsl|-hsv|-lab]", req=REQ_SINGLE_IMAGE | REQ_FOR_RGB,

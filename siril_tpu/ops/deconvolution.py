@@ -117,9 +117,13 @@ def _psf_otf(psf: np.ndarray, shape):
 
 
 def richardson_lucy(img: SirilImage, psf: np.ndarray, iterations: int = 20,
-                    damping: float = 0.0, tv_alpha: float = 0.0) -> SirilImage:
-    """RL deconvolution (`rl` command): multiplicative updates, optional
-    TV regularization (divergence term in the denominator)."""
+                    damping: float = 0.0, tv_alpha: float = 0.0,
+                    multiplicative: bool = True, step: float = 0.0005,
+                    stop_delta: float = 0.0) -> SirilImage:
+    """RL deconvolution (`rl` command): multiplicative updates (default)
+    or gradient-descent updates (-gdstep, deconvolution.c), optional TV
+    regularization, and early stopping when the update norm falls below
+    ``stop_delta`` (-stop, reference early-stop criterion)."""
     import jax
     import jax.numpy as jnp
 
@@ -133,24 +137,45 @@ def richardson_lucy(img: SirilImage, psf: np.ndarray, iterations: int = 20,
 
     @jax.jit
     def run(x0):
-        def body(i, u):
-            est = conv(u, otf)
-            ratio = x0 / jnp.maximum(est, 1e-7)
-            corr = conv(ratio, otf_c)
-            if tv_alpha > 0.0:
-                gy = jnp.gradient(u, axis=-2)
-                gx = jnp.gradient(u, axis=-1)
-                mag = jnp.sqrt(gx * gx + gy * gy + 1e-8)
-                div = (jnp.gradient(gx / mag, axis=-1)
-                       + jnp.gradient(gy / mag, axis=-2))
-                corr = corr / jnp.maximum(1.0 - tv_alpha * div, 0.3)
-            return jnp.clip(u * corr, 0.0, 10.0)
+        def tv_term(u, corr):
+            gy = jnp.gradient(u, axis=-2)
+            gx = jnp.gradient(u, axis=-1)
+            mag = jnp.sqrt(gx * gx + gy * gy + 1e-8)
+            div = (jnp.gradient(gx / mag, axis=-1)
+                   + jnp.gradient(gy / mag, axis=-2))
+            return corr / jnp.maximum(1.0 - tv_alpha * div, 0.3)
 
-        return jax.lax.fori_loop(0, iterations, body, x0)
+        def body(state):
+            u, it, delta = state
+            est = conv(u, otf)
+            if multiplicative:
+                ratio = x0 / jnp.maximum(est, 1e-7)
+                corr = conv(ratio, otf_c)
+                if tv_alpha > 0.0:
+                    corr = tv_term(u, corr)
+                nxt = jnp.clip(u * corr, 0.0, 10.0)
+            else:
+                # gradient descent on the Poisson likelihood
+                grad = conv(1.0 - x0 / jnp.maximum(est, 1e-7), otf_c)
+                nxt = jnp.clip(u - step * 65535.0 * grad, 0.0, 10.0)
+            delta = jnp.abs(nxt - u).mean()
+            return nxt, it + 1, delta
+
+        def cond(state):
+            _, it, delta = state
+            keep = it < iterations
+            if stop_delta > 0.0:
+                keep = keep & ((delta > stop_delta) | (it == 0))
+            return keep
+
+        u, _, _ = jax.lax.while_loop(
+            cond, body, (x0, jnp.int32(0), jnp.float32(jnp.inf)))
+        return u
 
     out = jnp.clip(run(jnp.maximum(d, 1e-7)), 0.0, 1.0)
     res = img.copy(data=np.asarray(img.apply_mask_blend(out)))
-    res.log_history(f"RL deconvolution ({iterations} iters)")
+    res.log_history(f"RL deconvolution ({iterations} iters, "
+                    f"{'mult' if multiplicative else 'gd'})")
     return res
 
 

@@ -94,3 +94,31 @@ class TestBayerDrizzle:
         np.testing.assert_allclose(o[2], rgb[2], atol=0.01)
         # full coverage on every channel thanks to the 4 dithers
         assert (wmap.host()[:, 4:-4, 4:-4] > 0.1).all()
+
+
+def test_seqapplyreg_drizzle_outputs_sequence(tmp_path):
+    """seqapplyreg -drizzle writes a per-frame drizzled sequence
+    (applyreg.c drizzle path), not a combined stack."""
+    from siril_tpu.cli.commands import COMMANDS
+    from siril_tpu.cli.context import Session
+    from siril_tpu.core.image import SirilImage
+    from siril_tpu.io.fits_io import write_fits
+
+    rng = np.random.default_rng(23)
+    for i in range(3):
+        write_fits(SirilImage(data=rng.uniform(0.1, 0.5, (1, 24, 32))
+                              .astype(np.float32)),
+                   str(tmp_path / f"dz_{i + 1:05d}.fit"), bitdepth=16)
+    ctx = Session(cwd=str(tmp_path))
+    seq = ctx.load_sequence("dz_")
+    seq.nb_layers = 1
+    reg = seq.reg(0)
+    for k in range(3):
+        reg.H[k] = np.eye(3)
+        reg.valid[k] = True
+    seq.save()
+    COMMANDS["seqapplyreg"].fn(ctx, ["dz_", "-drizzle", "-scale=2"])
+    out = ctx.seq
+    assert out.number == 3
+    f0 = out.read_frame(0)
+    assert f0.width == 64 and f0.height == 48
