@@ -341,10 +341,24 @@ def cmd_jsonmetadata(ctx, args):
     log_message(out)
 
 
-@command("stat", "stat [main]", req=REQ_SINGLE_IMAGE)
+@command("stat", "stat [main] [-cfa]", req=REQ_SINGLE_IMAGE)
 def cmd_stat(ctx, args):
-    from siril_tpu.ops.statistics import STATS_BASIC, STATS_MAIN, compute_stats_image
+    from siril_tpu.ops.statistics import (STATS_BASIC, STATS_MAIN,
+                                          compute_stats_image,
+                                          compute_stats_np)
 
+    pos, flags = parse_flags(args)
+    args = pos
+    if "cfa" in flags and ctx.image.nchans == 1:
+        # per-CFA-subchannel stats (statistics.c CFA option)
+        d = ctx.require_image().host()[0]
+        names = ("CFA0", "CFA1", "CFA2", "CFA3")
+        for k, (dy, dx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+            st = compute_stats_np(d[dy::2, dx::2], STATS_BASIC)
+            log_message(f"{names[k]}: mean: {st.mean:.6f}, median: "
+                        f"{st.median:.6f}, sigma: {st.sigma:.6f}, "
+                        f"bgnoise: {st.bgnoise:.6f}")
+        return
     opt = STATS_MAIN if (args and args[0] == "main") else STATS_BASIC
     for c, s in enumerate(compute_stats_image(ctx.image, options=opt)):
         log_message(
@@ -1898,32 +1912,65 @@ def cmd_pm(ctx, args):
 # ===========================================================================
 
 
-@command("mask_from_channel", "mask_from_channel channel",
+def _mask_postprocess(img, flags):
+    """Shared mask_from_* option handling: -invert, -feather=,
+    -autostretch, -bitdepth= (command_list.h mask family flags)."""
+    from siril_tpu.ops.masks import (
+        mask_autostretch,
+        mask_feather,
+        mask_invert,
+    )
+
+    if "autostretch" in flags:
+        img.mask = mask_autostretch(img.mask)
+    if "invert" in flags:
+        img.mask = mask_invert(img.mask)
+    if "feather" in flags and flags["feather"] is not True:
+        img.mask = mask_feather(img.mask, int(float(flags["feather"])))
+    bd = flags.get("bitdepth")
+    if isinstance(bd, str):
+        q = {"8": 255.0, "16": 65535.0}.get(bd)
+        if q:
+            img.mask = (np.round(img.mask * q) / q).astype(np.float32)
+    img.mask_active = True
+
+
+@command("mask_from_channel", "mask_from_channel channel [-invert] [-feather=] [-autostretch] [-bitdepth=]",
          req=REQ_SINGLE_IMAGE, min_args=1)
 def cmd_mask_from_channel(ctx, args):
     from siril_tpu.ops.masks import mask_from_channel
 
+    pos, flags = parse_flags(args)
     img = ctx.require_image()
-    img.mask = mask_from_channel(img, int(float(args[0])))
-    img.mask_active = True
+    img.mask = mask_from_channel(img, int(float(pos[0])))
+    _mask_postprocess(img, flags)
 
 
-@command("mask_from_lum", "mask_from_lum", req=REQ_SINGLE_IMAGE)
+@command("mask_from_lum", "mask_from_lum [-rw=] [-gw=] [-bw=] [-invert] [-feather=] [-autostretch] [-bitdepth=]",
+         req=REQ_SINGLE_IMAGE)
 def cmd_mask_from_lum(ctx, args):
     from siril_tpu.ops.masks import mask_from_lum
 
+    pos, flags = parse_flags(args)
     img = ctx.require_image()
-    img.mask = mask_from_lum(img)
-    img.mask_active = True
+    weights = None
+    if any(k in flags for k in ("rw", "gw", "bw")):
+        weights = (_f(flags.get("rw"), 0.2126) or 0.2126,
+                   _f(flags.get("gw"), 0.7152) or 0.7152,
+                   _f(flags.get("bw"), 0.0722) or 0.0722)
+    img.mask = mask_from_lum(img, weights=weights) if weights         else mask_from_lum(img)
+    _mask_postprocess(img, flags)
 
 
-@command("mask_from_stars", "mask_from_stars", req=REQ_SINGLE_IMAGE)
+@command("mask_from_stars", "mask_from_stars [-invert] [-feather=] [-bitdepth=]",
+         req=REQ_SINGLE_IMAGE)
 def cmd_mask_from_stars(ctx, args):
     from siril_tpu.ops.masks import mask_from_stars
 
+    pos, flags = parse_flags(args)
     img = ctx.require_image()
     img.mask = mask_from_stars(img)
-    img.mask_active = True
+    _mask_postprocess(img, flags)
 
 
 @command("mask_invert", "mask_invert", req=REQ_SINGLE_IMAGE)
@@ -2088,8 +2135,18 @@ def cmd_platesolve(ctx, args):
         sa.mag_limit = float(flags["limitmag"])
     if "order" in flags:
         sa.sip_order = int(float(flags["order"]))
+    if "radius" in flags:
+        sa.radius_deg = float(flags["radius"])
+    if "downscale" in flags:
+        sa.downsample = True
+    if "noflip" in flags:
+        sa.flip_tolerant = False
+    img0 = ctx.require_image()
+    if img0.wcs is not None and "force" not in flags:
+        log_message("image is already plate solved (use -force)")
+        return
     cat = _get_catalog(ctx, flags)
-    res = solve_image(ctx.require_image(), cat, sa)
+    res = solve_image(img0, cat, sa)
     if res is None:
         raise CommandError("plate solve failed")
     from siril_tpu.ops.wcs import format_dec, format_ra
@@ -2114,11 +2171,18 @@ def cmd_conesearch(ctx, args):
     fov = w.pixel_scale_arcsec * max(img.width, img.height) / 3600.0
     cone = cat.cone_search(float(ra_c[0]), float(dec_c[0]), fov / 1.5, mag)
     xs, ys = w.world2pix(cone.ra, cone.dec)
-    n = 0
-    for k in range(len(cone)):
-        if 0 <= xs[k] < img.width and 0 <= ys[k] < img.height:
-            n += 1
-    log_message(f"{n} catalogue objects in the field (of {len(cone)} in cone)")
+    inside = [k for k in range(len(cone))
+              if 0 <= xs[k] < img.width and 0 <= ys[k] < img.height]
+    log_message(f"{len(inside)} catalogue objects in the field "
+                f"(of {len(cone)} in cone)")
+    out = flags.get("out")
+    if isinstance(out, str):
+        with open(ctx.path(out), "w") as f:
+            f.write("ra,dec,mag,x,y\n")
+            for k in inside:
+                f.write(f"{cone.ra[k]:.6f},{cone.dec[k]:.6f},"
+                        f"{cone.mag[k]:.3f},{xs[k]:.2f},{ys[k]:.2f}\n")
+        log_message(f"catalogue written to {out}")
 
 
 @command("pcc", "pcc [-limitmag=] [-catalog=]", req=REQ_SINGLE_IMAGE | REQ_FOR_RGB)
