@@ -131,7 +131,8 @@ def spcc(img: SirilImage, catalog, wcs=None,
          sensor: str = "generic_qe",
          filters: Tuple[str, str, str] = ("R", "G", "B"),
          library: Optional[ResponseLibrary] = None,
-         mag_limit: float = 13.0) -> Optional[SirilImage]:
+         mag_limit: float = 13.0,
+         extra_responses=None, atmosphere=None) -> Optional[SirilImage]:
     """`spcc` command core."""
     from siril_tpu.astrometry.pcc import bv_to_temp
     from siril_tpu.ops.photometry import PhotConfig, measure_star
@@ -144,7 +145,13 @@ def spcc(img: SirilImage, catalog, wcs=None,
         raise ValueError("SPCC requires a plate-solved image")
     lib = library or ResponseLibrary()
     qe = lib.get(sensor).resampled()
-    resp = [lib.get(f).resampled() * qe for f in filters]
+    if extra_responses is not None:
+        # synthesized narrowband responses replace the filter curves
+        resp = [r * qe for r in extra_responses]
+    else:
+        resp = [lib.get(f).resampled() * qe for f in filters]
+    if atmosphere is not None:
+        resp = [r * atmosphere for r in resp]
 
     H, W = img.height, img.width
     fov = w.pixel_scale_arcsec * max(H, W) / 3600.0
@@ -199,3 +206,30 @@ def spcc(img: SirilImage, catalog, wcs=None,
     log_message(f"SPCC white balance: K=[{kw[0]:.3f} {kw[1]:.3f} "
                 f"{kw[2]:.3f}] from {len(ratios)} stars")
     return res
+
+
+def narrowband_filters(rwl: float = 656.28, gwl: float = 500.7,
+                       bwl: float = 500.7, rbw: float = 3.0,
+                       gbw: float = 3.0, bbw: float = 3.0):
+    """Synthesize top-hat narrowband filter responses (spcc -narrowband
+    -rwl/-gwl/-bwl/-rbw/-gbw/-bbw flags)."""
+    out = []
+    for wl0, bw in ((rwl, rbw), (gwl, gbw), (bwl, bbw)):
+        v = ((WL >= wl0 - bw / 2.0) & (WL <= wl0 + bw / 2.0)).astype(float)
+        out.append(v)
+    return out
+
+
+def atmospheric_transmission(obsheight_m: float = 0.0,
+                             pressure_mbar: Optional[float] = None,
+                             wl: np.ndarray = WL) -> np.ndarray:
+    """Rayleigh-dominated atmospheric transmission at zenith (the spcc
+    -atmos model: extinction scales with site pressure / altitude).
+    τ_R(λ) ≈ 0.00877·(P/P0)·λ_um^-4.05 (Hayes & Latham 1975 form)."""
+    p0 = 1013.25
+    if pressure_mbar is None:
+        # barometric altitude → pressure
+        pressure_mbar = p0 * np.exp(-obsheight_m / 8434.0)
+    lam_um = wl / 1000.0
+    tau = 0.00877 * (pressure_mbar / p0) * lam_um ** -4.05
+    return np.exp(-tau)

@@ -2808,21 +2808,45 @@ def cmd_pyscript(ctx, args):
         sys.argv = old_argv
 
 
-@command("spcc", "spcc [-limitmag=] [-catalog=] [-sensor=] [-rfilter=] [-gfilter=] [-bfilter=]",
+@command("spcc", "spcc [-limitmag=] [-monosensor=|-oscsensor=] [-rfilter=] [-gfilter=] [-bfilter=] [-oscfilter=] [-narrowband [-rwl= -gwl= -bwl= -rbw= -gbw= -bbw=]] [-atmos [-obsheight=] [-pressure=|-slp=]] [-whiteref=] [-bgtol=]",
          req=REQ_SINGLE_IMAGE | REQ_FOR_RGB)
 def cmd_spcc(ctx, args):
-    from siril_tpu.astrometry.spcc import ResponseLibrary, spcc
+    from siril_tpu.astrometry.spcc import (
+        ResponseLibrary,
+        atmospheric_transmission,
+        narrowband_filters,
+        spcc,
+    )
 
     pos, flags = parse_flags(args)
     cat = _get_catalog(ctx, flags)
     lib = ResponseLibrary()
-    out = spcc(ctx.require_image(), cat,
-               sensor=str(flags.get("sensor", "generic_qe")),
-               filters=(str(flags.get("rfilter", "R")),
-                        str(flags.get("gfilter", "G")),
-                        str(flags.get("bfilter", "B"))),
+    sensor = str(flags.get("monosensor") or flags.get("oscsensor")
+                 or flags.get("sensor") or "generic_qe")
+    filters = (str(flags.get("rfilter", "R")),
+               str(flags.get("gfilter", "G")),
+               str(flags.get("bfilter", "B")))
+    if isinstance(flags.get("oscfilter"), str):
+        filters = (flags["oscfilter"],) * 3
+    extra_resp = None
+    if "narrowband" in flags:
+        extra_resp = narrowband_filters(
+            rwl=_f(flags.get("rwl"), 656.28) or 656.28,
+            gwl=_f(flags.get("gwl"), 500.7) or 500.7,
+            bwl=_f(flags.get("bwl"), 500.7) or 500.7,
+            rbw=_f(flags.get("rbw"), 3.0) or 3.0,
+            gbw=_f(flags.get("gbw"), 3.0) or 3.0,
+            bbw=_f(flags.get("bbw"), 3.0) or 3.0)
+    atmos = None
+    if "atmos" in flags:
+        atmos = atmospheric_transmission(
+            obsheight_m=_f(flags.get("obsheight"), 0.0) or 0.0,
+            pressure_mbar=_f(flags.get("pressure"),
+                             _f(flags.get("slp"), None)))
+    out = spcc(ctx.require_image(), cat, sensor=sensor, filters=filters,
                library=lib,
-               mag_limit=_f(flags.get("limitmag"), 13.0) or 13.0)
+               mag_limit=_f(flags.get("limitmag"), 13.0) or 13.0,
+               extra_responses=extra_resp, atmosphere=atmos)
     if out is None:
         raise CommandError("SPCC failed")
     ctx.set_image(out)

@@ -150,3 +150,25 @@ def test_julian_date_roundtrip():
     back = julian_to_datetime(2451545.0)
     assert back.year == 2000 and back.hour == 12
     assert date_obs_to_julian("") is None
+
+
+def test_spcc_narrowband_and_atmosphere():
+    from siril_tpu.astrometry.spcc import (
+        WL,
+        atmospheric_transmission,
+        narrowband_filters,
+    )
+
+    r, g, b = narrowband_filters(rwl=656.28, gwl=500.7, bwl=486.1,
+                                 rbw=3.0, gbw=3.0, bbw=3.0)
+    # Ha band is ~3nm wide around 656.28
+    assert r[np.argmin(np.abs(WL - 656.0))] == 1.0
+    assert r[np.argmin(np.abs(WL - 600.0))] == 0.0
+    assert abs(r.sum() * 2.0 - 3.0) < 2.5       # ~3nm integrated (2nm grid)
+    # atmosphere: blue extinction exceeds red; altitude reduces it
+    t0 = atmospheric_transmission(0.0)
+    t2k = atmospheric_transmission(2000.0)
+    blue = np.argmin(np.abs(WL - 400.0))
+    red = np.argmin(np.abs(WL - 700.0))
+    assert t0[blue] < t0[red] < 1.0
+    assert t2k[blue] > t0[blue]
