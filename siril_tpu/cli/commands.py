@@ -2328,17 +2328,35 @@ def cmd_seqpsf(ctx, args):
 
 
 def _mpp_args_from_flags(flags):
+    """MPP flag surface (command_list.h:140,168): the reference's
+    -half-box/-ap-step map to ap_size/overlap; percent flags to the
+    best-N selections; engine/debayer/shift-smooth accepted."""
     from siril_tpu.planetary.mpp import MPPArgs
 
     a = MPPArgs()
     if "apsize" in flags:
         a.ap_size = int(float(flags["apsize"]))
+    if "half-box" in flags:
+        a.ap_size = 2 * int(float(flags["half-box"]))
     if "overlap" in flags:
         a.ap_overlap = float(flags["overlap"])
+    if "ap-step" in flags:
+        step = int(float(flags["ap-step"]))
+        a.ap_overlap = max(0.0, 1.0 - step / max(a.ap_size, 1))
     if "bestpct" in flags:
         a.stack_best_pct = float(flags["bestpct"])
+    if "stack-percent" in flags:
+        a.stack_best_pct = float(flags["stack-percent"])
+    if "register-percent" in flags:
+        a.stack_best_pct = float(flags["register-percent"])
     if "refpct" in flags:
         a.global_best_pct = float(flags["refpct"])
+    if "ref-percent" in flags:
+        a.global_best_pct = float(flags["ref-percent"])
+    if "stack-frames" in flags:
+        a.max_frames = int(float(flags["stack-frames"]))
+    if "min-structure" in flags:
+        a.structure_threshold = float(flags["min-structure"])
     if "scale" in flags:
         a.scale = float(flags["scale"])
     if "layer" in flags:
@@ -2995,11 +3013,21 @@ def cmd_profile(ctx, args):
         p1 = tuple(float(v) for v in str(flags["to"]).split(","))
     except (KeyError, ValueError):
         raise CommandError("usage: profile -from=x,y -to=x,y")
-    prof = intensity_profile(ctx.require_image(), p0, p1)
+    layer = int(_f(flags.get("layer"), -1) or -1)
+    prof = intensity_profile(
+        ctx.require_image(), p0, p1,
+        layer=None if layer < 0 else layer,
+        width=int(_f(flags.get("width"), 1) or 1),
+        spacing=_f(flags.get("spacing"), 1.0) or 1.0,
+        arcsec="arcsec" in flags)
     base = flags.get("filename") if isinstance(flags.get("filename"), str) \
         else "profile"
-    save_profile_plot(prof, ctx.path(base + ".dat"), ctx.path(base + ".png"))
-    log_message(f"profile saved to {base}.dat / {base}.png")
+    title = flags.get("title") if isinstance(flags.get("title"), str) \
+        else "Intensity profile"
+    png = None if "savedat" in flags else ctx.path(base + ".png")
+    save_profile_plot(prof, ctx.path(base + ".dat"), png, title=title)
+    log_message(f"profile saved to {base}.dat"
+                + ("" if "savedat" in flags else f" / {base}.png"))
 
 
 # part 2 of the command table (registers into COMMANDS on import)

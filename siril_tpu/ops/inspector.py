@@ -103,23 +103,46 @@ def fix_xtrans_af(img: SirilImage,
 
 
 def intensity_profile(img: SirilImage, p0: Tuple[float, float],
-                      p1: Tuple[float, float], layer: Optional[int] = None
-                      ) -> np.ndarray:
+                      p1: Tuple[float, float], layer: Optional[int] = None,
+                      width: int = 1, spacing: float = 1.0,
+                      arcsec: bool = False) -> np.ndarray:
     """`profile` cut tool (core/cut.c): sampled intensity along a line.
-    Returns (n, 1+C) array: distance + per-channel values."""
+    ``width`` averages across a perpendicular band of that many pixels;
+    ``spacing`` sets the sample step; ``arcsec`` converts the distance
+    axis using the WCS pixel scale.  Returns (n, 1+C): distance +
+    per-channel values."""
     from siril_tpu.ops.interp import INTERP_BILINEAR, sample_plane
 
     import jax.numpy as jnp
 
     data = img.device()
-    n = int(np.hypot(p1[0] - p0[0], p1[1] - p0[1])) + 1
+    length = np.hypot(p1[0] - p0[0], p1[1] - p0[1])
+    n = max(int(length / max(spacing, 1e-6)) + 1, 2)
     t = np.linspace(0.0, 1.0, n)
-    xs = jnp.asarray(p0[0] + t * (p1[0] - p0[0]), jnp.float32)
-    ys = jnp.asarray(p0[1] + t * (p1[1] - p0[1]), jnp.float32)
+    xs0 = p0[0] + t * (p1[0] - p0[0])
+    ys0 = p0[1] + t * (p1[1] - p0[1])
+    if width > 1:
+        # average across the perpendicular band
+        ux, uy = (p1[0] - p0[0]) / length, (p1[1] - p0[1]) / length
+        px, py = -uy, ux
+        offs = np.arange(width) - (width - 1) / 2.0
+        xs = jnp.asarray((xs0[None, :] + offs[:, None] * px).ravel(),
+                         jnp.float32)
+        ys = jnp.asarray((ys0[None, :] + offs[:, None] * py).ravel(),
+                         jnp.float32)
+    else:
+        xs = jnp.asarray(xs0, jnp.float32)
+        ys = jnp.asarray(ys0, jnp.float32)
     chans = range(img.nchans) if layer is None else [layer]
-    cols = [t * np.hypot(p1[0] - p0[0], p1[1] - p0[1])]
+    dist = t * length
+    if arcsec and img.wcs is not None:
+        dist = dist * img.wcs.pixel_scale_arcsec
+    cols = [dist]
     for c in chans:
-        cols.append(np.asarray(sample_plane(data[c], ys, xs, INTERP_BILINEAR)))
+        v = np.asarray(sample_plane(data[c], ys, xs, INTERP_BILINEAR))
+        if width > 1:
+            v = v.reshape(width, n).mean(axis=0)
+        cols.append(v)
     return np.stack(cols, axis=1)
 
 
