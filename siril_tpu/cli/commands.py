@@ -2274,8 +2274,8 @@ def cmd_unsetmag(ctx, args):
     ctx.magnitude_offset = 0.0
 
 
-@command("light_curve", "light_curve sequencename channel [-out=] x y x y …",
-         min_args=4)
+@command("light_curve", "light_curve sequencename channel [-ninastars=file] [-out=] [-aavso] x y x y …",
+         min_args=2)
 def cmd_light_curve(ctx, args):
     from siril_tpu.ops.photometry import light_curve
 
@@ -2284,6 +2284,30 @@ def cmd_light_curve(ctx, args):
     chan = int(float(pos[1]))
     coords = [(float(pos[i]), float(pos[i + 1]))
               for i in range(2, len(pos) - 1, 2)]
+    if isinstance(flags.get("ninastars"), str):
+        # NINA exoplanet CSV star list (comparison_stars.c format):
+        # Target/Comparison rows with Ra,Dec — resolved via the WCS of
+        # the sequence reference frame
+        import csv as _csv
+
+        ref = seq.read_frame(seq.get_reference())
+        if ref.wcs is None:
+            raise CommandError("-ninastars needs a plate-solved reference "
+                               "frame")
+        tgt, comps = None, []
+        with open(ctx.path(flags["ninastars"])) as f:
+            for row in _csv.DictReader(f):
+                ra = float(row["Ra"])
+                dec = float(row["Dec"])
+                x, y = ref.wcs.world2pix(np.array([ra]), np.array([dec]))
+                pt = (float(x[0]), float(y[0]))
+                if row.get("Type", "").lower() == "target":
+                    tgt = pt
+                else:
+                    comps.append(pt)
+        if tgt is None or not comps:
+            raise CommandError("ninastars file has no target/comparisons")
+        coords = [tgt] + comps
     if len(coords) < 2:
         raise CommandError("light_curve needs a target and at least one "
                            "comparison star")

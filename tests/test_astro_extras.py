@@ -172,3 +172,44 @@ def test_spcc_narrowband_and_atmosphere():
     red = np.argmin(np.abs(WL - 700.0))
     assert t0[blue] < t0[red] < 1.0
     assert t2k[blue] > t0[blue]
+
+
+def test_light_curve_ninastars(tmp_path):
+    """light_curve -ninastars= resolves NINA CSV targets through the WCS
+    of the reference frame."""
+    from siril_tpu.cli.commands import COMMANDS
+    from siril_tpu.cli.context import Session
+    from siril_tpu.core.image import SirilImage
+    from siril_tpu.io.fits_io import write_fits
+    from siril_tpu.ops.wcs import WCS
+
+    rng = np.random.default_rng(33)
+    h = w = 96
+    yy, xx = np.mgrid[0:h, 0:w]
+    scale = 2.8e-4
+    wcs = WCS(crpix=(48.0, 48.0), crval=(180.0, 10.0),
+              cd=np.array([[-scale, 0.0], [0.0, scale]]), height=h)
+    stars_px = [(30.0, 30.0), (60.0, 50.0), (45.0, 70.0)]
+    for i in range(4):
+        img = rng.normal(0.05, 0.002, (h, w)).astype(np.float32)
+        for sx, sy in stars_px:
+            img += 0.4 * np.exp(-(((xx + 0.5 - sx) ** 2 +
+                                   (yy + 0.5 - sy) ** 2) / (2 * 2.0 ** 2)))
+        si = SirilImage(data=np.clip(img, 0, 1)[None])
+        si.wcs = wcs
+        si.keywords.date_obs = f"2026-08-10T0{i}:00:00"
+        write_fits(si, str(tmp_path / f"lc_{i + 1:05d}.fit"), bitdepth=-32)
+    # NINA csv in sky coordinates of those pixels
+    with open(tmp_path / "stars.csv", "w") as f:
+        f.write("Type,Name,HFR,xPos,yPos,AvgBright,MaxBright,Background,"
+                "Ra,Dec\n")
+        for kind, (px, py) in zip(("Target", "Comparison", "Comparison"),
+                                  stars_px):
+            ra, dec = wcs.pix2world(np.array([px]), np.array([py]))
+            f.write(f"{kind},S,,,,,,,{float(ra[0]):.6f},"
+                    f"{float(dec[0]):.6f}\n")
+    ctx = Session(cwd=str(tmp_path))
+    COMMANDS["light_curve"].fn(ctx, ["lc_", "0", "-ninastars=stars.csv",
+                                     "-out=lc.dat"])
+    lines = open(tmp_path / "lc.dat").read().splitlines()
+    assert len(lines) >= 4       # header + >=3 measured frames
