@@ -397,8 +397,13 @@ def cmd_entropy(ctx, args):
         log_message(f"Entropy (channel #{c}): {e:.3f}")
 
 
-@command("boxselect", "boxselect [x y w h]")
+@command("boxselect", "boxselect [-clear] [x y w h]")
 def cmd_boxselect(ctx, args):
+    pos, flags = parse_flags(args)
+    if "clear" in flags:
+        ctx.selection = None
+        return
+    args = pos
     if len(args) >= 4:
         ctx.selection = tuple(int(float(a)) for a in args[:4])
         log_message(f"Selection: {ctx.selection}")
@@ -1339,6 +1344,10 @@ def _ght_cmd(ctx, args, stretchtype):
         p.payne_colourstretchmodel = 2
     elif "sat" in flags:
         p.payne_colourstretchmodel = 3
+    elif "independent" in flags:
+        from siril_tpu.ops.stretch import COL_INDEP
+
+        p.payne_colourstretchmodel = COL_INDEP
     ctx.set_image(apply_ght(ctx.require_image(), p))
 
 
@@ -2062,10 +2071,14 @@ def cmd_rgbcomp(ctx, args):
     from siril_tpu.ops.colors import rgb_compose
 
     pos, flags = parse_flags(args)
+    if isinstance(flags.get("lum"), str) and len(pos) >= 3:
+        lum = _load_operand(ctx, flags["lum"])
+    else:
+        lum = None
     r = _load_operand(ctx, pos[0])
     g = _load_operand(ctx, pos[1])
     b = _load_operand(ctx, pos[2])
-    out = rgb_compose(r, g, b)
+    out = rgb_compose(r, g, b, lum=lum)
     if "align" in flags:
         from siril_tpu.ops.colors import align_rgb_channels
 
@@ -2916,6 +2929,12 @@ def cmd_findcompstars(ctx, args):
     pos, flags = parse_flags(args)
     cat = _get_catalog(ctx, flags)
     ca = CompStarArgs()
+    if "emag" in flags:
+        ca.max_emag = float(flags["emag"])
+    if "narrow" in flags:
+        ca.narrow_fov = True
+    if "wide" in flags:
+        ca.narrow_fov = False
     if "dvmag" in flags:
         ca.delta_vmag = float(flags["dvmag"])
     if "dbv" in flags:

@@ -255,11 +255,22 @@ def split_channels(img: SirilImage, space: str = "rgb"):
     return out
 
 
-def rgb_compose(r: SirilImage, g: SirilImage, b: SirilImage) -> SirilImage:
-    """`rgbcomp`: three mono images → RGB."""
+def rgb_compose(r: SirilImage, g: SirilImage, b: SirilImage,
+                lum: "SirilImage" = None) -> SirilImage:
+    """`rgbcomp`: three mono images → RGB; with ``lum``, LRGB composition
+    (rgbcomp -lum=, compositing): chrominance from RGB, lightness
+    replaced by the luminance layer in HSL space."""
     data = np.stack([r.host()[0], g.host()[0], b.host()[0]])
+    if lum is not None:
+        ld = lum.host()
+        L = ld[0] if ld.shape[0] == 1 else (0.2126 * ld[0] + 0.7152 * ld[1]
+                                            + 0.0722 * ld[2])
+        h, sat, _ = rgb_to_hsl(data[0], data[1], data[2])
+        rr, gg, bb = hsl_to_rgb(h, sat, np.clip(L, 0.0, 1.0))
+        data = np.stack([rr, gg, bb]).astype(np.float32)
     out = r.copy(data=data)
-    out.log_history("RGB composition")
+    out.log_history("LRGB composition" if lum is not None
+                    else "RGB composition")
     return out
 
 

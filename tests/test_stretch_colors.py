@@ -162,3 +162,20 @@ class TestColors:
         _, s0, _ = col.rgb_to_hsl(*[img.host()[i] for i in range(3)])
         _, s1, _ = col.rgb_to_hsl(*[out.host()[i] for i in range(3)])
         assert np.asarray(s1).mean() > np.asarray(s0).mean()
+
+
+def test_lrgb_composition(tmp_path):
+    from siril_tpu.core.image import SirilImage
+    from siril_tpu.ops.colors import rgb_compose
+
+    rng = np.random.default_rng(41)
+    r = SirilImage(data=rng.uniform(0.2, 0.4, (1, 16, 16)).astype(np.float32))
+    g = SirilImage(data=rng.uniform(0.2, 0.4, (1, 16, 16)).astype(np.float32))
+    b = SirilImage(data=rng.uniform(0.2, 0.4, (1, 16, 16)).astype(np.float32))
+    lum = SirilImage(data=np.full((1, 16, 16), 0.8, np.float32))
+    out = rgb_compose(r, g, b, lum=lum).host()
+    # lightness must follow the luminance layer
+    L = 0.5 * (out.max(axis=0) + out.min(axis=0))
+    np.testing.assert_allclose(L, 0.8, atol=0.02)
+    plain = rgb_compose(r, g, b).host()
+    assert plain.mean() < out.mean()
