@@ -30,6 +30,10 @@ def detect_deviant_from_dark(dark_layer: np.ndarray, sig_cold: float,
     from siril_tpu.ops.statistics import STATS_BASIC, compute_stats_np
 
     st = compute_stats_np(dark_layer, STATS_BASIC)
+    if st.sigma <= 0.0:
+        # degenerate (constant) master dark: nothing deviates
+        z = np.zeros_like(dark_layer, bool)
+        return z, z
     if sig_cold >= 0:
         thres_cold = max(st.median - sig_cold * st.sigma, 0.0)
         cold = dark_layer <= thres_cold

@@ -168,3 +168,12 @@ class TestCalibrateSequence:
         out0 = res.new_seq.read_frame(0).host()
         np.testing.assert_allclose(out0, truth, atol=0.01)
         assert res.new_seq.name.startswith("pp_")
+
+
+def test_constant_dark_flags_nothing():
+    """A zero-variance master dark must not mark every pixel deviant."""
+    from siril_tpu.ops.cosmetic import detect_deviant_from_dark
+
+    cold, hot = detect_deviant_from_dark(
+        np.full((32, 32), 0.015, np.float32), 3.0, 3.0)
+    assert cold.sum() == 0 and hot.sum() == 0
