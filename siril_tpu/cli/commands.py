@@ -144,9 +144,13 @@ def _save_pil(ctx, args, fmt, mode="u8"):
     else:
         arr = img.to_u8()
         a = np.moveaxis(arr, 0, 2).squeeze()
-    Image.fromarray(a).save(p, quality=int(_f(flags.get("quality"), 90) or 90)
-                            if fmt in ("jpg", "jpeg") else None) \
-        if fmt in ("jpg", "jpeg") else Image.fromarray(a).save(p)
+    pim = Image.fromarray(a)
+    if fmt in ("jpg", "jpeg"):
+        pim.save(p, quality=int(_f(flags.get("quality"), 90) or 90))
+    elif fmt in ("tif", "tiff") and "deflate" in flags:
+        pim.save(p, compression="tiff_deflate")
+    else:
+        pim.save(p)
     log_message(f"Saving image: '{os.path.basename(p)}'")
 
 
@@ -2620,7 +2624,16 @@ def cmd_seqextract_ha(ctx, args):
 
     pos, flags = parse_flags(args)
     prefix = flags.get("prefix") if isinstance(flags.get("prefix"), str) else "Ha_"
-    _seq_apply(ctx, pos[0], prefix, "seqextract_Ha", extract_ha)
+
+    def op(im):
+        out = extract_ha(im)
+        if "upscale" in flags:
+            from siril_tpu.ops.geometry import resample
+
+            out = resample(out, out.width * 2, out.height * 2)
+        return out
+
+    _seq_apply(ctx, pos[0], prefix, "seqextract_Ha", op)
 
 
 @command("seqextract_green", "seqextract_Green sequencename [-prefix=]",
