@@ -63,10 +63,11 @@ def parse_flags(args: List[str]):
     """Split ['-key=value', '-flag', 'pos'] → (positional, {key: value})."""
     pos, flags = [], {}
     for a in args:
-        # flags start with '-' + letter (negative numbers and sexagesimal
-        # coordinates like -05:24:00 are positional)
-        if a.startswith("-") and len(a) > 1 and a[1].isalpha() \
-                and not _is_number(a):
+        # flags start with '-' + letter OR digit (-2pass, -32b, -16b);
+        # negative numbers and sexagesimal coordinates like -05:24:00
+        # stay positional
+        if a.startswith("-") and len(a) > 1 and a[1].isalnum() \
+                and not _is_number(a) and ":" not in a.split("=")[0]:
             if "=" in a:
                 k, v = a[1:].split("=", 1)
                 flags[k.lower()] = v

@@ -100,6 +100,12 @@ def register_sequence(seq: Sequence, args: Optional[RegArgs] = None):
     nb_ref = len(ref_stars)
     reg = seq.reg(layer)
 
+    if args.two_pass or not args.output:
+        # no warped output needed: chunk-batched detection path — the
+        # batched star finder does ~4 device calls per chunk instead of
+        # 3 per frame (tunnel round-trips dominate per-frame detection)
+        return _register_batched(seq, args, layer, ref_idx, ref_stars)
+
     def image(ctx, idx, img):
         stars = detect_stars(img.host()[layer], args.starfinder,
                              max_stars=args.max_stars)
@@ -288,4 +294,74 @@ def apply_reg_sequence(seq: Sequence, args: Optional[ApplyRegArgs] = None):
             nreg.number_of_stars[k] = reg.number_of_stars[idx]
             nreg.valid[k] = True
         res.new_seq.save()
+    return res
+
+
+def _register_batched(seq: Sequence, args: RegArgs, layer: int,
+                      ref_idx: int, ref_stars) -> "SeqResult":
+    """Transform-only registration (2-pass pass 1 / -noout): frames read
+    in chunks, stars detected for a whole chunk in a handful of device
+    calls (detect_stars_batch), matching on host."""
+    import concurrent.futures as cf
+
+    from siril_tpu.core.engine import SeqResult
+    from siril_tpu.registration.starfinder import detect_stars_batch
+
+    indices = [int(i) for i in seq.selected_indices()]
+    reg = seq.reg(layer)
+    nb_ref = len(ref_stars)
+    chunk_size = 16
+    pool = cf.ThreadPoolExecutor(max_workers=8)
+
+    def read_chunk(idxs):
+        frames = list(pool.map(
+            lambda i: seq.read_frame(i).host()[layer], idxs))
+        return np.stack(frames)
+
+    res = SeqResult()
+    nxt = None
+    chunks = [indices[i:i + chunk_size]
+              for i in range(0, len(indices), chunk_size)]
+    nxt = pool.submit(read_chunk, chunks[0])
+    for ci, idxs in enumerate(chunks):
+        frames = nxt.result()
+        if ci + 1 < len(chunks):
+            nxt = pool.submit(read_chunk, chunks[ci + 1])
+        stars_all = detect_stars_batch(frames, args.starfinder,
+                                       max_stars=args.max_stars)
+        if args.save_starlists:
+            from siril_tpu.registration.starfinder import save_star_list_csv
+
+            for idx, stars in zip(idxs, stars_all):
+                save_star_list_csv(stars, os.path.join(
+                    seq.directory, f"{seq.name}{idx + 1:05d}.lst"))
+        for idx, stars in zip(idxs, stars_all):
+            fwhm, rnd, bg = _frame_metrics(stars)
+            reg.fwhm[idx] = fwhm
+            reg.roundness[idx] = rnd
+            reg.background_lvl[idx] = bg
+            reg.number_of_stars[idx] = len(stars)
+            reg.weighted_fwhm[idx] = (
+                2.0 * fwhm * (nb_ref - len(stars)) / nb_ref + fwhm
+                if nb_ref else fwhm)
+            if idx == ref_idx and not args.extref:
+                reg.H[idx] = np.eye(3)
+                reg.valid[idx] = True
+                res.processed += 1
+                continue
+            m = match_stars(ref_stars, stars, ttype=args.ttype,
+                            min_pairs=min(args.min_pairs, 4))
+            if m is None or m.inliers < min(args.min_pairs, 4):
+                log_error(f"frame {idx}: matching failed "
+                          f"({0 if m is None else m.inliers} pairs)")
+                seq.incl[idx] = False
+                continue
+            reg.H[idx] = m.H
+            reg.valid[idx] = True
+            res.processed += 1
+    pool.shutdown(wait=False)
+    if args.two_pass:
+        _pick_best_reference(seq, layer)
+    seq.save()
+    log_message(f"Registration (transform-only): {res.processed} frames")
     return res

@@ -277,3 +277,43 @@ def test_mosaic_end_to_end(ctx, tmp_path):
     right = res[40:56, w - 30:w - 6]
     sright = scene[40:56, scene.shape[1] - 30:scene.shape[1] - 6]
     assert abs(float(right.mean()) - float(sright.mean())) < 0.01
+
+
+def test_digit_leading_flags_parse(ctx, tmp_path):
+    """-2pass / -16b / -32b are flags, not positionals (parse_flags must
+    accept digit-leading flag names; sexagesimal coords stay positional)."""
+    from siril_tpu.cli.commands import parse_flags
+
+    pos, flags = parse_flags(["seqname", "-2pass", "-16b", "-05:24:00",
+                              "-3.5", "-out=x"])
+    assert "2pass" in flags and "16b" in flags
+    assert pos == ["seqname", "-05:24:00", "-3.5"]
+    assert flags["out"] == "x"
+
+
+def test_register_2pass_command(tmp_path):
+    from siril_tpu.cli.commands import COMMANDS
+    from siril_tpu.cli.context import Session
+
+    rng = np.random.default_rng(19)
+    h = w = 160
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = 0.05 + rng.normal(0, 0.002, (h, w)).astype(np.float32)
+    for _ in range(15):
+        x0 = rng.uniform(30, w - 30)
+        y0 = rng.uniform(30, h - 30)
+        base += 0.5 * np.exp(-(((xx + 0.5 - x0) ** 2 +
+                                (yy + 0.5 - y0) ** 2) / (2 * 2.0 ** 2)))
+    base = np.clip(base, 0, 1)
+    shifts = [(0, 0), (4, 2), (-3, 5), (6, -4)]
+    for i, (dx, dy) in enumerate(shifts):
+        f = np.roll(np.roll(base, dy, 0), dx, 1) \
+            + rng.normal(0, 0.002, (h, w)).astype(np.float32)
+        write_fits(SirilImage(data=np.clip(f, 0, 1)[None]),
+                   str(tmp_path / f"rp_{i + 1:05d}.fit"), bitdepth=16)
+    ctx2 = Session(cwd=str(tmp_path))
+    COMMANDS["register"].fn(ctx2, ["rp_", "-2pass", "-transf=shift"])
+    reg = ctx2.seq.reg(0)
+    assert reg.valid.sum() == 4
+    H0 = np.linalg.inv(reg.H[0]) @ reg.H[3]
+    assert abs(H0[0, 2] - (-6)) < 0.3 and abs(H0[1, 2] - 4) < 0.3
