@@ -73,7 +73,7 @@ def convert_to_sequence(inputs: Seq[str], dest_name: str,
         raise ValueError("no input files")
     os.makedirs(directory, exist_ok=True)
 
-    # expand SER/sequence containers into frames
+    # expand SER/AVI containers into frames
     expanded: List = []
     for p in inputs:
         if p.lower().endswith(".ser") and output != "ser":
@@ -81,6 +81,12 @@ def convert_to_sequence(inputs: Seq[str], dest_name: str,
 
             sf = SerFile(p)
             for i in range(sf.frame_count):
+                expanded.append((p, i))
+        elif p.lower().endswith(".avi"):
+            from siril_tpu.io.avi import AviReader
+
+            ar = AviReader(p)
+            for i in range(ar.nframes):
                 expanded.append((p, i))
         else:
             expanded.append((p, None))
@@ -138,9 +144,14 @@ def convert_to_sequence(inputs: Seq[str], dest_name: str,
 def _read_item(item, debayer: bool) -> SirilImage:
     src, sub = item
     if sub is not None:
-        from siril_tpu.io.ser import SerFile
+        if src.lower().endswith(".avi"):
+            from siril_tpu.io.avi import AviReader
 
-        img = SerFile(src).read_frame(sub)
+            img = AviReader(src).read_frame(sub)
+        else:
+            from siril_tpu.io.ser import SerFile
+
+            img = SerFile(src).read_frame(sub)
     else:
         img = load_any(src)
     if debayer and img.is_cfa():
