@@ -295,8 +295,14 @@ def cmd_capabilities(ctx, args):
     log_message(f"siril_tpu {VERSION} (Siril-compatible command surface)")
     log_message(f"JAX backend: {jax.default_backend()}, "
                 f"{len(jax.devices())} device(s)")
-    log_message("Formats: FITS (r/w), SER (r/w), FITSEQ (r), "
+    from siril_tpu import native
+
+    log_message("Formats: FITS (r/w, RICE/GZIP tile compression), "
+                "SER (r/w), FITSEQ (r/w), XISF (r/w), AVI (r/w), PIC (r), "
                 "TIFF/PNG/JPEG/BMP/PNM via PIL")
+    log_message(f"Native I/O kernels: "
+                f"{'available' if native.available() else 'python fallback'}")
+    log_message(f"Commands: {len({c.name for c in COMMANDS.values()})}")
 
 
 @command("requires", "requires version", min_args=1)

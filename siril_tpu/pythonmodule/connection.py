@@ -653,3 +653,11 @@ class SirilInterface:
 
     def get_seq_distodata(self, channel: int = 0) -> dict:
         return {"index": 0, "velocity": (0.0, 0.0)}
+
+    def export_sequence_avi(self, path: str, fps: float = 25.0) -> int:
+        """Export the loaded sequence as an uncompressed AVI (the
+        reference's AVI export, avi_pipp)."""
+        from siril_tpu.io.avi import export_avi
+
+        p = path if os.path.isabs(path) else os.path.join(self.ctx.cwd, path)
+        return export_avi(self._require_seq(), p, fps)
