@@ -120,7 +120,13 @@ def cmd_save(ctx: Session, args):
 
     pos, flags = parse_flags(args)
     name = pos[0]
+    if "$" in name:
+        # $KEY:fmt$ header substitution in save paths (io/path_parse.c)
+        from siril_tpu.utils.pathparse import parse_path
+
+        name = parse_path(name, ctx.require_image())
     p = ctx.path(name)
+    os.makedirs(os.path.dirname(p) or ".", exist_ok=True)
     if not os.path.splitext(p)[1]:
         p += ctx.ext
     bd = USHORT_IMG if ctx.force_16bit else ctx.image.orig_bitdepth
