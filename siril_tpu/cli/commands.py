@@ -939,12 +939,67 @@ def cmd_register(ctx, args):
     if isinstance(flags.get("disto"), str):
         log_warning("register: -disto= master distortion files are not "
                     "supported yet; solve with SIP via platesolve instead")
+    if "drizzle" in flags:
+        # register -drizzle (Bayer drizzle workflow): compute transforms,
+        # then drizzle every frame onto the output grid
+        ra.output = False
+        register_sequence(seq, ra)
+        _drizzle_out_sequence(ctx, seq, ra.reglayer, ra.prefix or "r_",
+                              flags)
+        log_message(f"Registration complete: {int(seq.incl.sum())} images")
+        return
     res = register_sequence(seq, ra)
     if res.new_seq is not None:
         ctx.seq = res.new_seq
     else:
         ctx.seq = seq
     log_message(f"Registration complete: {res.processed} images")
+
+
+def _drizzle_out_sequence(ctx, seq, reglayer, prefix, flags):
+    """Per-frame drizzle output sequence (applyreg.c drizzle path,
+    initialize_drizzle_params:1111); shared by `seqapplyreg -drizzle`
+    and `register -drizzle`.  -flat= provides the drizzle weight plane."""
+    from siril_tpu.core.sequence import Sequence as _Seq
+    from siril_tpu.io.conversion import load_any
+    from siril_tpu.io.fits_io import write_fits
+    from siril_tpu.ops.drizzle import (
+        KERNEL_NAMES,
+        DrizzleArgs,
+        DrizzleAccumulator,
+    )
+
+    da = DrizzleArgs(scale=_f(flags.get("scale"), 2.0) or 2.0,
+                     pixfrac=_f(flags.get("pixfrac"), 1.0) or 1.0)
+    if isinstance(flags.get("kernel"), str):
+        da.kernel = KERNEL_NAMES.get(flags["kernel"].lower(), da.kernel)
+    wplane = None
+    if isinstance(flags.get("flat"), str):
+        fp = ctx.path(flags["flat"])
+        if not os.path.splitext(fp)[1]:
+            fp += ctx.ext
+        wplane = load_any(fp).host()[0]
+    reg = seq.reg(reglayer)
+    first = seq.read_frame(int(seq.selected_indices()[0]))
+    da.use_bayer = first.is_cfa()
+    C = 3 if (da.use_bayer and first.is_cfa()) else first.nchans
+    out_shape = (C, int(seq.ry * da.scale), int(seq.rx * da.scale))
+    outs = []
+    for i in seq.selected_indices():
+        if not reg.valid[i]:
+            continue
+        acc = DrizzleAccumulator(out_shape, da)
+        acc.add_frame(seq.read_frame(int(i)), reg.H[int(i)],
+                      weight_plane=wplane)
+        out_img, _ = acc.finalize()
+        pth = ctx.path(f"{prefix}{seq.name}{int(seq.filenum[i]):05d}.fit")
+        write_fits(out_img, pth, bitdepth=FLOAT_IMG)
+        outs.append(pth)
+    new_seq = _Seq.from_files(outs, name=f"{prefix}{seq.name}")
+    new_seq.save()
+    ctx.seq = new_seq
+    log_message(f"drizzle: {len(outs)} frames at x{da.scale}")
+    return new_seq
 
 
 @command("seqapplyreg", "seqapplyreg sequencename [-framing=] [-interp=] [-prefix=] [-layer=] [-scale=] [-noclamp]",
@@ -990,40 +1045,8 @@ def cmd_seqapplyreg(ctx, args):
         log_message(f"seqapplyreg filter: {int(seq.incl.sum())} of "
                     f"{seq.number} frames kept")
     if "drizzle" in flags:
-        # per-frame drizzle output sequence (applyreg.c drizzle path)
-        from siril_tpu.core.sequence import Sequence as _Seq
-        from siril_tpu.io.fits_io import write_fits
-        from siril_tpu.ops.drizzle import (
-            KERNEL_NAMES,
-            DrizzleArgs,
-            DrizzleAccumulator,
-        )
-
-        da = DrizzleArgs(scale=_f(flags.get("scale"), 2.0) or 2.0,
-                         pixfrac=_f(flags.get("pixfrac"), 1.0) or 1.0)
-        if isinstance(flags.get("kernel"), str):
-            da.kernel = KERNEL_NAMES.get(flags["kernel"].lower(), da.kernel)
-        reg = seq.reg(aa.reglayer)
-        first = seq.read_frame(int(seq.selected_indices()[0]))
-        da.use_bayer = first.is_cfa()
-        C = 3 if (da.use_bayer and first.is_cfa()) else first.nchans
-        out_shape = (C, int(seq.ry * da.scale), int(seq.rx * da.scale))
-        prefix = aa.prefix or "r_"
-        outs = []
-        for i in seq.selected_indices():
-            if not reg.valid[i]:
-                continue
-            acc = DrizzleAccumulator(out_shape, da)
-            acc.add_frame(seq.read_frame(int(i)), reg.H[int(i)])
-            out_img, _ = acc.finalize()
-            pth = ctx.path(f"{prefix}{seq.name}{int(seq.filenum[i]):05d}.fit")
-            write_fits(out_img, pth, bitdepth=FLOAT_IMG)
-            outs.append(pth)
-        new_seq = _Seq.from_files(outs, name=f"{prefix}{seq.name}")
-        new_seq.save()
-        ctx.seq = new_seq
-        log_message(f"seqapplyreg: drizzled {len(outs)} frames at "
-                    f"x{da.scale}")
+        _drizzle_out_sequence(ctx, seq, aa.reglayer, aa.prefix or "r_",
+                              flags)
         return
     # astrometric path (applyreg.c:1188-1213): if the sequence has no
     # registration data but frames are plate-solved, derive the

@@ -69,13 +69,25 @@ class Session:
 
         base = name[:-4] if name.endswith(".seq") else name
         seqfile = self.path(base + ".seq")
+        if not os.path.exists(seqfile) and \
+                os.path.exists(self.path(base + "_.seq")):
+            # converted sequences carry a trailing underscore
+            # (conversion.c naming rule); accept the bare name too
+            base = base + "_"
+            seqfile = self.path(base + ".seq")
         if os.path.exists(seqfile):
             seq = read_seqfile(seqfile)
         elif os.path.exists(self.path(base + ".ser")) or name.endswith(".ser"):
             p = self.path(base + ".ser" if not name.endswith(".ser") else name)
             seq = Seq.from_ser(p)
         else:
-            seq = Seq.scan(base, self.cwd)
+            try:
+                seq = Seq.scan(base, self.cwd)
+            except (ValueError, FileNotFoundError):
+                if not base.endswith("_"):
+                    seq = Seq.scan(base + "_", self.cwd)
+                else:
+                    raise
         self.seq = seq
         return seq
 

@@ -72,6 +72,10 @@ def convert_to_sequence(inputs: Seq[str], dest_name: str,
     if not inputs:
         raise ValueError("no input files")
     os.makedirs(directory, exist_ok=True)
+    # reference naming rule (conversion.c:1396): append '_' unless the
+    # basename already ends with '_', '-' or a digit → light → light_00001
+    if dest_name and dest_name[-1] not in "_-0123456789":
+        dest_name = dest_name + "_"
 
     # expand SER/AVI containers into frames
     expanded: List = []
@@ -138,6 +142,7 @@ def convert_to_sequence(inputs: Seq[str], dest_name: str,
     log_message(f"Converted {len(files)} files to sequence {dest_name}")
     seq = Sequence.from_files(files, name=dest_name, directory=directory)
     seq.beg = start
+    seq.save()                 # reference writes the .seq on conversion
     return seq
 
 

@@ -146,8 +146,10 @@ class DrizzleAccumulator:
         self.nframes = 0
 
     def add_frame(self, img: SirilImage, H_reg: np.ndarray,
-                  weight: float = 1.0):
-        """H_reg maps frame coords → reference coords (regdata H)."""
+                  weight: float = 1.0, weight_plane=None):
+        """H_reg maps frame coords → reference coords (regdata H).
+        ``weight_plane``: optional per-pixel input weights (e.g. the
+        master flat, cdrizzle weight map semantics)."""
         import jax.numpy as jnp
 
         a = self.args
@@ -158,6 +160,8 @@ class DrizzleAccumulator:
         taps = _taps_for(a.kernel, a.pixfrac, inv_scale)
         fn = _drizzle_fn(self.H, self.W, a.kernel, taps)
         data = img.host()
+        wp = (np.asarray(weight_plane, np.float32)
+              if weight_plane is not None else None)
         if a.use_bayer and img.is_cfa():
             from siril_tpu.ops.demosaic import _cfa_masks, effective_pattern
 
@@ -167,8 +171,11 @@ class DrizzleAccumulator:
             rm, gm, bm = _cfa_masks(pat, data.shape[1], data.shape[2])
             planes = [(0, rm), (1, gm), (2, bm)]
             for c, mask in planes:
+                w = mask.astype(np.float32) * weight
+                if wp is not None:
+                    w = w * wp
                 acc, wht = fn(jnp.asarray(data[0], jnp.float32),
-                              jnp.asarray(mask.astype(np.float32) * weight),
+                              jnp.asarray(w),
                               jnp.asarray(Hinv, jnp.float32),
                               np.float32(a.pixfrac), np.float32(inv_scale))
                 self.acc[c] += np.asarray(acc)
@@ -176,6 +183,8 @@ class DrizzleAccumulator:
         else:
             for c in range(min(self.C, data.shape[0])):
                 wplane = np.full(data.shape[1:], weight, np.float32)
+                if wp is not None:
+                    wplane = wplane * wp
                 acc, wht = fn(jnp.asarray(data[c], jnp.float32),
                               jnp.asarray(wplane),
                               jnp.asarray(Hinv, jnp.float32),

@@ -81,15 +81,11 @@ def test_mono_preprocessing_script_verbatim(tmp_path):
 
 
 OSC_SCRIPT = "/root/reference/scripts/OSC_Preprocessing.ssf"
+DRIZZLE_SCRIPT = "/root/reference/scripts/OSC_Preprocessing_BayerDrizzle.ssf"
+HA_SCRIPT = "/root/reference/scripts/OSC_Extract_Ha.ssf"
 
 
-@pytest.mark.skipif(not os.path.exists(OSC_SCRIPT),
-                    reason="reference scripts not mounted")
-def test_osc_preprocessing_script_verbatim(tmp_path):
-    """The OSC (Bayer) preprocessing script verbatim: CFA calibration
-    with -cfa -equalize_cfa -debayer, registration on debayered lights,
-    rgb_equal stack."""
-    rng = np.random.default_rng(56)
+def _make_osc_fixture(tmp_path, rng):
     h = w = 128
     yy, xx = np.mgrid[0:h, 0:w]
     bias_level = 0.05
@@ -134,7 +130,16 @@ def test_osc_preprocessing_script_verbatim(tmp_path):
              bias_level + dark_current + shifted * flat + nois(0.003), 30.0)
     (tmp_path / "masters").mkdir()
     (tmp_path / "process").mkdir()
+    return rgb
 
+
+@pytest.mark.skipif(not os.path.exists(OSC_SCRIPT),
+                    reason="reference scripts not mounted")
+def test_osc_preprocessing_script_verbatim(tmp_path):
+    """The OSC (Bayer) preprocessing script verbatim: CFA calibration
+    with -cfa -equalize_cfa -debayer, registration on debayered lights,
+    rgb_equal stack."""
+    rgb = _make_osc_fixture(tmp_path, np.random.default_rng(56))
     ctx = Session(cwd=str(tmp_path))
     rc = execute_script(ctx, OSC_SCRIPT)
     assert rc == 0, "OSC reference script aborted"
@@ -148,3 +153,74 @@ def test_osc_preprocessing_script_verbatim(tmp_path):
     corr = np.corrcoef(g[interior].ravel(),
                        rgb[1][interior].ravel())[0, 1]
     assert corr > 0.9, f"green channel decorrelated ({corr})"
+
+
+@pytest.mark.skipif(not os.path.exists(DRIZZLE_SCRIPT),
+                    reason="reference scripts not mounted")
+def test_osc_bayer_drizzle_script_verbatim(tmp_path):
+    """Bayer-drizzle preprocessing verbatim: register -drizzle with the
+    master flat as weight plane, then stack the drizzled sequence."""
+    rgb = _make_osc_fixture(tmp_path, np.random.default_rng(57))
+    ctx = Session(cwd=str(tmp_path))
+    rc = execute_script(ctx, DRIZZLE_SCRIPT)
+    assert rc == 0, "BayerDrizzle reference script aborted"
+    results = [f for f in os.listdir(tmp_path)
+               if f.startswith("result_drizzle") and f.endswith(".fit")]
+    assert results
+    out = read_fits(str(tmp_path / results[0]))
+    assert out.nchans == 3                 # Bayer-drizzled to RGB
+    g = out.host()[1][::-1]
+    interior = np.s_[10:-10, 10:-10]
+    corr = np.corrcoef(g[interior].ravel(),
+                       rgb[1][interior].ravel())[0, 1]
+    assert corr > 0.85, f"drizzled green decorrelated ({corr})"
+
+
+@pytest.mark.skipif(not os.path.exists(HA_SCRIPT),
+                    reason="reference scripts not mounted")
+def test_osc_extract_ha_script_verbatim(tmp_path):
+    """Ha extraction workflow verbatim: CFA calibrate, seqextract_Ha
+    -upscale, register, stack."""
+    rgb = _make_osc_fixture(tmp_path, np.random.default_rng(58))
+    ctx = Session(cwd=str(tmp_path))
+    rc = execute_script(ctx, HA_SCRIPT)
+    assert rc == 0, "Extract_Ha reference script aborted"
+    results = [f for f in os.listdir(tmp_path)
+               if f.startswith("result_Ha") and f.endswith(".fit")]
+    assert results
+    out = read_fits(str(tmp_path / results[0]))
+    assert out.nchans == 1                 # Ha is a mono extraction
+
+
+RGB_SCRIPT = "/root/reference/scripts/RGB_Composition.ssf"
+
+
+@pytest.mark.skipif(not os.path.exists(RGB_SCRIPT),
+                    reason="reference scripts not mounted")
+def test_rgb_composition_script_verbatim(tmp_path):
+    """RGB composition verbatim: 2-pass register 3 mono frames,
+    min-framing apply, rgbcomp."""
+    rng = np.random.default_rng(59)
+    h = w = 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = 0.03 + rng.normal(0, 0.002, (h, w)).astype(np.float32)
+    for _ in range(20):
+        x0 = rng.uniform(24, w - 24)
+        y0 = rng.uniform(24, h - 24)
+        base += rng.uniform(0.3, 0.6) * np.exp(
+            -(((xx + 0.5 - x0) ** 2 + (yy + 0.5 - y0) ** 2) / 8.0))
+    base = np.clip(base, 0, 1)
+    for i, (dx, dy) in enumerate([(0, 0), (3, -2), (-2, 3)], start=1):
+        f = np.roll(np.roll(base, dy, 0), dx, 1) \
+            + rng.normal(0, 0.002, (h, w)).astype(np.float32)
+        write_fits(SirilImage(data=np.clip(f, 0, 1)[None]),
+                   str(tmp_path / f"chan_{i}.fit"), bitdepth=16)
+    ctx = Session(cwd=str(tmp_path))
+    rc = execute_script(ctx, RGB_SCRIPT)
+    assert rc == 0, "RGB composition script aborted"
+    out = read_fits(str(tmp_path / "rgb.fit"))
+    assert out.nchans == 3
+    d = out.host()
+    interior = np.s_[12:-12, 12:-12]
+    # channels aligned: R vs B difference small in the interior
+    assert np.abs(d[0][interior] - d[2][interior]).mean() < 0.01
