@@ -1279,11 +1279,28 @@ def cmd_rotatepi(ctx, args):
     ctx.set_image(rotate(ctx.require_image(), 180.0))
 
 
-@command("mirrorx", "mirrorx", req=REQ_SINGLE_IMAGE, aliases=("mirrorx_single",))
+@command("mirrorx", "mirrorx [-bottomup]", req=REQ_SINGLE_IMAGE)
 def cmd_mirrorx(ctx, args):
     from siril_tpu.ops.geometry import mirrorx
 
     ctx.set_image(mirrorx(ctx.require_image()))
+
+
+@command("mirrorx_single", "mirrorx_single imagename", min_args=1)
+def cmd_mirrorx_single(ctx, args):
+    """Flip a FITS file in place without disturbing the loaded image
+    (command.c process_mirrorx_single)."""
+    from siril_tpu.io.conversion import load_any
+    from siril_tpu.io.fits_io import write_fits
+    from siril_tpu.ops.geometry import mirrorx
+
+    pos, _ = parse_flags(args)
+    p = ctx.path(pos[0])
+    if not os.path.splitext(p)[1]:
+        p += ctx.ext
+    img = load_any(p)
+    write_fits(mirrorx(img), p, bitdepth=img.orig_bitdepth)
+    log_message(f"mirrorx: {os.path.basename(p)}")
 
 
 @command("mirrory", "mirrory", req=REQ_SINGLE_IMAGE)

@@ -46,6 +46,15 @@ def _fns(jnp):
         "mtf": mtf_fn,
         "asinh": jnp.arcsinh,
         "mean": lambda *a: sum(a) / len(a),
+        # statistical reductions over an image argument
+        # (pixel_math_runner.c stat functions)
+        "median": lambda x: jnp.median(x),
+        "mad": lambda x: jnp.median(jnp.abs(x - jnp.median(x))),
+        "mdev": lambda x: jnp.median(jnp.abs(x - jnp.median(x))),
+        "adev": lambda x: jnp.mean(jnp.abs(x - jnp.mean(x))),
+        "sdev": lambda x: jnp.std(x),
+        "avg": lambda x: jnp.mean(x),
+        "noise": lambda x: 1.4826 * jnp.median(jnp.abs(x - jnp.median(x))),
     }
 
 

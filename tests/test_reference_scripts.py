@@ -85,8 +85,8 @@ DRIZZLE_SCRIPT = "/root/reference/scripts/OSC_Preprocessing_BayerDrizzle.ssf"
 HA_SCRIPT = "/root/reference/scripts/OSC_Extract_Ha.ssf"
 
 
-def _make_osc_fixture(tmp_path, rng):
-    h = w = 128
+def _make_osc_fixture(tmp_path, rng, h=128, nstars=25, sigma=2.0):
+    w = h
     yy, xx = np.mgrid[0:h, 0:w]
     bias_level = 0.05
     dark_current = 0.02
@@ -95,13 +95,13 @@ def _make_osc_fixture(tmp_path, rng):
     # RGB scene → RGGB mosaic
     rgb = np.zeros((3, h, w), np.float32)
     rgb += 0.02
-    for _ in range(25):
+    for _ in range(nstars):
         x0 = rng.uniform(24, w - 24)
         y0 = rng.uniform(24, h - 24)
         a = rng.uniform(0.3, 0.6)
         g = a * np.exp(-(((xx + 0.5 - x0) ** 2 +
-                          (yy + 0.5 - y0) ** 2) / (2 * 2.0 ** 2)))
-        col = rng.uniform(0.6, 1.0, 3)
+                          (yy + 0.5 - y0) ** 2) / (2 * sigma ** 2)))
+        col = rng.uniform(0.7, 1.0, 3)
         rgb += col[:, None, None] * g
     rgb = np.clip(rgb, 0, 0.8)
     mosaic = np.zeros((h, w), np.float32)
@@ -224,3 +224,23 @@ def test_rgb_composition_script_verbatim(tmp_path):
     interior = np.s_[12:-12, 12:-12]
     # channels aligned: R vs B difference small in the interior
     assert np.abs(d[0][interior] - d[2][interior]).mean() < 0.01
+
+
+HAOIII_SCRIPT = "/root/reference/scripts/OSC_Extract_HaOIII.ssf"
+
+
+@pytest.mark.skipif(not os.path.exists(HAOIII_SCRIPT),
+                    reason="reference scripts not mounted")
+def test_osc_extract_haoiii_script_verbatim(tmp_path):
+    """The dual-band extraction script verbatim: HaOIII split, separate
+    registrations and stacks, mirrorx_single on files, cross-band pm
+    normalization with mad()/median()."""
+    _make_osc_fixture(tmp_path, np.random.default_rng(60), h=256,
+                      nstars=30, sigma=3.0)
+    (tmp_path / "results").mkdir()
+    ctx = Session(cwd=str(tmp_path))
+    rc = execute_script(ctx, HAOIII_SCRIPT)
+    assert rc == 0, "Extract_HaOIII reference script aborted"
+    outs = os.listdir(tmp_path / "results")
+    assert any(f.startswith("result_Ha") for f in outs)
+    assert any(f.startswith("result_OIII") for f in outs)
