@@ -2699,7 +2699,8 @@ def cmd_seqextract_green(ctx, args):
     _seq_apply(ctx, pos[0], prefix, "seqextract_Green", extract_green)
 
 
-@command("seqextract_haoiii", "seqextract_HaOIII sequencename", min_args=1)
+@command("seqextract_haoiii", "seqextract_HaOIII sequencename [-resample={ha|oiii}]",
+         min_args=1)
 def cmd_seqextract_haoiii(ctx, args):
     from siril_tpu.core.engine import SeqArgs, run_sequence
     from siril_tpu.io.fits_io import write_fits
@@ -2707,9 +2708,10 @@ def cmd_seqextract_haoiii(ctx, args):
 
     pos, flags = parse_flags(args)
     seq = ctx.load_sequence(pos[0])
+    resample = str(flags.get("resample", "oiii")).lower()
 
     def image(c, idx, img):
-        ha, oiii = extract_ha_oiii(img)
+        ha, oiii = extract_ha_oiii(img, resample=resample)
         num = int(seq.filenum[idx])
         write_fits(ha, os.path.join(
             seq.directory, f"Ha_{seq.name}{num:0{seq.fixed_len}d}.fit"))
