@@ -2181,9 +2181,15 @@ def _get_catalog(ctx, flags):
         else default_catalog_path()
     if path is None:
         raise CommandError(
-            "no local catalogue available (set -catalog=file.npz/csv or "
-            "SIRIL_TPU_CATALOG; remote catalogues are disabled offline)")
-    return Catalog.load(ctx.path(path) if not os.path.isabs(path) else path)
+            "no local catalogue available (set -catalog=file.npz/csv/.cat "
+            "or SIRIL_TPU_CATALOG; remote catalogues are disabled offline)")
+    p = ctx.path(path) if not os.path.isabs(path) else path
+    if p.lower().endswith(".cat"):
+        # reference-format binary HEALPix-indexed Gaia catalogue
+        from siril_tpu.astrometry.gaia_local import GaiaLocalCatalogue
+
+        return GaiaLocalCatalogue(p)
+    return Catalog.load(p)
 
 
 @command("platesolve", "platesolve [ra dec] [-focal=] [-pixelsize=] [-catalog=] [-limitmag=] [-order=]",

@@ -143,3 +143,82 @@ class TestPlateSolve:
         res = solve_image(img, cat,
                           SolveArgs(ra=10.0, dec=50.0, pixel_scale=2.0))
         assert res is None
+
+
+# ---------------------------------------------------------------------------
+# binary local Gaia catalogue (local_catalogues.h / healpix.cpp format)
+# ---------------------------------------------------------------------------
+
+
+def test_gaia_local_catalogue_roundtrip(tmp_path):
+    from siril_tpu.astrometry.gaia_local import (
+        GaiaLocalCatalogue,
+        write_gaia_astro,
+    )
+
+    rng = np.random.default_rng(61)
+    n = 3000
+    ra = rng.uniform(0, 360, n)
+    dec = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))
+    mag = rng.uniform(5, 16, n)
+    # a known cluster to search for
+    ra[:50] = 180.0 + rng.normal(0, 0.2, 50)
+    dec[:50] = 10.0 + rng.normal(0, 0.2, 50)
+    mag[:50] = rng.uniform(6, 12, 50)
+    p = str(tmp_path / "gaia_astro.cat")
+    write_gaia_astro(p, ra, dec, mag, level=8)
+
+    cat = GaiaLocalCatalogue(p)
+    assert cat.level == 8 and cat.n_healpixels == 12 * 256 * 256
+    res = cat.cone_search(180.0, 10.0, 1.0, mag_limit=13.0)
+    # all cluster members recovered, nothing out-of-cone
+    assert len(res) >= 50
+    sep = np.hypot((res.ra - 180.0) * np.cos(np.radians(10.0)),
+                   res.dec - 10.0)
+    assert sep.max() <= 1.0
+    assert res.mag.max() <= 13.0
+    # positions preserved to the i32 quantization (~1.7e-7 deg)
+    got = np.sort(res.ra[res.mag < 12.5])
+    exp = np.sort(ra[:50])
+    common = min(len(got), 50)
+    assert np.abs(np.sort(res.dec)[0] - np.sort(dec[:50])[0]) < 1e-5
+
+
+def test_gaia_local_catalogue_platesolve(tmp_path):
+    """platesolve -catalog=file.cat solves against the binary catalogue."""
+    from siril_tpu.astrometry.gaia_local import write_gaia_astro
+    from siril_tpu.cli.commands import COMMANDS
+    from siril_tpu.cli.context import Session
+    from siril_tpu.core.image import SirilImage
+    from siril_tpu.ops.wcs import WCS
+
+    rng = np.random.default_rng(62)
+    h = w = 256
+    scale = 2.8e-4
+    wcs = WCS(crpix=(w / 2.0, h / 2.0), crval=(180.0, 10.0),
+              cd=np.array([[-scale, 0.0], [0.0, scale]]), height=h)
+    n = 40
+    px = rng.uniform(20, w - 20, n)
+    py = rng.uniform(20, h - 20, n)
+    ra, dec = wcs.pix2world(px, py)
+    mag = rng.uniform(7, 11, n)
+    p = str(tmp_path / "field.cat")
+    write_gaia_astro(p, ra, dec, mag, level=8)
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = 0.05 + rng.normal(0, 0.002, (h, w)).astype(np.float32)
+    for x0, y0, m in zip(px, py, mag):
+        a = 0.6 * 10 ** (-0.4 * (m - 7.0))
+        img += a * np.exp(-(((xx + 0.5 - x0) ** 2 +
+                             (yy + 0.5 - y0) ** 2) / (2 * 2.0 ** 2)))
+    ctx = Session(cwd=str(tmp_path))
+    ctx.set_image(SirilImage(data=np.clip(img, 0, 1)[None]), "field")
+    # scale = 2.8e-4 deg/px = 1.008"/px; focal = 206.265·px_um/scale_as
+    COMMANDS["platesolve"].fn(
+        ctx, ["180.0", "10.0", "-catalog=field.cat",
+              "-pixelsize=3.8", "-focal=777.6"])
+    assert ctx.image.wcs is not None
+    ra_c, dec_c = ctx.image.wcs.pix2world(np.array([w / 2.0]),
+                                          np.array([h / 2.0]))
+    assert abs(float(ra_c[0]) - 180.0) < 0.01
+    assert abs(float(dec_c[0]) - 10.0) < 0.01
