@@ -936,9 +936,11 @@ def cmd_register(ctx, args):
     ra.save_starlists = "nostarlist" not in flags
     if "selected" in flags:
         pass        # frames outside the selection are already excluded
+    disto_file = ""
     if isinstance(flags.get("disto"), str):
-        log_warning("register: -disto= master distortion files are not "
-                    "supported yet; solve with SIP via platesolve instead")
+        disto_file = ctx.path(flags["disto"])
+        if not os.path.splitext(disto_file)[1]:
+            disto_file += ctx.ext
     if "drizzle" in flags:
         # register -drizzle (Bayer drizzle workflow): compute transforms,
         # then drizzle every frame onto the output grid
@@ -947,6 +949,23 @@ def cmd_register(ctx, args):
         _drizzle_out_sequence(ctx, seq, ra.reglayer, ra.prefix or "r_",
                               flags)
         log_message(f"Registration complete: {int(seq.incl.sum())} images")
+        return
+    if disto_file:
+        # register -disto=: transforms first, then warp with the SIP
+        # master composed into the sampling pass
+        from siril_tpu.registration.global_reg import (
+            ApplyRegArgs,
+            apply_reg_sequence,
+        )
+
+        ra.output = False
+        register_sequence(seq, ra)
+        aa2 = ApplyRegArgs(reglayer=ra.reglayer, prefix=ra.prefix,
+                           interpolation=ra.interpolation, clamp=ra.clamp,
+                           scale=ra.scale, disto_file=disto_file)
+        res2 = apply_reg_sequence(seq, aa2)
+        ctx.seq = res2.new_seq or seq
+        log_message(f"Registration complete: {res2.processed} images")
         return
     res = register_sequence(seq, ra)
     if res.new_seq is not None:
@@ -1028,6 +1047,10 @@ def cmd_seqapplyreg(ctx, args):
         aa.scale = float(flags["scale"])
     if "noclamp" in flags:
         aa.clamp = False
+    if isinstance(flags.get("disto"), str):
+        aa.disto_file = ctx.path(flags["disto"])
+        if not os.path.splitext(aa.disto_file)[1]:
+            aa.disto_file += ctx.ext
     # frame filtering (-filter-fwhm= etc., sequence_filtering.c)
     from siril_tpu.core.filtering import apply_filters, parse_filter_flag
 

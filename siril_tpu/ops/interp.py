@@ -245,3 +245,81 @@ def resize(data, to_w: int, to_h: int, method: int = INTERP_BILINEAR,
                      [0, 0, 1.0]])
     return warp_homography(data, np.linalg.inv(Hinv), (to_h, to_w),
                            method, clamp)
+
+
+@lru_cache(maxsize=8)
+def _warp_sip_fn(out_h: int, out_w: int, method: int, clamp: bool,
+                 order: int, invert: bool = False):
+    """Warp + SIP distortion handling in ONE sampling pass
+    (registration/distorsion.c pixmap composition).  With
+    ``invert=False`` the source coords Hinv·x are displaced by +P(s)
+    (A/B are the displacement to apply); with ``invert=True`` A/B are
+    the FORWARD distortion and the kernel solves s + P(s) = x with two
+    Newton iterations (undistortion without AP/BP terms)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(planes, Hinv, A, B, crpix):
+        yy, xx = jnp.mgrid[0:out_h, 0:out_w]
+        xf = xx.astype(jnp.float32)
+        yf = yy.astype(jnp.float32)
+        d = Hinv[2, 0] * xf + Hinv[2, 1] * yf + Hinv[2, 2]
+        sx = (Hinv[0, 0] * xf + Hinv[0, 1] * yf + Hinv[0, 2]) / d
+        sy = (Hinv[1, 0] * xf + Hinv[1, 1] * yf + Hinv[1, 2]) / d
+
+        def poly(px, py):
+            u = px - crpix[0]
+            v = py - crpix[1]
+            du = jnp.zeros_like(u)
+            dv = jnp.zeros_like(v)
+            for p in range(order + 1):
+                for q in range(order + 1 - p):
+                    term = (u ** p) * (v ** q)
+                    du = du + A[p, q] * term
+                    dv = dv + B[p, q] * term
+            return du, dv
+
+        if invert:
+            cx, cy = sx, sy
+            for _ in range(3):
+                du, dv = poly(cx, cy)
+                cx = sx - du
+                cy = sy - dv
+            sx, sy = cx, cy
+        else:
+            du, dv = poly(sx, sy)
+            sx = sx + du
+            sy = sy + dv
+
+        def one(pl):
+            out = sample_plane(pl, sy, sx, method)
+            if clamp and method in (INTERP_BICUBIC, INTERP_LANCZOS4):
+                guide = sample_plane(pl, sy, sx, INTERP_BILINEAR)
+                mask = out < CLAMPING_FACTOR * guide
+                mask = _dilate3(mask)
+                out = jnp.where(mask, guide, out)
+            return out
+
+        return jax.vmap(one)(planes)
+
+    return run
+
+
+def warp_homography_sip(data, H, sip_a, sip_b, crpix,
+                        out_shape: Tuple[int, int],
+                        method: int = INTERP_LANCZOS4,
+                        clamp: bool = True, invert: bool = False):
+    """Warp with SIP master-distortion correction (register -disto=).
+    ``invert=True`` treats A/B as the forward distortion to undo."""
+    import jax.numpy as jnp
+
+    Hinv = np.linalg.inv(np.asarray(H, np.float64))
+    order = int(sip_a.shape[0]) - 1
+    run = _warp_sip_fn(int(out_shape[0]), int(out_shape[1]), int(method),
+                       bool(clamp), order, bool(invert))
+    return np.asarray(run(jnp.asarray(data, jnp.float32),
+                          jnp.asarray(Hinv, jnp.float32),
+                          jnp.asarray(sip_a, jnp.float32),
+                          jnp.asarray(sip_b, jnp.float32),
+                          jnp.asarray(np.asarray(crpix, np.float32))))

@@ -218,6 +218,7 @@ class ApplyRegArgs:
     clamp: bool = True
     framing: int = FRAMING_CURRENT
     scale: float = 1.0
+    disto_file: str = ""            # master SIP distortion file (-disto=)
 
 
 def compute_framing(seq: Sequence, layer: int, framing: int,
@@ -272,12 +273,45 @@ def apply_reg_sequence(seq: Sequence, args: Optional[ApplyRegArgs] = None):
     out_w, out_h, T = compute_framing(seq, layer, args.framing, args.scale)
     log_message(f"Applying registration: output {out_w}x{out_h}")
 
+    sip = None
+    if args.disto_file:
+        # master SIP distortion (register/seqapplyreg -disto=file,
+        # registration/distorsion.c): undistortion composed into the
+        # warp's sampling coordinates
+        from siril_tpu.io.conversion import load_any
+
+        master = load_any(args.disto_file)
+        w = master.wcs
+        if w is None or w.sip_a is None:
+            raise RuntimeError(
+                f"-disto master has no SIP solution: {args.disto_file}")
+        # undistortion samples at s with s + A(s) = x: use the stored
+        # inverse terms (AP/BP) when present, else the first-order
+        # inverse −A/−B (distortions are a few px)
+        if w.sip_ap is not None and w.sip_bp is not None:
+            sip = (w.sip_ap, w.sip_bp,
+                   np.array([w.crpix[0] - 1.0, w.crpix[1] - 1.0]), False)
+        else:
+            # no inverse terms: Newton-invert the forward polynomial
+            sip = (w.sip_a, w.sip_b,
+                   np.array([w.crpix[0] - 1.0, w.crpix[1] - 1.0]), True)
+        log_message(f"Applying SIP distortion (order "
+                    f"{w.sip_a.shape[0] - 1}) from master")
+
     def image(ctx, idx, img):
         if not reg.valid[idx]:
             return None
         Hm = T @ reg.H[idx]
-        warped = warp_homography(img.host(), Hm, (out_h, out_w),
-                                 args.interpolation, args.clamp)
+        if sip is not None:
+            from siril_tpu.ops.interp import warp_homography_sip
+
+            warped = warp_homography_sip(img.host(), Hm, sip[0], sip[1],
+                                         sip[2], (out_h, out_w),
+                                         args.interpolation, args.clamp,
+                                         invert=sip[3])
+        else:
+            warped = warp_homography(img.host(), Hm, (out_h, out_w),
+                                     args.interpolation, args.clamp)
         out = img.copy(data=warped)
         out.log_history("Applied existing registration")
         return out

@@ -256,3 +256,82 @@ def test_detect_stars_batch_matches_single(rng):
         for s in single[:8]:
             d = min(np.hypot(t.x0 - s.x0, t.y0 - s.y0) for t in batch[k])
             assert d < 0.5
+
+
+def test_seqapplyreg_disto_corrects_sip(tmp_path):
+    """-disto= master: frames carrying a known SIP distortion are
+    straightened by the composed warp."""
+    from siril_tpu.cli.commands import COMMANDS
+    from siril_tpu.cli.context import Session
+    from siril_tpu.ops.wcs import WCS
+
+    rng = np.random.default_rng(63)
+    h = w = 96
+    yy, xx = np.mgrid[0:h, 0:w]
+    # true (undistorted) scene
+    base = 0.05 + rng.normal(0, 0.002, (h, w)).astype(np.float32)
+    pts = [(30, 30), (70, 40), (45, 72)]
+    for x0, y0 in pts:
+        base += 0.5 * np.exp(-(((xx + 0.5 - x0) ** 2 +
+                                (yy + 0.5 - y0) ** 2) / (2 * 2.0 ** 2)))
+    # distortion: source = x + A(u,v); build distorted frames by sampling
+    # the true scene at x + d(x)
+    k = 0.15
+    cr = (48.0, 48.0)
+    u = xx + 0.5 - cr[0]
+    v = yy + 0.5 - cr[1]
+    du = k * (u * u) / 48.0
+    dv = k * (u * v) / 48.0
+    from siril_tpu.ops.interp import INTERP_BILINEAR, sample_plane
+    import jax.numpy as jnp
+
+    sx = jnp.asarray((xx + du).astype(np.float32))
+    sy = jnp.asarray((yy + dv).astype(np.float32))
+    distorted = np.asarray(sample_plane(jnp.asarray(base), sy, sx,
+                                        INTERP_BILINEAR))
+    for i in range(2):
+        img = SirilImage(data=np.clip(
+            distorted + rng.normal(0, 0.001, (h, w)), 0, 1)[None]
+            .astype(np.float32))
+        write_fits(img, str(tmp_path / f"dd_{i + 1:05d}.fit"),
+                   bitdepth=-32)
+    # master with the SIP A/B terms of that distortion (crpix 1-based)
+    A = np.zeros((3, 3)); B = np.zeros((3, 3))
+    A[2, 0] = k / 48.0          # u² term
+    B[1, 1] = k / 48.0          # u·v term
+    master = SirilImage(data=np.zeros((1, h, w), np.float32))
+    master.wcs = WCS(crpix=(cr[0] + 1.0, cr[1] + 1.0), crval=(180.0, 10.0),
+                     cd=np.array([[-2.8e-4, 0], [0, 2.8e-4]]), height=h,
+                     sip_a=A, sip_b=B)
+    write_fits(master, str(tmp_path / "master_disto.fit"), bitdepth=-32)
+
+    ctx = Session(cwd=str(tmp_path))
+    seq = ctx.load_sequence("dd_")
+    seq.nb_layers = 1
+    reg = seq.reg(0)
+    for i in range(2):
+        reg.H[i] = np.eye(3)
+        reg.valid[i] = True
+    seq.save()
+    COMMANDS["seqapplyreg"].fn(ctx, ["dd_", "-disto=master_disto.fit",
+                                     "-interp=bi"])
+    fixed = ctx.seq.read_frame(0).host()[0]
+
+    def centroid(img2d, x0, y0, r=6):
+        ys, xs = np.mgrid[int(y0 - r):int(y0 + r + 1),
+                          int(x0 - r):int(x0 + r + 1)]
+        patch = img2d[int(y0 - r):int(y0 + r + 1),
+                      int(x0 - r):int(x0 + r + 1)].astype(np.float64)
+        patch = np.maximum(patch - np.median(patch), 0)
+        return (float((xs * patch).sum() / patch.sum()),
+                float((ys * patch).sum() / patch.sum()))
+
+    # the (70,40) star has the largest |u| → biggest displacement;
+    # undistortion must move it back onto the true position
+    tx, ty = 70.0 - 0.5, 40.0 - 0.5
+    bx, by = centroid(distorted, 68, 40)
+    err_before = np.hypot(bx - tx, by - ty)
+    fx_, fy_ = centroid(fixed, 70, 40)
+    err_after = np.hypot(fx_ - tx, fy_ - ty)
+    assert err_before > 0.8, err_before          # distortion was real
+    assert err_after < 0.3 * err_before, (err_before, err_after)
