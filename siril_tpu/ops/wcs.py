@@ -226,18 +226,29 @@ def parse_dec(s: str) -> float:
     return -val if neg else val
 
 
+def _sexagesimal(value: float, sec_digits: int):
+    """Split into (major, minute, second) with carry so seconds never
+    render as 60.0 after rounding."""
+    total = round(value * 3600.0, sec_digits)
+    major = int(total // 3600)
+    rem = total - major * 3600
+    minute = int(rem // 60)
+    sec = rem - minute * 60
+    if round(sec, sec_digits) >= 60.0:
+        sec = 0.0
+        minute += 1
+    if minute >= 60:
+        minute = 0
+        major += 1
+    return major, minute, sec
+
+
 def format_ra(deg: float) -> str:
-    h = deg / 15.0
-    hh = int(h)
-    mm = int((h - hh) * 60)
-    ss = ((h - hh) * 60 - mm) * 60
+    hh, mm, ss = _sexagesimal(deg / 15.0, 2)
     return f"{hh:02d}:{mm:02d}:{ss:05.2f}"
 
 
 def format_dec(deg: float) -> str:
     sign = "-" if deg < 0 else "+"
-    d = abs(deg)
-    dd = int(d)
-    mm = int((d - dd) * 60)
-    ss = ((d - dd) * 60 - mm) * 60
+    dd, mm, ss = _sexagesimal(abs(deg), 1)
     return f"{sign}{dd:02d}:{mm:02d}:{ss:04.1f}"
