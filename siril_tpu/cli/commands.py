@@ -2212,6 +2212,15 @@ def _get_catalog(ctx, flags):
         from siril_tpu.astrometry.gaia_local import GaiaLocalCatalogue
 
         return GaiaLocalCatalogue(p)
+    if p.lower().endswith((".dat", ".bin")) or "tycho" in p.lower() \
+            or "nomad" in os.path.basename(p).lower():
+        # KStars HTM binary (Tycho-2 / NOMAD)
+        from siril_tpu.astrometry.kstars_local import KStarsCatalogue
+
+        try:
+            return KStarsCatalogue(p)
+        except ValueError:
+            pass
     return Catalog.load(p)
 
 

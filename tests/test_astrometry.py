@@ -222,3 +222,39 @@ def test_gaia_local_catalogue_platesolve(tmp_path):
                                           np.array([h / 2.0]))
     assert abs(float(ra_c[0]) - 180.0) < 0.01
     assert abs(float(dec_c[0]) - 10.0) < 0.01
+
+
+def test_kstars_catalogue_roundtrip(tmp_path):
+    """KStars HTM binary (Tycho/NOMAD format): write, reopen, cone
+    search recovers a cluster with B−V colors."""
+    from siril_tpu.astrometry.kstars_local import (
+        KStarsCatalogue,
+        write_kstars_catalogue,
+    )
+
+    rng = np.random.default_rng(64)
+    n = 2500
+    ra = rng.uniform(0, 360, n)
+    dec = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))
+    v = rng.uniform(5, 14, n)
+    b = v + rng.uniform(-0.2, 1.2, n)
+    ra[:40] = 120.0 + rng.normal(0, 0.3, 40)
+    dec[:40] = -30.0 + rng.normal(0, 0.3, 40)
+    v[:40] = rng.uniform(6, 10, 40)
+    p = str(tmp_path / "tycho_test.dat")
+    write_kstars_catalogue(p, ra, dec, v, bmag=b, level=3)
+
+    cat = KStarsCatalogue(p)
+    assert cat.level == 3 and cat.ntrixels == 512 and cat.nfields == 6
+    res = cat.cone_search(120.0, -30.0, 1.5, mag_limit=11.0)
+    assert len(res) >= 40
+    sep = np.hypot((res.ra - 120.0) * np.cos(np.radians(-30.0)),
+                   res.dec + 30.0)
+    assert sep.max() <= 1.5
+    assert res.mag.max() <= 11.0
+    assert res.bv is not None and np.isfinite(res.bv).all()
+    # position quantization: RA in hours·1e-6 → ≤ ~1.5e-5 deg
+    i = int(np.argmin(res.mag))
+    d = np.hypot((ra[:40] - res.ra[i]) * np.cos(np.radians(-30.0)),
+                 dec[:40] - res.dec[i]).min()
+    assert d < 5e-5
