@@ -192,13 +192,36 @@ def warp_homography_batch(frames_dev, Hs, out_shape: Tuple[int, int],
                           method: int = INTERP_LANCZOS4,
                           clamp: bool = True):
     """Device-resident batched warp.  ``frames_dev``: (N,C,H,W) on device;
-    ``Hs``: (N,3,3) frame→ref homographies.  Returns a device array."""
+    ``Hs``: (N,3,3) frame→ref homographies.  Returns a device array.
+
+    Large stacks are warped in frame chunks: one vmapped lanczos4+clamp
+    program over 20×4 Mpix frames exhausts the remote compiler, and the
+    chunked executable is reused across chunks anyway."""
     import jax.numpy as jnp
 
-    Hinvs = np.linalg.inv(np.asarray(Hs, np.float64))
+    Hinvs = jnp.asarray(np.linalg.inv(np.asarray(Hs, np.float64)),
+                        jnp.float32)
+    n = frames_dev.shape[0]
+    px = int(np.prod(frames_dev.shape[1:]))
+    chunk = max(int((64 << 20) // max(px * 4, 1)), 1)
     run = _warp_batch_fn(int(out_shape[0]), int(out_shape[1]), int(method),
                          bool(clamp))
-    return run(frames_dev, jnp.asarray(Hinvs, jnp.float32))
+    if n <= chunk:
+        return run(frames_dev, Hinvs)
+    outs = []
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        if e - s == chunk:
+            outs.append(run(frames_dev[s:e], Hinvs[s:e]))
+        else:
+            # tail: pad to the chunk shape so the same executable is used
+            pad = chunk - (e - s)
+            fpad = jnp.concatenate(
+                [frames_dev[s:e], frames_dev[e - 1:e].repeat(pad, axis=0)])
+            hpad = jnp.concatenate(
+                [Hinvs[s:e], Hinvs[e - 1:e].repeat(pad, axis=0)])
+            outs.append(run(fpad, hpad)[: e - s])
+    return jnp.concatenate(outs, axis=0)
 
 
 def warp_homography(data, H, out_shape: Tuple[int, int],
@@ -323,3 +346,96 @@ def warp_homography_sip(data, H, sip_a, sip_b, crpix,
                           jnp.asarray(sip_a, jnp.float32),
                           jnp.asarray(sip_b, jnp.float32),
                           jnp.asarray(np.asarray(crpix, np.float32))))
+
+
+@lru_cache(maxsize=8)
+def _shift_batch_fn(method: int):
+    """Batched PURE-TRANSLATION warp: integer part by padded slice,
+    fractional part by a separable 8-tap (lanczos4) / 4-tap (cubic) /
+    2-tap (bilinear) filter applied as statically-shifted weighted sums —
+    elementwise VPU work instead of arbitrary gathers, ~100× faster on
+    TPU than the general homography warp."""
+    import jax
+    import jax.numpy as jnp
+
+    if method == INTERP_LANCZOS4:
+        A = 4
+    elif method == INTERP_BICUBIC:
+        A = 2
+    else:
+        A = 1
+
+    def frac_weights(t):
+        offs = jnp.arange(-A + 1, A + 1, dtype=jnp.float32)
+        x = t - offs
+        if method == INTERP_LANCZOS4:
+            pix = jnp.pi * x
+            w = jnp.where(jnp.abs(x) < 1e-7, 1.0,
+                          A * jnp.sin(pix) * jnp.sin(pix / A) / (pix * pix))
+            w = jnp.where(jnp.abs(x) < A, w, 0.0)
+        elif method == INTERP_BICUBIC:
+            a = -0.75
+            ax = jnp.abs(x)
+            w = jnp.where(ax <= 1.0,
+                          ((a + 2.0) * ax - (a + 3.0)) * ax * ax + 1.0,
+                          jnp.where(ax < 2.0,
+                                    ((ax - 5.0) * ax + 8.0) * ax * a
+                                    - 4.0 * a, 0.0))
+        else:
+            w = jnp.stack([1.0 - t, t])
+        return w / jnp.sum(w)
+
+    @jax.jit
+    def run(frames, shifts):
+        # frames [N,C,H,W]; shifts [N,2] = (dx,dy) frame→ref translation:
+        # out(x) = in(x − d)
+        N, C, H, W = frames.shape
+        pad = A + 1
+
+        def one(fr, d):
+            dx, dy = d[0], d[1]
+            sx = -dx
+            sy = -dy
+            ix = jnp.floor(sx).astype(jnp.int32)
+            iy = jnp.floor(sy).astype(jnp.int32)
+            fx = sx - ix
+            fy = sy - iy
+            big = jnp.pad(fr, ((0, 0), (H + pad, H + pad),
+                               (W + pad, W + pad)))
+            base = jax.lax.dynamic_slice(
+                big, (0, H + pad + iy - (A - 1), W + pad + ix - (A - 1)),
+                (C, H + 2 * A, W + 2 * A))
+            wx = frac_weights(fx)
+            wy = frac_weights(fy)
+            accy = jnp.zeros((C, H, W + 2 * A))
+            for k in range(2 * A):
+                accy = accy + wy[k] * jax.lax.dynamic_slice_in_dim(
+                    base, k, H, axis=1)
+            acc = jnp.zeros((C, H, W))
+            for k in range(2 * A):
+                acc = acc + wx[k] * jax.lax.dynamic_slice_in_dim(
+                    accy, k, W, axis=2)
+            return acc
+
+        return jax.vmap(one)(frames, shifts)
+
+    return run
+
+
+def warp_translation_batch(frames_dev, shifts, method: int = INTERP_LANCZOS4):
+    """Device-resident batched pure-translation warp.  ``shifts``:
+    (N, 2) frame→ref (dx, dy)."""
+    import jax.numpy as jnp
+
+    run = _shift_batch_fn(int(method))
+    return run(frames_dev, jnp.asarray(np.asarray(shifts, np.float32)))
+
+
+def translations_from_Hs(Hs, atol: float = 1e-9):
+    """(N,2) translations if every H is a pure translation, else None."""
+    Hs = np.asarray(Hs)
+    if not np.allclose(Hs[:, :2, :2], np.eye(2)[None], atol=atol):
+        return None
+    if not np.allclose(Hs[:, 2, :2], 0.0, atol=atol):
+        return None
+    return Hs[:, :2, 2].copy()

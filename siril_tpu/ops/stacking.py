@@ -654,12 +654,12 @@ def _resident_est_fn(lite: bool):
     import jax
     import jax.numpy as jnp
 
-    from siril_tpu.ops.statistics import norm_estimators_jax
+    from siril_tpu.ops.statistics import norm_estimators_hist_jax
 
     @jax.jit
     def run(x16):
         xf = (x16.astype(jnp.float32) + 32768.0) * (1.0 / 65535.0)
-        est = norm_estimators_jax(xf, lite=lite)
+        est = norm_estimators_hist_jax(xf, lite=lite)
         return jnp.stack([est["median"], est["mad"],
                           est["location"], est["scale"]])
 

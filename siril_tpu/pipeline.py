@@ -156,8 +156,21 @@ def fused_preprocess_stack(seq: Sequence, args: Optional[FusedArgs] = None
             indices = indices[good]
             n = len(indices)
         with stage("fused.warp"):
-            frames = warp_homography_batch(frames, Hs, (H, W),
-                                           args.interpolation, args.clamp)
+            from siril_tpu.ops.interp import (
+                translations_from_Hs,
+                warp_translation_batch,
+            )
+
+            shifts = translations_from_Hs(Hs)
+            if shifts is not None:
+                # pure translations: separable shift filter (VPU) instead
+                # of the gather-based homography warp (~100x on TPU)
+                frames = warp_translation_batch(frames, shifts,
+                                                args.interpolation)
+            else:
+                frames = warp_homography_batch(frames, Hs, (H, W),
+                                               args.interpolation,
+                                               args.clamp)
 
     # ---- 4. on-device estimators + rejection stack -----------------------
     sa = args.stack
@@ -278,6 +291,23 @@ def _calibrate_batch(xf, st):
     return jnp.stack(outs)
 
 
+@functools.lru_cache(maxsize=4)
+def _est_fn(lite: bool):
+    """Jitted per-layer estimator pass — eager jnp ops here would load a
+    separate executable per op through the tunnel (~70 s at 20×4 Mpix)."""
+    import jax
+    import jax.numpy as jnp
+
+    from siril_tpu.ops.statistics import norm_estimators_hist_jax
+
+    @jax.jit
+    def run(layer_flat):
+        e = norm_estimators_hist_jax(layer_flat, lite=lite)
+        return jnp.stack([e["location"], e["scale"]])
+
+    return run
+
+
 def _device_norm_coeffs(frames, n, L, sa: StackArgs, seq, indices
                         ) -> NormCoeffs:
     """Per-frame estimators on the resident stack → offset/scale/mul
@@ -290,14 +320,14 @@ def _device_norm_coeffs(frames, n, L, sa: StackArgs, seq, indices
         MULTIPLICATIVE,
         MULTIPLICATIVE_SCALING,
     )
-    from siril_tpu.ops.statistics import norm_estimators_jax
+
+    from siril_tpu.utils.trace import stage
 
     flat = frames.reshape(n, L, -1)
-    est = [norm_estimators_jax(flat[:, c], lite=sa.lite_norm)
-           for c in range(L)]
-    packed = jnp.stack([jnp.stack([e["location"], e["scale"]])
-                        for e in est])
-    host = np.asarray(packed)                       # [L, 2, N] one fetch
+    run = _est_fn(bool(sa.lite_norm))
+    with stage("fused.estimators"):
+        packed = jnp.stack([run(flat[:, c]) for c in range(L)])
+        host = np.asarray(packed)                   # [L, 2, N] one fetch
     loc = host[:, 0]
     sca = host[:, 1]
     ref_abs = seq.get_reference()

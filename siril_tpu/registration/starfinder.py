@@ -230,8 +230,10 @@ def _batch_gather_fn(b: int):
 
     @jax.jit
     def run(frames, fi, ys, xs):
+        # slice the 3D array directly: indexing frames[i] under vmap
+        # would materialize a [n_cand, H, W] gather (100 GB at 4 Mpix)
         def one(i, y0, x0):
-            return lax.dynamic_slice(frames[i], (y0, x0), (b, b))
+            return lax.dynamic_slice(frames, (i, y0, x0), (1, b, b))[0]
         return jax.vmap(one)(fi, ys, xs)
 
     return run

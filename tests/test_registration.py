@@ -335,3 +335,38 @@ def test_seqapplyreg_disto_corrects_sip(tmp_path):
     err_after = np.hypot(fx_ - tx, fy_ - ty)
     assert err_before > 0.8, err_before          # distortion was real
     assert err_after < 0.3 * err_before, (err_before, err_after)
+
+
+def test_translation_warp_matches_homography_warp():
+    """The separable pure-translation warp is numerically identical to
+    the general gather-based homography warp."""
+    import jax.numpy as jnp
+
+    from siril_tpu.ops.interp import (
+        INTERP_BICUBIC,
+        INTERP_BILINEAR,
+        INTERP_LANCZOS4,
+        translations_from_Hs,
+        warp_homography,
+        warp_translation_batch,
+    )
+
+    rng = np.random.default_rng(5)
+    f = rng.uniform(0.1, 0.9, (2, 1, 48, 56)).astype(np.float32)
+    shifts = np.array([[2.3, -1.7], [-3.1, 0.4]], np.float32)
+    for method in (INTERP_BILINEAR, INTERP_BICUBIC, INTERP_LANCZOS4):
+        out = np.asarray(warp_translation_batch(jnp.asarray(f), shifts,
+                                                method))
+        for k in range(2):
+            H = np.eye(3)
+            H[0, 2], H[1, 2] = shifts[k]
+            ref = warp_homography(f[k], H, (48, 56), method, clamp=False)
+            interior = np.s_[:, 6:-6, 6:-6]
+            assert np.abs(out[k][interior] - ref[interior]).max() < 1e-4
+    # detector
+    Hs = np.tile(np.eye(3), (2, 1, 1))
+    Hs[:, 0, 2] = shifts[:, 0]
+    Hs[:, 1, 2] = shifts[:, 1]
+    np.testing.assert_allclose(translations_from_Hs(Hs), shifts)
+    Hs[0, 0, 1] = 0.01
+    assert translations_from_Hs(Hs) is None
