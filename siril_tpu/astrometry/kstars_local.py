@@ -63,14 +63,19 @@ class KStarsCatalogue:
             endian = struct.unpack_from("<h", top, 124)[0]
             if endian not in (ENDIAN_ID, 0x534B):
                 raise ValueError("invalid endian ID in KStars catalogue")
+            # 0x534B = byteswapped 'KS': catalogue written on an
+            # opposite-endian host; the reference byteswaps every
+            # subsequent field based on this flag (binfile.h bswap).
+            self._swap = endian == 0x534B
+            bo = ">" if self._swap else "<"
             self.title = top[:124].split(b"\0")[0].decode("ascii",
                                                           "replace")
-            self.nfields = struct.unpack("<H", f.read(2))[0]
+            self.nfields = struct.unpack(bo + "H", f.read(2))[0]
             if self.nfields not in (6, 11):
                 raise ValueError(f"unrecognized field count "
                                  f"{self.nfields}")
             f.seek(self.nfields * 16, os.SEEK_CUR)
-            self.ntrixels = struct.unpack("<I", f.read(4))[0]
+            self.ntrixels = struct.unpack(bo + "I", f.read(4))[0]
             if not (1 <= self.ntrixels <= 1 << 20):
                 raise ValueError("trixel count out of limits")
             level = -1
@@ -80,8 +85,9 @@ class KStarsCatalogue:
                 level += 1
             self.level = level
             idx = np.frombuffer(f.read(self.ntrixels * 12),
-                                np.dtype([("id", "<u4"), ("offset", "<u4"),
-                                          ("nrecs", "<u4")]))
+                                np.dtype([("id", bo + "u4"),
+                                          ("offset", bo + "u4"),
+                                          ("nrecs", bo + "u4")]))
             self._index = {int(r["id"]): (int(r["offset"]),
                                           int(r["nrecs"])) for r in idx}
 
@@ -97,7 +103,9 @@ class KStarsCatalogue:
                 off, nrecs = ent
                 f.seek(off)
                 raw = f.read(nrecs * DEEPSTAR_DTYPE.itemsize)
-                chunks.append(np.frombuffer(raw, DEEPSTAR_DTYPE))
+                dt = (DEEPSTAR_DTYPE.newbyteorder() if self._swap
+                      else DEEPSTAR_DTYPE)
+                chunks.append(np.frombuffer(raw, dt))
         if not chunks:
             z = np.zeros(0)
             return Catalog(ra=z, dec=z, mag=z, cat_name=self.title)

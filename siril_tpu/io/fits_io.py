@@ -11,8 +11,9 @@ streaming stacking path.
 Supported on read: BITPIX 8, 16 (+BZERO 32768 → u16), 32, -32, -64; primary
 HDU + image extensions (for FITS-cube sequences); ROWORDER handling.
 Supported on write: 8, 16 (u16 via BZERO), -32.  Tile compression
-(Rice/GZIP) is not implemented (gated; the reference exposes it via
-``setcompress``).
+(Rice/GZIP, read + write) lives in ``fits_compress.py`` with a native
+OpenMP RICE codec; ``setcompress`` selects it on save and ``_read_zimage``
+handles compressed extensions transparently.
 
 Internal convention: SirilImage.data is (C, H, W) float32, row 0 = TOP of
 image.  FITS files are bottom-up unless ROWORDER='TOP-DOWN' (SER-originated
@@ -164,6 +165,12 @@ def _format_card(key: str, value, comment: str = "") -> str:
         body = f"{key:<8}= {sval:>20}"
     else:
         s = str(value).replace("'", "''")
+        if len(s) > 68:
+            # Keep the closing quote intact: truncate the (escaped) value
+            # to fit one 80-column card; never split an escaped '' pair.
+            s = s[:68]
+            if (len(s) - len(s.rstrip("'"))) % 2 == 1:
+                s = s[:-1]
         sval = f"'{s:<8}'" if len(s) < 8 else f"'{s}'"
         body = f"{key:<8}= {sval:<20}"
     if comment:
@@ -255,6 +262,15 @@ _DTYPES = {
 }
 
 
+def _effective_bzero(bitpix: int, bzero: float, bscale: float) -> float:
+    """Truly signed SHORT_IMG (BZERO absent/0, BSCALE 1) is shifted to
+    USHORT by adding 32768, matching readfits (image_format_fits.c:449-450,
+    530) so pixels land in [0,1] rather than [-0.5, 0.5)."""
+    if bitpix == 16 and bzero == 0.0 and bscale == 1.0:
+        return 32768.0
+    return bzero
+
+
 def _raw_to_float01(raw: np.ndarray, bitpix: int, bzero: float, bscale: float) -> np.ndarray:
     """Physical value conversion + Siril normalization to [0,1] float32.
 
@@ -266,9 +282,8 @@ def _raw_to_float01(raw: np.ndarray, bitpix: int, bzero: float, bscale: float) -
         phys = raw.astype(np.float32) * np.float32(bscale) + np.float32(bzero)
         return phys * np.float32(1.0 / 255.0)
     if bitpix == 16:
+        bzero = _effective_bzero(bitpix, bzero, bscale)
         phys = raw.astype(np.float32) * np.float32(bscale) + np.float32(bzero)
-        if bzero == 32768.0 or bzero == 0.0:
-            return phys * np.float32(INV_USHRT_MAX_SINGLE)
         return phys * np.float32(INV_USHRT_MAX_SINGLE)
     if bitpix == 32:
         phys = raw.astype(np.float64) * bscale + bzero
@@ -668,9 +683,9 @@ class FitsReader:
                 raw = np.ascontiguousarray(self._mm[chan, fy0:fy1]).view(np.uint8)
                 h = y1 - y0
                 if self.hdu.bitpix == 16:
+                    bz = _effective_bzero(16, self.hdu.bzero, self.hdu.bscale)
                     return native.decode_i16_be(raw, self.width, h,
-                                                self.hdu.bzero,
-                                                self.hdu.bscale,
+                                                bz, self.hdu.bscale,
                                                 flip=self.bottom_up)
                 return native.decode_f32_be(raw, self.width, h,
                                             flip=self.bottom_up)

@@ -247,7 +247,7 @@ def _dilate3(mask):
     m = mask
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
-            m = m | jnp.roll(jnp.roll(mask, dy, 0), dx, 1)
+            m = m | jnp.roll(jnp.roll(mask, dy, -2), dx, -1)
     return m
 
 
@@ -349,7 +349,7 @@ def warp_homography_sip(data, H, sip_a, sip_b, crpix,
 
 
 @lru_cache(maxsize=8)
-def _shift_batch_fn(method: int):
+def _shift_batch_fn(method: int, clamp: bool = False):
     """Batched PURE-TRANSLATION warp: integer part by padded slice,
     fractional part by a separable 8-tap (lanczos4) / 4-tap (cubic) /
     2-tap (bilinear) filter applied as statically-shifted weighted sums —
@@ -415,6 +415,20 @@ def _shift_batch_fn(method: int):
             for k in range(2 * A):
                 acc = acc + wx[k] * jax.lax.dynamic_slice_in_dim(
                     accy, k, W, axis=2)
+            if clamp and method in (INTERP_BICUBIC, INTERP_LANCZOS4):
+                # Ringing clamp (opencv.cpp:264-276) on the fast path: a
+                # separable 2-tap bilinear guide from the same base slice
+                # (offsets 0,1 live at taps A-1, A).
+                gy = ((1.0 - fy) * jax.lax.dynamic_slice_in_dim(
+                          base, A - 1, H, axis=1)
+                      + fy * jax.lax.dynamic_slice_in_dim(
+                          base, A, H, axis=1))
+                guide = ((1.0 - fx) * jax.lax.dynamic_slice_in_dim(
+                             gy, A - 1, W, axis=2)
+                         + fx * jax.lax.dynamic_slice_in_dim(
+                             gy, A, W, axis=2))
+                mask = _dilate3(acc < CLAMPING_FACTOR * guide)
+                acc = jnp.where(mask, guide, acc)
             return acc
 
         return jax.vmap(one)(frames, shifts)
@@ -422,12 +436,13 @@ def _shift_batch_fn(method: int):
     return run
 
 
-def warp_translation_batch(frames_dev, shifts, method: int = INTERP_LANCZOS4):
+def warp_translation_batch(frames_dev, shifts, method: int = INTERP_LANCZOS4,
+                           clamp: bool = False):
     """Device-resident batched pure-translation warp.  ``shifts``:
     (N, 2) frame→ref (dx, dy)."""
     import jax.numpy as jnp
 
-    run = _shift_batch_fn(int(method))
+    run = _shift_batch_fn(int(method), bool(clamp))
     return run(frames_dev, jnp.asarray(np.asarray(shifts, np.float32)))
 
 

@@ -244,7 +244,11 @@ def _sexagesimal(value: float, sec_digits: int):
 
 
 def format_ra(deg: float) -> str:
-    hh, mm, ss = _sexagesimal(deg / 15.0, 2)
+    # Wrap like the reference (siril_world_cs.c:177-179): fmod into
+    # [0,360) before splitting, and wrap hours after the seconds carry so
+    # 359.99999 renders as 00:00:00.00, never 24:00:00.00.
+    hh, mm, ss = _sexagesimal((deg % 360.0) / 15.0, 2)
+    hh %= 24
     return f"{hh:02d}:{mm:02d}:{ss:05.2f}"
 
 

@@ -166,7 +166,8 @@ def fused_preprocess_stack(seq: Sequence, args: Optional[FusedArgs] = None
                 # pure translations: separable shift filter (VPU) instead
                 # of the gather-based homography warp (~100x on TPU)
                 frames = warp_translation_batch(frames, shifts,
-                                                args.interpolation)
+                                                args.interpolation,
+                                                args.clamp)
             else:
                 frames = warp_homography_batch(frames, Hs, (H, W),
                                                args.interpolation,

@@ -213,3 +213,57 @@ def test_light_curve_ninastars(tmp_path):
                                      "-out=lc.dat"])
     lines = open(tmp_path / "lc.dat").read().splitlines()
     assert len(lines) >= 4       # header + >=3 measured frames
+
+
+def test_kstars_byteswapped_catalogue(tmp_path):
+    """A catalogue written on an opposite-endian host (endian ID reads
+    0x534B) is byteswap-decoded, not silently misread."""
+    import struct
+
+    import numpy as np
+
+    from siril_tpu.astrometry.kstars_local import (
+        KStarsCatalogue,
+        write_kstars_catalogue,
+    )
+
+    rng = np.random.default_rng(7)
+    ra = rng.uniform(10.0, 20.0, 50)
+    dec = rng.uniform(-5.0, 5.0, 50)
+    mag = rng.uniform(6.0, 12.0, 50)
+    p_le = tmp_path / "le.bin"
+    write_kstars_catalogue(str(p_le), ra, dec, mag)
+
+    # byteswap every multi-byte field to fake a big-endian-written file
+    blob = bytearray(p_le.read_bytes())
+    def bswap(off, n, size):
+        for i in range(n):
+            s = off + i * size
+            blob[s:s + size] = blob[s:s + size][::-1]
+    bswap(124, 1, 2)                      # endian ID → 0x534B
+    nfields = struct.unpack_from("<H", blob, 127)[0]
+    bswap(127, 1, 2)                      # nfields
+    off = 129
+    for _ in range(nfields):              # field table: scale i32 at +12
+        bswap(off + 12, 1, 4)
+        off += 16
+    ntrix = struct.unpack_from("<I", blob, off)[0]
+    bswap(off, 1, 4)                      # ntrixels
+    off += 4
+    bswap(off, ntrix * 3, 4)              # index u32 triplets
+    off += ntrix * 12
+    bswap(off, 1, 2); bswap(off + 2 + 1, 1, 2)  # expansion faint_mag, max_stars
+    off += 5
+    # records: i4,i4,i2,i2,i2,i2
+    while off < len(blob):
+        bswap(off, 2, 4)
+        bswap(off + 8, 4, 2)
+        off += 16
+    p_be = tmp_path / "be.bin"
+    p_be.write_bytes(bytes(blob))
+
+    c_le = KStarsCatalogue(str(p_le)).cone_search(15.0, 0.0, 8.0)
+    c_be = KStarsCatalogue(str(p_be)).cone_search(15.0, 0.0, 8.0)
+    assert len(c_be.ra) == len(c_le.ra) > 0
+    np.testing.assert_allclose(np.sort(c_be.ra), np.sort(c_le.ra), atol=1e-5)
+    np.testing.assert_allclose(np.sort(c_be.mag), np.sort(c_le.mag), atol=1e-3)

@@ -258,3 +258,12 @@ def test_kstars_catalogue_roundtrip(tmp_path):
     d = np.hypot((ra[:40] - res.ra[i]) * np.cos(np.radians(-30.0)),
                  dec[:40] - res.dec[i]).min()
     assert d < 5e-5
+
+
+def test_format_ra_wraps_at_360():
+    """RA just below 360° renders as 00:00:00.00, never 24:00:00.00
+    (siril_world_cs.c:177-179 fmod wrap)."""
+    assert format_ra(359.9999999) == "00:00:00.00"
+    assert format_ra(360.0) == "00:00:00.00"
+    assert format_ra(-15.0) == "23:00:00.00"
+    assert format_ra(359.9) == "23:59:36.00"

@@ -260,3 +260,46 @@ def test_compare_fits_tool(tmp_path, capsys):
     assert compare(a, b, tol=0.02) == 0
     out = capsys.readouterr().out
     assert "DIFFER" in out and "IDENTICAL" in out
+
+
+def test_signed_i16_no_bzero(tmp_path):
+    """Truly signed SHORT_IMG (no BZERO) is shifted by +32768 like the
+    reference (image_format_fits.c:449-450): pixels land in [0,1]."""
+    h, w = 4, 6
+    vals = np.linspace(-32768, 32767, h * w).astype(">i2").reshape(h, w)
+    cards = [
+        "SIMPLE  =                    T",
+        "BITPIX  =                   16",
+        "NAXIS   =                    2",
+        f"NAXIS1  = {w:>20}",
+        f"NAXIS2  = {h:>20}",
+        "END",
+    ]
+    hdr = "".join(c.ljust(80) for c in cards).ljust(2880).encode()
+    raw = vals.tobytes()
+    raw += b"\0" * (-len(raw) % 2880)
+    p = tmp_path / "signed.fit"
+    p.write_bytes(hdr + raw)
+    img = read_fits(p)
+    d = img.host()
+    assert d.min() >= 0.0 and d.max() <= 1.0
+    # -32768 → 0.0, 32767 → 1.0 (bottom-up flip: last row read first)
+    expect = (vals.astype(np.float32) + 32768.0) / 65535.0
+    np.testing.assert_allclose(d[0], expect[::-1], atol=1e-6)
+
+
+def test_long_string_card_keeps_closing_quote(tmp_path, rng):
+    """A >68-char string value is truncated with the closing quote intact
+    so cfitsio-based readers still parse the card."""
+    img = make_image(rng, h=8, w=8)
+    img.keywords.object = "A" * 100 + "'"
+    p = tmp_path / "long.fit"
+    write_fits(img, p, bitdepth=FLOAT_IMG)
+    blob = p.read_bytes()
+    # every header card with a quote must have a closing quote
+    for off in range(0, 2880, 80):
+        card = blob[off:off + 80].decode("ascii")
+        if "= '" in card:
+            assert card.rstrip().endswith("'"), card
+    back = read_fits(p)
+    assert back.keywords.object.startswith("AAAA")

@@ -363,6 +363,18 @@ def test_translation_warp_matches_homography_warp():
             ref = warp_homography(f[k], H, (48, 56), method, clamp=False)
             interior = np.s_[:, 6:-6, 6:-6]
             assert np.abs(out[k][interior] - ref[interior]).max() < 1e-4
+    # ringing clamp parity (sharp star field so the clamp actually fires)
+    f2 = np.full((2, 1, 48, 56), 0.02, np.float32)
+    f2[:, :, 20:23, 24:27] = 0.95
+    for method in (INTERP_BICUBIC, INTERP_LANCZOS4):
+        out = np.asarray(warp_translation_batch(jnp.asarray(f2), shifts,
+                                                method, clamp=True))
+        for k in range(2):
+            H = np.eye(3)
+            H[0, 2], H[1, 2] = shifts[k]
+            ref = warp_homography(f2[k], H, (48, 56), method, clamp=True)
+            interior = np.s_[:, 6:-6, 6:-6]
+            assert np.abs(out[k][interior] - ref[interior]).max() < 1e-4
     # detector
     Hs = np.tile(np.eye(3), (2, 1, 1))
     Hs[:, 0, 2] = shifts[:, 0]
