@@ -34,6 +34,7 @@ class Catalog:
     pmra: Optional[np.ndarray] = None         # proper motion (mas/yr)
     pmdec: Optional[np.ndarray] = None
     names: Optional[List[str]] = None
+    xp_sampled: Optional[np.ndarray] = None   # (N, 343) Gaia XP spectra
     cat_name: str = "local"
 
     def __len__(self):

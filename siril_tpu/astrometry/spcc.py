@@ -9,11 +9,14 @@ The per-channel white balance is the robust fit of measured vs expected
 flux ratios (like PCC but with full spectra instead of a Planckian
 approximation).
 
-Source spectra: Gaia XP sampled spectra when a catalogue provides them;
-otherwise a blackbody SED from the catalogue B−V (Ballesteros Teff) —
-the reference requires its separately-downloaded XP database for the
-full path, which this zero-egress build models the same way (the
-machinery accepts per-star sampled spectra arrays when available).
+Source spectra: Gaia XP sampled spectra from a local photometric
+catalogue (``astrometry/gaia_local.py`` GaiaXPLocalCatalogue — xpsamp
+half-float records or xpcts continuous coefficients reconstructed via
+the baked design matrices in ``astrometry/xp_spectra.py``, the
+xp_continuous.cpp equivalent), converted to relative photon counts
+normalized at 550 nm (spcc.c:99 flux_to_relcount).  Blackbody SED from
+the catalogue B−V (Ballesteros Teff) remains the documented fallback
+when no XP database is installed.
 
 The response library loads the reference's spcc-database JSON schema:
 {"name": …, "wavelength": {"value": [...nm]}, "values": {"value": [...]}}.
@@ -162,7 +165,16 @@ def spcc(img: SirilImage, catalog, wcs=None,
         log_error("SPCC: not enough catalogue stars in field")
         return None
     bv = cone.bv if cone.bv is not None else np.full(len(cone), 0.65)
-    xp = getattr(cone, "xp_spectra", None)     # (N, len(WL)) if provided
+    # Gaia XP sampled spectra (N, 343) in W·m⁻²·nm⁻¹ from the local
+    # photometric catalogue; converted to relative photon counts
+    # normalized at 550 nm like the reference (spcc.c:99 flux_to_relcount)
+    xp = getattr(cone, "xp_sampled", None)
+    if xp is None:
+        xp = getattr(cone, "xp_spectra", None)    # legacy attribute
+    elif xp is not None:
+        from siril_tpu.astrometry.xp_spectra import flux_to_relcount
+
+        xp = flux_to_relcount(xp)
     x, y = w.world2pix(cone.ra, cone.dec)
     data = img.host()
     cfg = PhotConfig(inner=8.0, outer=12.0, force_radius=True, aperture=5.0)

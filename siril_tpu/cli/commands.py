@@ -2208,9 +2208,16 @@ def _get_catalog(ctx, flags):
             "or SIRIL_TPU_CATALOG; remote catalogues are disabled offline)")
     p = ctx.path(path) if not os.path.isabs(path) else path
     if p.lower().endswith(".cat"):
-        # reference-format binary HEALPix-indexed Gaia catalogue
-        from siril_tpu.astrometry.gaia_local import GaiaLocalCatalogue
+        # reference-format binary HEALPix-indexed Gaia catalogue; the
+        # cat_type byte at offset 50 picks astrometric vs photometric
+        # (healpix_cat.h:11-21)
+        from siril_tpu.astrometry.gaia_local import (
+            CAT_XPCTS, CAT_XPSAMP, GaiaLocalCatalogue, GaiaXPLocalCatalogue)
 
+        with open(p, "rb") as f:
+            hdr = f.read(51)
+        if len(hdr) > 50 and hdr[50] in (CAT_XPSAMP, CAT_XPCTS):
+            return GaiaXPLocalCatalogue(p)
         return GaiaLocalCatalogue(p)
     if p.lower().endswith((".dat", ".bin")) or "tycho" in p.lower() \
             or "nomad" in os.path.basename(p).lower():

@@ -23,6 +23,7 @@ parallel/sharding.py for the meshed variant.
 from __future__ import annotations
 
 import concurrent.futures as cf
+import os
 import threading
 import time
 from dataclasses import dataclass, field
@@ -128,9 +129,39 @@ def make_block_kernel(rtype: int, mode: int, siglow: float, sighigh: float,
     When ``want_maps`` is False, per-pixel rejection counts are reduced to
     two scalars ON DEVICE — device→host transfers through the tunnel cost
     ~0.6s each, so shipping full count maps tripled the bench time.
+
+    On TPU, sigma/MAD/percentile/winsorized/none configs dispatch to the
+    fused Pallas kernel (pallas/reject_stack.py): one HBM read of the raw
+    stack, decode+normalize+sort+clip+mean in VMEM.  The jnp formulation
+    stays as the fallback for SIGMEDIAN/LINEARFIT/GESDT and non-TPU
+    backends, parity-tested in tests/test_pallas_reject.py.
     """
     import jax
     import jax.numpy as jnp
+
+    use_pallas = False
+    if not os.environ.get("SIRIL_TPU_NO_PALLAS"):
+        from siril_tpu.pallas.reject_stack import pallas_available
+
+        use_pallas = pallas_available(rtype, mode) and (
+            jax.default_backend() == "tpu"
+            or bool(os.environ.get("SIRIL_TPU_FORCE_PALLAS")))
+
+    if use_pallas:
+        from siril_tpu.pallas.reject_stack import pallas_reject_mean
+
+        @jax.jit
+        def kernel(stack, scale, offset, mul, weights, critical):
+            mean, rl, rh = pallas_reject_mean(
+                stack, scale, offset, mul,
+                weights if with_weights else None,
+                rtype=rtype, mode=mode, siglow=siglow, sighigh=sighigh,
+                with_weights=with_weights)
+            if want_maps:
+                return mean, rl, rh
+            return mean, rl.sum(), rh.sum()
+
+        return kernel
 
     @jax.jit
     def kernel(stack, scale, offset, mul, weights, critical):

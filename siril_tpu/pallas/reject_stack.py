@@ -1,0 +1,511 @@
+"""Fused rejection-stack Pallas kernel — the primary hot path, hand-tiled.
+
+Semantic spec: ``mean_and_reject`` (reference src/stacking/median_and_mean.c:956)
+and ``apply_rejection_float`` (rejection_float.c:100), with exactly the
+semantics of the vectorized jnp formulation in ``siril_tpu/ops/rejection.py``
+(which is itself parity-tested against reference formulas).  This kernel is
+parity-tested against that jnp path (tests/test_pallas_reject.py).
+
+Why Pallas: the jnp path sorts and then iterates clipping rounds as
+full-array ``lax.while_loop`` bodies — every round re-reads the (N, P)
+stack from HBM several times.  Here the whole pipeline for one pixel tile
+(u16 decode → per-frame normalization → sort → clipping iterations → mean)
+runs with the (N, TILE) stack resident in VMEM: HBM traffic is ONE read of
+the raw input (2 bytes/element for u16 sources) plus three (1, TILE)
+output rows.  Convergence is also per-tile instead of per-block: a tile
+whose pixels all converge in one round exits its while loop immediately.
+
+Algorithms used (all VPU-friendly, no gathers, no data-dependent shapes):
+
+- **Sort**: Batcher bitonic network over the frame axis, expressed as
+  ``pltpu.roll`` compare-exchanges with static per-stage masks —
+  O(N log² N) elementwise min/max over the tile.
+- **Window clipping** (sigma / winsorized / percentile / MAD): after the
+  sort, the kept set is a contiguous window [lo, hi) per pixel; each
+  round is O(N) masked reductions.  The reference's cumulative
+  ``N − r ≤ 4`` guard resolves in closed form — low-side candidates are a
+  prefix of the window and high-side a suffix, so
+  ``n_low = min(cand_low, max_acc)``, ``n_high = min(cand_high,
+  max_acc − n_low)`` — no per-pixel cumulative scan needed.
+- **MAD spread**: |xs − med| restricted to a sorted window first
+  decreases then increases — a bitonic sequence — so a single
+  log₂N-stage bitonic *merge* (not a full sort) orders it.
+- **Median incl. zeros fallback**: the merged order of the (N−nvalid)
+  removed zeros and the sorted non-zero window is computed analytically
+  from the count of negative entries (two masked selects), avoiding a
+  second sort.
+
+Mosaic constraint shaping the code: ``lax.while_loop`` carries of
+(1, T) replicated-sublane vectors fail to legalize (scf.yield), so ALL
+per-pixel iteration state lives in VMEM scratch refs and the loop carries
+only scalars.
+
+Supported rejections: NO_REJEC, PERCENTILE, SIGMA, MAD, WINSORIZED —
+the deep-sky defaults.  SIGMEDIAN / LINEARFIT / GESDT keep the jnp path
+(``ops.rejection.rejection_mean``); the dispatcher in ops/stacking.py
+falls back automatically.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from siril_tpu.ops.rejection import (
+    NO_REJEC, PERCENTILE, SIGMA, MAD, WINSORIZED,
+)
+from siril_tpu.ops.normalization import NO_NORM, ADDITIVE, ADDITIVE_SCALING
+
+_INF = float("inf")   # plain float: jnp scalars would be captured tracers
+
+#: rejection modes this kernel implements
+PALLAS_RTYPES = frozenset({NO_REJEC, PERCENTILE, SIGMA, MAD, WINSORIZED})
+
+# rows in the int32 state scratch
+_LO, _HI, _R, _RL, _RH, _FIRST = 0, 1, 2, 3, 4, 5
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def _roll0(x, shift: int):
+    """Circular shift along axis 0 (frame axis); pltpu.roll wants shift ≥ 0."""
+    return pltpu.roll(x, shift % x.shape[0], axis=0)
+
+
+def _cmp_exchange(x, j: int, k: int):
+    """One bitonic compare-exchange stage at distance j within k-blocks.
+
+    Static masks: element i pairs with i^j; ascending iff (i & k) == 0.
+    """
+    i = lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    partner_up = _roll0(x, -j)      # value at i + j
+    partner_dn = _roll0(x, j)       # value at i - j
+    is_lower = (i & j) == 0         # partner is i + j
+    partner = jnp.where(is_lower, partner_up, partner_dn)
+    mn = jnp.minimum(x, partner)
+    mx = jnp.maximum(x, partner)
+    asc = (i & k) == 0
+    keep_min = jnp.logical_xor(is_lower, ~asc)   # lower & asc, or upper & desc
+    return jnp.where(keep_min, mn, mx)
+
+
+def _bitonic_sort(x, npad: int):
+    """Full ascending bitonic sort along axis 0 (npad must be a power of 2)."""
+    k = 2
+    while k <= npad:
+        j = k // 2
+        while j >= 1:
+            x = _cmp_exchange(x, j, k)
+            j //= 2
+        k *= 2
+    return x
+
+
+def _bitonic_merge(x, npad: int):
+    """Sort a bitonic (V- or Λ-shaped) sequence: the final merge only."""
+    j = npad // 2
+    while j >= 1:
+        x = _cmp_exchange(x, j, npad)
+        j //= 2
+    return x
+
+
+def _select_at(xs, idx_row):
+    """xs[idx_row[0, p], p] via mask-reduce; idx_row: (1, T) int32."""
+    rows = lax.broadcasted_iota(jnp.int32, xs.shape, 0)
+    return jnp.where(rows == idx_row, xs, 0.0).sum(axis=0, keepdims=True)
+
+
+def _window_median(xs, lo, hi):
+    """Exact median of sorted xs[lo:hi] per pixel; lo, hi: (1, T) int32."""
+    n = jnp.maximum(hi - lo, 1)
+    i0 = lo + (n - 1) // 2
+    i1 = lo + n // 2
+    rows = lax.broadcasted_iota(jnp.int32, xs.shape, 0)
+    v0 = jnp.where(rows == i0, xs, 0.0).sum(axis=0, keepdims=True)
+    v1 = jnp.where(rows == i1, xs, 0.0).sum(axis=0, keepdims=True)
+    return 0.5 * (v0 + v1)
+
+
+def _window_mean_sd(s1, s2, lo, hi):
+    """Mean and sample-sd (N−1 denominator) of the window [lo, hi)."""
+    rows = lax.broadcasted_iota(jnp.int32, s1.shape, 0)
+    inwin = (rows >= lo) & (rows < hi)
+    n = (hi - lo).astype(jnp.float32)
+    t1 = jnp.where(inwin, s1, 0.0).sum(axis=0, keepdims=True)
+    t2 = jnp.where(inwin, s2, 0.0).sum(axis=0, keepdims=True)
+    nsafe = jnp.maximum(n, 1.0)
+    mean = t1 / nsafe
+    var = (t2 - t1 * mean) / jnp.maximum(n - 1.0, 1.0)
+    sd = jnp.sqrt(jnp.maximum(var, 0.0))
+    return mean, jnp.where(n > 1, sd, 0.0)
+
+
+def _clip_counts(lo, hi, r, n_low_cand, n_high_cand):
+    """Closed-form N−r≤4 guard (rejection_float.c:188-196): low candidates
+    precede high candidates in the sorted window, so the 'first max_acc in
+    order' rule is two mins."""
+    n_cur = hi - lo
+    max_acc = jnp.maximum(n_cur - r - 4, 0)
+    n_low = jnp.minimum(n_low_cand, max_acc)
+    n_high = jnp.minimum(n_high_cand, max_acc - n_low)
+    return n_low, n_high
+
+
+def _build_kernel(rtype: int, mode: int, siglow: float, sighigh: float,
+                  n: int, npad: int, with_weights: bool, in_dtype):
+    """Return the pallas kernel body for one static config.
+
+    Scratch refs (allocated by the caller):
+      xs_ref:  (npad, T) f32 — sorted stack (+inf padded)
+      x_ref:   (n, T)   f32 — normalized unsorted stack
+      st_ref:  (8, T)   i32 — rows _LO.._FIRST of per-pixel loop state
+      sf_ref:  (8, T)   f32 — rows 0..2: med / sigma / sigma0
+    """
+    siglow = float(siglow)
+    sighigh = float(sighigh)
+
+    def candidates(xs, lo, hi, center, spread):
+        rows = lax.broadcasted_iota(jnp.int32, xs.shape, 0)
+        inwin = (rows >= lo) & (rows < hi)
+        low = inwin & ((center - xs) > spread * siglow)
+        high = inwin & ((xs - center) > spread * sighigh)
+        nl = low.sum(axis=0, keepdims=True).astype(jnp.int32)
+        nh = high.sum(axis=0, keepdims=True).astype(jnp.int32)
+        return nl, nh
+
+    def mad_spread(xs, lo, hi, med):
+        rows = lax.broadcasted_iota(jnp.int32, xs.shape, 0)
+        inwin = (rows >= lo) & (rows < hi)
+        d = jnp.where(inwin, jnp.abs(xs - med), _INF)
+        ds = _bitonic_merge(d, npad)   # V-shaped ⇒ merge suffices
+        n_w = hi - lo
+        return _window_median(ds, jnp.zeros_like(n_w), n_w)
+
+    def kernel(stack_ref, scale_ref, offset_ref, mul_ref, w_ref,
+               mean_ref, rejl_ref, rejh_ref, xs_ref, x_ref, st_ref, sf_ref):
+        x = stack_ref[:]
+        if in_dtype == jnp.int16:
+            # raw FITS i16 (BZERO 32768) → [0,1] (image_format_fits.c:449)
+            x = (x.astype(jnp.float32) + 32768.0) * (1.0 / 65535.0)
+        else:
+            x = x.astype(jnp.float32)
+        # per-frame normalization (normalization.c application step)
+        if mode in (ADDITIVE, ADDITIVE_SCALING):
+            out = x * scale_ref[:] - offset_ref[:]
+            x = jnp.where(x != 0.0, out, 0.0)
+        elif mode != NO_NORM:
+            x = x * scale_ref[:] * mul_ref[:]
+        x_ref[:] = x
+
+        T = x.shape[1]
+        valid = (x != 0.0) & jnp.isfinite(x)
+        nvalid = valid.sum(axis=0, keepdims=True).astype(jnp.int32)
+        xv = jnp.where(valid, x, _INF)
+        if npad > n:
+            pad = jnp.full((npad - n, T), _INF, jnp.float32)
+            xv = jnp.concatenate([xv, pad], axis=0)
+        xs_ref[:] = _bitonic_sort(xv, npad)
+        xs = xs_ref[:]
+        s1 = jnp.where(jnp.isfinite(xs), xs, 0.0)
+        s2 = s1 * s1
+
+        zero = jnp.zeros((1, T), jnp.int32)
+        lo0, hi0 = zero, nvalid
+        median0 = _window_median(xs, lo0, hi0)
+
+        if rtype == NO_REJEC:
+            lo, hi, rejl, rejh = lo0, hi0, zero, zero
+
+        elif rtype == PERCENTILE:
+            # rejection_float.c:31-43 — single pass vs the median
+            dead = (median0 == 0.0) | (nvalid <= 1)
+            rows = lax.broadcasted_iota(jnp.int32, xs.shape, 0)
+            inwin = rows < hi0
+            low = inwin & ((median0 - xs) > median0 * siglow)
+            high = inwin & ((xs - median0) > median0 * sighigh)
+            n_low = low.sum(axis=0, keepdims=True).astype(jnp.int32)
+            n_high = high.sum(axis=0, keepdims=True).astype(jnp.int32)
+            lo = jnp.where(dead, 0, n_low)
+            hi = jnp.where(dead, 0, hi0 - n_high)
+            rejl = jnp.where(dead, zero, n_low)
+            rejh = jnp.where(dead, zero, n_high)
+
+        elif rtype in (SIGMA, MAD):
+            dead = (median0 == 0.0) | (nvalid <= 1)
+            st_ref[_LO:_LO + 1] = lo0
+            st_ref[_HI:_HI + 1] = hi0
+            st_ref[_R:_R + 1] = zero
+            st_ref[_RL:_RL + 1] = zero
+            st_ref[_RH:_RH + 1] = zero
+            st_ref[_FIRST:_FIRST + 1] = jnp.where(dead, 0, 1)  # 1=active+first
+            sf_ref[0:1] = median0
+
+            def spread_fn(lo_, hi_, med_):
+                if rtype == MAD:
+                    return mad_spread(xs, lo_, hi_, med_)
+                _, sd = _window_mean_sd(s1, s2, lo_, hi_)
+                return sd
+
+            def body(carry):
+                lo_ = st_ref[_LO:_LO + 1]
+                hi_ = st_ref[_HI:_HI + 1]
+                r_ = st_ref[_R:_R + 1]
+                flags = st_ref[_FIRST:_FIRST + 1]   # 0 inactive, 1 first, 2 later
+                active = flags > 0
+                med_ = sf_ref[0:1]
+                spread = spread_fn(lo_, hi_, med_)
+                med_new = jnp.where(flags == 1, med_,
+                                    _window_median(xs, lo_, hi_))
+                ncl, nch = candidates(xs, lo_, hi_, med_new, spread)
+                ncl = jnp.where(active, ncl, 0)
+                nch = jnp.where(active, nch, 0)
+                n_low, n_high = _clip_counts(lo_, hi_, r_, ncl, nch)
+                nlo, nhi = lo_ + n_low, hi_ - n_high
+                changed = (n_low + n_high) > 0
+                act_next = active & changed & ((nhi - nlo) > 3)
+                st_ref[_LO:_LO + 1] = nlo
+                st_ref[_HI:_HI + 1] = nhi
+                st_ref[_R:_R + 1] = r_ + n_low + n_high
+                st_ref[_RL:_RL + 1] = st_ref[_RL:_RL + 1] + n_low
+                st_ref[_RH:_RH + 1] = st_ref[_RH:_RH + 1] + n_high
+                st_ref[_FIRST:_FIRST + 1] = jnp.where(act_next, 2, 0)
+                sf_ref[0:1] = med_new
+                return carry + 1, changed.any()
+
+            def cond(carry):
+                return carry[1]
+
+            lax.while_loop(lambda c: c[1],
+                           lambda c: body(c[0]),
+                           (jnp.int32(0), jnp.array(True)))
+            lo = st_ref[_LO:_LO + 1]
+            hi = st_ref[_HI:_HI + 1]
+            rejl = st_ref[_RL:_RL + 1]
+            rejh = st_ref[_RH:_RH + 1]
+            hi = jnp.where(dead, zero, hi)
+            lo = jnp.where(dead, zero, lo)
+
+        elif rtype == WINSORIZED:
+            dead = nvalid <= 1
+            rows = lax.broadcasted_iota(jnp.int32, xs.shape, 0)
+            st_ref[_LO:_LO + 1] = lo0
+            st_ref[_HI:_HI + 1] = hi0
+            st_ref[_R:_R + 1] = zero
+            st_ref[_RL:_RL + 1] = zero
+            st_ref[_RH:_RH + 1] = zero
+            st_ref[_FIRST:_FIRST + 1] = jnp.where(dead, 0, 1)
+
+            def winsor_sd(lo_, hi_, med_):
+                # rejection_float.c:222-236: clamp to med±1.5σ,
+                # σ ← 1.134·sd, until |σ−σ0| ≤ 5e-4·σ0
+                _, sd0 = _window_mean_sd(s1, s2, lo_, hi_)
+                inwin = (rows >= lo_) & (rows < hi_)
+                n_w = jnp.maximum((hi_ - lo_).astype(jnp.float32), 1.0)
+                sf_ref[1:2] = 1.134 * sd0
+                sf_ref[2:3] = sd0 + 1.0
+
+                def wbody(it):
+                    sigma = sf_ref[1:2]
+                    m0 = med_ - 1.5 * sigma
+                    m1 = med_ + 1.5 * sigma
+                    w = jnp.clip(xs, m0, m1)
+                    w = jnp.where(inwin, w, 0.0)
+                    t1 = w.sum(axis=0, keepdims=True)
+                    mn = t1 / n_w
+                    var = (jnp.where(inwin, (w - mn) ** 2, 0.0)
+                           ).sum(axis=0, keepdims=True) / jnp.maximum(n_w - 1.0, 1.0)
+                    sf_ref[1:2] = 1.134 * jnp.sqrt(jnp.maximum(var, 0.0))
+                    sf_ref[2:3] = sigma
+                    return it + 1
+
+                def wcond(it):
+                    sigma = sf_ref[1:2]
+                    sigma0 = sf_ref[2:3]
+                    return ((jnp.abs(sigma - sigma0) > sigma0 * 5e-4).any()
+                            & (it < 50))
+
+                lax.while_loop(wcond, wbody, jnp.int32(0))
+                return sf_ref[1:2]
+
+            def body(it):
+                lo_ = st_ref[_LO:_LO + 1]
+                hi_ = st_ref[_HI:_HI + 1]
+                r_ = st_ref[_R:_R + 1]
+                active = st_ref[_FIRST:_FIRST + 1] > 0
+                med = _window_median(xs, lo_, hi_)
+                sig = winsor_sd(lo_, hi_, med)
+                ncl, nch = candidates(xs, lo_, hi_, med, sig)
+                ncl = jnp.where(active, ncl, 0)
+                nch = jnp.where(active, nch, 0)
+                n_low, n_high = _clip_counts(lo_, hi_, r_, ncl, nch)
+                nlo, nhi = lo_ + n_low, hi_ - n_high
+                changed = (n_low + n_high) > 0
+                act_next = active & changed & ((nhi - nlo) > 3)
+                st_ref[_LO:_LO + 1] = nlo
+                st_ref[_HI:_HI + 1] = nhi
+                st_ref[_R:_R + 1] = r_ + n_low + n_high
+                st_ref[_RL:_RL + 1] = st_ref[_RL:_RL + 1] + n_low
+                st_ref[_RH:_RH + 1] = st_ref[_RH:_RH + 1] + n_high
+                st_ref[_FIRST:_FIRST + 1] = jnp.where(act_next, 1, 0)
+                return it + 1, changed.any()
+
+            lax.while_loop(lambda c: c[1],
+                           lambda c: body(c[0]),
+                           (jnp.int32(0), jnp.array(True)))
+            lo = st_ref[_LO:_LO + 1]
+            hi = st_ref[_HI:_HI + 1]
+            rejl = st_ref[_RL:_RL + 1]
+            rejh = st_ref[_RH:_RH + 1]
+        else:  # pragma: no cover
+            raise ValueError(f"pallas kernel does not support rtype {rtype}")
+
+        # trivial guard: kept<=1 before rejection → keep as-is
+        trivial = nvalid <= 1
+        lo = jnp.where(trivial, 0, lo)
+        hi = jnp.where(trivial, nvalid, hi)
+        rejl = jnp.where(trivial, 0, rejl)
+        rejh = jnp.where(trivial, 0, rejh)
+
+        rows = lax.broadcasted_iota(jnp.int32, xs.shape, 0)
+        keep = (rows >= lo) & (rows < hi)
+        nkept = keep.sum(axis=0, keepdims=True).astype(jnp.float32)
+        sum_kept = jnp.where(keep, s1, 0.0).sum(axis=0, keepdims=True)
+        mean = sum_kept / jnp.maximum(nkept, 1.0)
+
+        # kept==0 → median of the original (zeros included) stack, computed
+        # analytically by merging (N − nvalid) zeros into the sorted window
+        x = x_ref[:]
+        n_neg = (jnp.where(valid, x, _INF) < 0.0).sum(
+            axis=0, keepdims=True).astype(jnp.int32)
+        nzeros = n - nvalid
+
+        def merged_at(k):
+            idx = jnp.where(k < n_neg, k, k - nzeros)
+            idx = jnp.clip(idx, 0, n - 1)
+            v = _select_at(xs, idx)
+            in_zero_run = (k >= n_neg) & (k < n_neg + nzeros)
+            return jnp.where(in_zero_run, 0.0, v)
+
+        k0 = jnp.full((1, T), (n - 1) // 2, jnp.int32)
+        k1 = jnp.full((1, T), n // 2, jnp.int32)
+        med_all = 0.5 * (merged_at(k0) + merged_at(k1))
+        mean = jnp.where(nkept > 0, mean, med_all)
+
+        if with_weights:
+            # pmin/pmax membership rule (median_and_mean.c:1041-1095)
+            w = w_ref[:].astype(jnp.float32)
+            pmin = jnp.min(jnp.where(keep, xs, _INF), axis=0, keepdims=True)
+            pmax = jnp.max(jnp.where(keep, xs, -_INF), axis=0, keepdims=True)
+            inrange = (x >= pmin) & (x <= pmax) & (x != 0.0)
+            wsum = jnp.where(inrange, x * w, 0.0).sum(axis=0, keepdims=True)
+            wnorm = jnp.where(inrange, w, 0.0).sum(axis=0, keepdims=True)
+            fallback = jnp.where(inrange & (x > 0), x, 0.0).sum(
+                axis=0, keepdims=True) / jnp.maximum(nkept, 1.0)
+            wmean = jnp.where((wnorm != 0.0) & (wsum != 0.0),
+                              wsum / wnorm, fallback)
+            mean = jnp.where(nkept > 0, wmean, med_all)
+
+        mean_ref[:] = mean
+        rejl_ref[:] = rejl
+        rejh_ref[:] = rejh
+
+    return kernel
+
+
+def _pick_tile(n: int, dtype) -> int:
+    """Pixel-tile width: keep ~6 live (N, TILE) f32 planes under ~8 MB of
+    VMEM, lane-aligned."""
+    budget = 8 * 1024 * 1024
+    per_col = max(n, 8) * 4 * 6
+    t = budget // per_col
+    t = max(512, min(4096, (t // 512) * 512))
+    return t
+
+
+def _interpret() -> bool:
+    if os.environ.get("SIRIL_TPU_PALLAS_INTERPRET"):
+        return True
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("rtype", "mode", "siglow", "sighigh", "with_weights"))
+def pallas_reject_mean(stack, scale, offset, mul, weights=None, *,
+                       rtype: int, mode: int, siglow: float, sighigh: float,
+                       with_weights: bool = False):
+    """Fused normalize+reject+mean over an (N, P) stack.
+
+    ``stack``: (N, P) int16 (raw FITS, BZERO 32768) or float32 in [0,1].
+    ``scale``/``offset``/``mul``: (N,) float32 per-frame normalization.
+    Returns (mean, rej_low, rej_high), each (P,).
+    """
+    n, p = stack.shape
+    npad = _next_pow2(max(n, 2))
+    tile = _pick_tile(npad, stack.dtype)
+    g = -(-p // tile)
+    p_pad = g * tile
+    if p_pad != p:
+        stack = jnp.pad(stack, ((0, 0), (0, p_pad - p)))
+        if weights is not None:
+            weights = jnp.pad(weights, ((0, 0), (0, p_pad - p)))
+    if weights is None:
+        weights = jnp.ones((1, 1), jnp.float32)   # placeholder operand
+        w_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                              memory_space=pltpu.SMEM)
+    else:
+        w_spec = pl.BlockSpec((n, tile), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)
+
+    kernel = _build_kernel(rtype, mode, siglow, sighigh, n, npad,
+                           with_weights, stack.dtype)
+    coef_spec = pl.BlockSpec((n, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    mean, rejl, rejh = pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((n, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            coef_spec, coef_spec, coef_spec, w_spec,
+        ],
+        out_specs=[out_spec, out_spec, out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, p_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, p_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, p_pad), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((npad, tile), jnp.float32),   # xs (sorted)
+            pltpu.VMEM((n, tile), jnp.float32),      # normalized x
+            pltpu.VMEM((8, tile), jnp.int32),        # int loop state
+            pltpu.VMEM((8, tile), jnp.float32),      # float loop state
+        ],
+        interpret=_interpret(),
+    )(stack, scale.reshape(n, 1), offset.reshape(n, 1), mul.reshape(n, 1),
+      weights)
+    return mean[0, :p], rejl[0, :p], rejh[0, :p]
+
+
+def pallas_available(rtype: int, mode: int) -> bool:
+    """True when the fused Pallas path covers this stack configuration."""
+    if os.environ.get("SIRIL_TPU_NO_PALLAS"):
+        return False
+    return rtype in PALLAS_RTYPES
