@@ -25,6 +25,14 @@ class Session:
     wavelet_planes: Optional[list] = None      # wavelet ... wrecons state
     wavelet_img: Optional[SirilImage] = None
     pm_images: Dict[str, SirilImage] = field(default_factory=dict)
+
+    def __post_init__(self):
+        # register as the process-active prefs (com.pref equivalent) so
+        # stages not handed a Session (debayer in conversion/calibration)
+        # honor `set` values
+        from siril_tpu.core.settings import set_active
+
+        set_active(self.prefs)
     selection: Optional[tuple] = None          # boxselect
     magnitude_offset: float = 0.0              # setmag
     script_version_ok: bool = True

@@ -66,7 +66,7 @@ class Preferences:
         raise KeyError(f"unknown setting '{key}'")
 
     def set(self, key: str, value: str) -> None:
-        key2 = key.replace(".", "_").replace("-", "_")
+        key2 = key.lstrip("-").replace(".", "_").replace("-", "_")
         for f in fields(self):
             if f.name == key2:
                 cur = getattr(self, f.name)
@@ -116,3 +116,24 @@ def default_ini_path() -> str:
     base = os.environ.get("XDG_CONFIG_HOME",
                           os.path.expanduser("~/.config"))
     return os.path.join(base, "siril_tpu", "siril_tpu.ini")
+
+
+# ---------------------------------------------------------------------------
+# active preferences (module-level, so pipeline stages that are not handed a
+# Session — debayer during conversion/calibration, livestacking — honor the
+# `set` command; the reference's equivalent is the global com.pref)
+# ---------------------------------------------------------------------------
+
+_ACTIVE: Optional[Preferences] = None
+
+
+def set_active(prefs: Preferences) -> None:
+    global _ACTIVE
+    _ACTIVE = prefs
+
+
+def get_settings() -> Preferences:
+    global _ACTIVE
+    if _ACTIVE is None:
+        _ACTIVE = Preferences()
+    return _ACTIVE

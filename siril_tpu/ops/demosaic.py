@@ -25,16 +25,29 @@ from siril_tpu.core.image import SirilImage
 
 BAYER_PATTERNS = ("RGGB", "BGGR", "GBRG", "GRBG")
 
-# interpolation ids (order matches the reference's enum in demosaicing)
+# interpolation ids — the reference's interpolation_method enum order
+# (settings.h:68-79) + super-pixel (kept distinct like the reference's
+# half-size path)
 BAYER_BILINEAR = 0
 BAYER_VNG = 1
-BAYER_RCD = 2
-BAYER_SUPER_PIXEL = 3
-BAYER_AMAZE = 4
+BAYER_AHD = 2
+BAYER_AMAZE = 3
+BAYER_DCB = 4
+BAYER_HPHD = 5
+BAYER_IGV = 6
+BAYER_LMMSE = 7
+BAYER_RCD = 8
+XTRANS = 9
+BAYER_SUPER_PIXEL = 10
 
 METHOD_NAMES = {"bilinear": BAYER_BILINEAR, "vng": BAYER_VNG,
-                "rcd": BAYER_RCD, "super": BAYER_SUPER_PIXEL,
-                "amaze": BAYER_AMAZE}
+                "ahd": BAYER_AHD, "amaze": BAYER_AMAZE, "dcb": BAYER_DCB,
+                "hphd": BAYER_HPHD, "igv": BAYER_IGV, "lmmse": BAYER_LMMSE,
+                "rcd": BAYER_RCD, "xtrans": XTRANS,
+                "super": BAYER_SUPER_PIXEL}
+
+_EXT_METHODS = {BAYER_AHD: "ahd", BAYER_AMAZE: "amaze", BAYER_DCB: "dcb",
+                BAYER_HPHD: "hphd", BAYER_IGV: "igv", BAYER_LMMSE: "lmmse"}
 
 
 def effective_pattern(pattern: str, xoff: int = 0, yoff: int = 0,
@@ -194,7 +207,17 @@ def _vng_fn():
 
 def debayer(cfa: np.ndarray, pattern: str, method: int = BAYER_RCD,
             xoff: int = 0, yoff: int = 0) -> np.ndarray:
-    """debayer() entry (demosaicing.c:544): CFA (H,W) → RGB (3,H,W)."""
+    """debayer() entry (demosaicing.c:544): CFA (H,W) → RGB (3,H,W).
+
+    36-character patterns are X-Trans and always route to the X-Trans
+    method regardless of ``method`` (the reference forces markesteijn for
+    X-Trans sensors, demosaicing_rtp.cpp:154)."""
+    if pattern and len(pattern) == 36:
+        from siril_tpu.ops.xtrans import (
+            compile_xtrans_pattern, demosaic_xtrans)
+
+        grid = compile_xtrans_pattern(pattern, xoff, yoff)
+        return demosaic_xtrans(cfa, grid)
     pat = effective_pattern(pattern, xoff, yoff)
     if method == BAYER_SUPER_PIXEL:
         return demosaic_super_pixel(cfa, pat)
@@ -202,15 +225,24 @@ def debayer(cfa: np.ndarray, pattern: str, method: int = BAYER_RCD,
         return demosaic_bilinear(cfa, pat)
     if method == BAYER_VNG:
         return demosaic_vng(cfa, pat)
-    # RCD default (and fallback for unimplemented methods)
+    if method in _EXT_METHODS:
+        from siril_tpu.ops.demosaic_ext import demosaic_ext
+
+        return demosaic_ext(cfa, pat, _EXT_METHODS[method])
+    # RCD default (the reference's quality default)
     from siril_tpu.pallas.rcd import demosaic_rcd
 
     return demosaic_rcd(cfa, pat)
 
 
-def debayer_image(img: SirilImage, method: int = BAYER_RCD) -> SirilImage:
+def debayer_image(img: SirilImage, method: Optional[int] = None) -> SirilImage:
     if not img.is_cfa():
         return img
+    if method is None:
+        from siril_tpu.core.settings import get_settings
+
+        method = METHOD_NAMES.get(
+            get_settings().debayer_method.lower(), BAYER_RCD)
     kw = img.keywords
     rgb = debayer(img.host()[0], kw.bayer_pattern, method,
                   kw.bayer_xoffset, kw.bayer_yoffset)
