@@ -1787,15 +1787,49 @@ def _get_psf(ctx, flags):
                     diameter=_f(flags.get("dia"), 5.0) or 5.0)
 
 
-@command("makepsf", "makepsf {blind|stars|manual} [-ks=] [-fwhm=] …",
-         min_args=1)
+@command("makepsf",
+         "makepsf {clear|load f|save [f]|blind [-l0] [-si] [-multiscale] "
+         "[-lambda=] [-comp=] [-ks=] [-savepsf=]|stars [-sym] [-ks=] "
+         "[-savepsf=]|manual …}", min_args=1)
 def cmd_makepsf(ctx, args):
     from siril_tpu.io.fits_io import write_fits
     from siril_tpu.ops.deconvolution import psf_from_stars
 
     pos, flags = parse_flags(args)
     mode = pos[0]
-    if mode == "stars":
+    if mode == "clear":
+        ctx.psf = None
+        log_message("PSF cleared")
+        return
+    if mode == "load":
+        from siril_tpu.io.conversion import load_any
+
+        a = np.asarray(load_any(ctx.path(pos[1])).host()[0], np.float64)
+        ctx.psf = (a / a.sum() if a.sum() > 0 else a).astype(np.float32)
+        log_message("PSF loaded")
+        return
+    if mode == "save":
+        psf = getattr(ctx, "psf", None)
+        if psf is None:
+            raise CommandError("no PSF to save")
+        name = pos[1] if len(pos) > 1 else "psf"
+        write_fits(SirilImage(data=psf[None] / psf.max()),
+                   ctx.path(name), bitdepth=FLOAT_IMG)
+        return
+    if mode == "blind":
+        # command_list.h:120 — blind estimation: -si selects the
+        # spectral-irregularity engine (gf_estimate.cpp), -l0 (default)
+        # the l0-descent engine (estimate_kernel.hpp)
+        from siril_tpu.ops.blind_deconv import estimate_kernel_blind
+
+        psf = estimate_kernel_blind(
+            ctx.require_image().host(),
+            ks=int(_f(flags.get("ks"), 15) or 15),
+            method="si" if "si" in flags else "l0",
+            multiscale="multiscale" in flags,
+            lam=_f(flags.get("lambda"), 1e-3) or 1e-3,
+            comp=_f(flags.get("comp"), None))
+    elif mode == "stars":
         psf = psf_from_stars(ctx.require_image())
     else:
         psf = _get_psf(ctx, flags)
@@ -2952,28 +2986,20 @@ def cmd_offline(ctx, args):
 
 @command("pyscript", "pyscript script.py [args…]", min_args=1)
 def cmd_pyscript(ctx, args):
-    """Run a Python script with a connected SirilInterface bound as
-    `siril` (the reference spawns a venv + socket; here in-process)."""
-    import runpy
-    import sys
-
-    from siril_tpu.pythonmodule import SirilInterface
+    """Run a Python script over the sirilpy wire protocol: a socket
+    server is started ($MY_SOCKET) and the script runs in a subprocess,
+    exactly like the reference (io/siril_pythonmodule.c venv spawn —
+    here the current interpreter).  Scripts importing ``sirilpy``
+    connect over the socket; scripts may also use the in-process
+    ``siril_tpu.pythonmodule.SirilInterface`` directly."""
+    from siril_tpu.pythonmodule.server import run_python_script
 
     path = ctx.path(args[0])
     if not os.path.exists(path):
         raise CommandError(f"script not found: {args[0]}")
-    iface = SirilInterface(session=ctx)
-    iface.connect()
-    old_argv = sys.argv
-    sys.argv = [path] + list(args[1:])
-    try:
-        runpy.run_path(path, init_globals={"siril": iface})
-    except SystemExit:
-        pass
-    except Exception as e:
-        raise CommandError(f"python script failed: {type(e).__name__}: {e}")
-    finally:
-        sys.argv = old_argv
+    rc = run_python_script(path, ctx, args=list(args[1:]))
+    if rc != 0:
+        raise CommandError(f"python script failed (exit code {rc})")
 
 
 @command("spcc", "spcc [-limitmag=] [-monosensor=|-oscsensor=] [-rfilter=] [-gfilter=] [-bfilter=] [-oscfilter=] [-narrowband [-rwl= -gwl= -bwl= -rbw= -gbw= -bbw=]] [-atmos [-obsheight=] [-pressure=|-slp=]] [-whiteref=] [-bgtol=]",
