@@ -2236,10 +2236,21 @@ def _get_catalog(ctx, flags):
 
     path = flags.get("catalog") if isinstance(flags.get("catalog"), str) \
         else default_catalog_path()
+    # remote TAP catalogues by name (-catalog=tycho2/nomad/gaiadr3/apass/
+    # simbad/… — remote_catalogues.c); requires online mode or recorded
+    # fixtures ($SIRIL_TPU_CAT_FIXTURES)
+    if isinstance(path, str):
+        from siril_tpu.astrometry.remote import TAP_CATALOGUES
+
+        if path.lower() in TAP_CATALOGUES:
+            from siril_tpu.astrometry.remote import RemoteCatalogue
+
+            return RemoteCatalogue(path.lower())
     if path is None:
         raise CommandError(
-            "no local catalogue available (set -catalog=file.npz/csv/.cat "
-            "or SIRIL_TPU_CATALOG; remote catalogues are disabled offline)")
+            "no local catalogue available (set -catalog=file.npz/csv/.cat, "
+            "a remote name like -catalog=gaiadr3 with `online`, or "
+            "SIRIL_TPU_CATALOG)")
     p = ctx.path(path) if not os.path.isabs(path) else path
     if p.lower().endswith(".cat"):
         # reference-format binary HEALPix-indexed Gaia catalogue; the
@@ -2975,13 +2986,15 @@ def cmd_parse(ctx, args):
 
 @command("online", "online")
 def cmd_online(ctx, args):
-    log_message("Warning: this build runs offline; remote catalogues are "
-                "unavailable (use local catalogue files)")
+    ctx.prefs.online = True
+    log_message("online mode: remote catalogues enabled "
+                "(TAP cone search, SIMBAD object lookup)")
 
 
 @command("offline", "offline")
 def cmd_offline(ctx, args):
-    log_message("offline mode (default in this build)")
+    ctx.prefs.online = False
+    log_message("offline mode (local catalogues only)")
 
 
 @command("pyscript", "pyscript script.py [args…]", min_args=1)
@@ -3120,11 +3133,25 @@ def cmd_catsearch(ctx, args):
     from siril_tpu.astrometry.annotations import find_object
     from siril_tpu.ops.wcs import format_dec, format_ra
 
-    a = find_object(" ".join(args))
-    if a is None:
-        raise CommandError(f"object '{' '.join(args)}' not found "
-                           "(local catalogues only in offline mode)")
-    log_message(f"{a.name}: RA {format_ra(a.ra)}, Dec {format_dec(a.dec)}")
+    name = " ".join(args)
+    a = find_object(name)
+    if a is not None:
+        log_message(f"{a.name}: RA {format_ra(a.ra)}, "
+                    f"Dec {format_dec(a.dec)}")
+        return
+    # not in local annotation catalogues: SIMBAD by-name lookup
+    # (search_objects.c) when online / fixtures present
+    from siril_tpu.astrometry.remote import TransportError, search_object
+
+    try:
+        hit = search_object(name)
+    except TransportError as e:
+        raise CommandError(f"object '{name}' not found locally and remote "
+                           f"lookup unavailable ({e})")
+    if hit is None:
+        raise CommandError(f"object '{name}' not found")
+    ra, dec, resolved = hit
+    log_message(f"{resolved}: RA {format_ra(ra)}, Dec {format_dec(dec)}")
 
 
 # ===========================================================================
@@ -3136,8 +3163,11 @@ def cmd_catsearch(ctx, args):
 def cmd_icc_assign(ctx, args):
     from siril_tpu.ops.icc import assign_profile
 
+    spec = args[0]
+    if spec.lower().endswith((".icc", ".icm")):
+        spec = ctx.path(spec)
     try:
-        ctx.set_image(assign_profile(ctx.require_image(), args[0]))
+        ctx.set_image(assign_profile(ctx.require_image(), spec))
     except ValueError as e:
         raise CommandError(str(e))
 
@@ -3147,8 +3177,11 @@ def cmd_icc_assign(ctx, args):
 def cmd_icc_convert(ctx, args):
     from siril_tpu.ops.icc import convert_to_profile
 
+    spec = args[0]
+    if spec.lower().endswith((".icc", ".icm")):
+        spec = ctx.path(spec)
     try:
-        ctx.set_image(convert_to_profile(ctx.require_image(), args[0]))
+        ctx.set_image(convert_to_profile(ctx.require_image(), spec))
     except ValueError as e:
         raise CommandError(str(e))
 

@@ -59,6 +59,13 @@ def main(argv=None) -> int:
 
     ctx = build_session(args.directory)
 
+    # Ctrl-C requests a graceful stop; running ops abort at their next
+    # processing_should_continue poll (processing.h:260-264)
+    from siril_tpu.core.processing import (
+        clear_stop, install_sigint_handler, request_stop)
+
+    install_sigint_handler()
+
     if args.pipe:
         # pipe protocol (core/pipe.h): status lines on stdout
         add_log_hook(lambda lvl, msg: print(f"log: {msg}", flush=True))
@@ -70,6 +77,12 @@ def main(argv=None) -> int:
                 continue
             if line in ("exit", "quit"):
                 break
+            if line == "cancel":
+                # pipe.c cancel message: stop the running operation
+                request_stop()
+                print("status: success cancel", flush=True)
+                continue
+            clear_stop()
             rc = process_command_line(ctx, line)
             print(f"status: {'success' if rc == 0 else 'error'} {line.split()[0]}",
                   flush=True)

@@ -66,6 +66,14 @@ def execute_command(ctx: Session, words: List[str]) -> int:
     except FileNotFoundError as e:
         log_error(f"{cmd.name}: file not found: {e}")
         return 1
+    except Exception as e:
+        from siril_tpu.core.processing import ProcessingCancelled
+
+        if isinstance(e, ProcessingCancelled):
+            log_error(f"{cmd.name}: cancelled")
+            ctx.stop_requested = True
+            return 1
+        raise
 
 
 def process_command_line(ctx: Session, line: str) -> int:

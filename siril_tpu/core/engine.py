@@ -17,7 +17,12 @@ Hooks mirror generic_seq_args (``core/processing.h:49-145``):
   finalize(ctx)                — write sidecars, cleanup
 
 Error policy: ``stop_on_error`` aborts the run; otherwise failing frames
-are excluded from the output sequence (processing.h:100-102 semantics).
+are excluded from the output sequence AND unselected in the input
+sequence (processing.h:100-102 skip-and-unselect semantics).
+
+Cancellation: ``processing_should_continue`` (core/processing.py) is
+polled between frames; a requested stop finishes in-flight writes and
+raises ProcessingCancelled (processing.h:260-264).
 """
 
 from __future__ import annotations
@@ -126,8 +131,16 @@ def run_sequence(args: SeqArgs) -> SeqResult:
     for p in range(min(args.prefetch, n)):
         futures[p] = pool.submit(read, p)
 
+    from siril_tpu.core.processing import (
+        ProcessingCancelled, processing_should_continue)
+
+    cancelled = False
     for pos in range(n):
         idx = int(indices[pos])
+        if not processing_should_continue():
+            cancelled = True
+            futures.pop(pos, None)
+            break
         try:
             img = futures.pop(pos).result()
         except Exception as e:
@@ -166,6 +179,17 @@ def run_sequence(args: SeqArgs) -> SeqResult:
     writer.close()
     if writer.errors:
         log_error(f"{args.description}: write errors: {writer.errors[:3]}")
+    if cancelled:
+        log_error(f"{args.description}: cancelled after "
+                  f"{res.processed}/{n} frames")
+        raise ProcessingCancelled(args.description)
+
+    # skip-and-unselect: failing frames drop out of the input selection
+    # (processing.h:100-102)
+    if res.failed and not args.stop_on_error:
+        for idx in res.failed:
+            if 0 <= idx < len(seq.incl):
+                seq.incl[idx] = False
 
     if args.output and out_paths:
         ordered = [out_paths[p] for p in sorted(out_paths)]

@@ -119,6 +119,7 @@ class SirilImage:
     wcs: Optional[Any] = None           # siril_tpu.ops.wcs.WCS or None
     top_down: bool = False
     stats: Optional[list] = None        # cached per-layer ImStats
+    icc_profile: Optional[bytes] = None  # raw embedded .icc bytes (ffit.icc_profile)
 
     # ---- shape accessors (reference: ffit.rx/ry/naxes) ----
     @property
@@ -196,6 +197,7 @@ class SirilImage:
             mask_active=self.mask_active,
             wcs=self.wcs,
             top_down=self.top_down,
+            icc_profile=self.icc_profile,
         )
 
     def log_history(self, msg: str) -> None:

@@ -23,6 +23,8 @@ class Preferences:
     fits_save_icc: bool = True
     comp_type: int = -1                # -1 = no compression
     comp_quantization: float = 16.0
+    # networking (siril_networking.c online/offline mode)
+    online: bool = False
     # debayer
     debayer_pattern: str = "RGGB"
     debayer_method: str = "rcd"

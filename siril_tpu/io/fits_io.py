@@ -467,6 +467,7 @@ def read_fits(path: Union[str, os.PathLike], hdu_index: int = 0) -> SirilImage:
             img.wcs = w
     except ImportError:
         pass
+    img.icc_profile = _icc_from_hdus(path, hdus)
     return img
 
 
@@ -570,6 +571,42 @@ def write_fits(
         f.write(hdr_bytes)
         f.write(data_bytes)
         f.write(b"\x00" * dpad)
+        if img.icc_profile:
+            f.write(_icc_extension_bytes(img.icc_profile))
+
+
+def _icc_extension_bytes(profile: bytes) -> bytes:
+    """8-bit IMAGE extension EXTNAME='ICCProfile' carrying raw .icc bytes
+    (write_icc_profile_to_fptr, image_format_fits.c:931-987)."""
+    cards = [("XTENSION", "IMAGE", "IMAGE extension"),
+             ("BITPIX", 8, ""),
+             ("NAXIS", 1, ""),
+             ("NAXIS1", len(profile), ""),
+             ("PCOUNT", 0, ""),
+             ("GCOUNT", 1, ""),
+             ("EXTNAME", "ICCProfile", "")]
+    hdr = b"".join(_format_card(k, v, cmt).encode("ascii", "replace")
+                   for k, v, cmt in cards)
+    hdr += _format_card("END", None).encode("ascii")
+    hdr += b" " * ((-len(hdr)) % BLOCK)
+    body = profile + b"\x00" * ((-len(profile)) % BLOCK)
+    return hdr + body
+
+
+def read_icc_extension(path: Union[str, os.PathLike]) -> Optional[bytes]:
+    """Raw ICC bytes from an EXTNAME='ICCProfile' extension, or None."""
+    return _icc_from_hdus(path, scan_hdus(path))
+
+
+def _icc_from_hdus(path, hdus) -> Optional[bytes]:
+    for h in hdus:
+        if str(h.header.get("EXTNAME", "")).strip() == "ICCProfile":
+            n = int(h.header.get("NAXIS1", 0) or 0)
+            if n > 0:
+                with open(path, "rb") as f:
+                    f.seek(h.data_offset)
+                    return f.read(n)
+    return None
 
 
 class FitseqWriter:

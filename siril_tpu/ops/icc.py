@@ -60,15 +60,61 @@ def _encode_trc(x, kind):
 
 
 def assign_profile(img: SirilImage, profile: str) -> SirilImage:
-    """icc_assign: tag without converting pixels."""
+    """icc_assign: tag without converting pixels.  ``profile`` is a
+    built-in name OR a path to a real ``.icc``/``.icm`` file (parsed by
+    ops/icc_file.py — the lcms2 cmsOpenProfileFromFile role); the raw
+    bytes attach to the image and embed on FITS/TIFF export."""
+    import os
+
+    if profile.lower().endswith((".icc", ".icm")) or os.path.exists(profile):
+        from siril_tpu.ops.icc_file import read_icc
+
+        prof = read_icc(profile)
+        out = img.copy()
+        out.icc_profile = prof.raw
+        out.keywords.extra["ICCPROF"] = prof.description
+        out.log_history(f"Assigned ICC profile {prof.description}")
+        return out
     key = profile.lower().replace("-", "").replace("_", "")
     if key not in PROFILES:
         raise ValueError(f"unknown profile '{profile}' "
-                         f"(available: {', '.join(PROFILES)})")
+                         f"(available: {', '.join(PROFILES)}, or a .icc "
+                         "file path)")
     out = img.copy()
     out.keywords.extra["ICCPROF"] = PROFILES[key][0]
+    # attach generated profile bytes so exports embed a real .icc
+    from siril_tpu.ops.icc_file import write_icc_bytes
+
+    builtin = _builtin_icc(key)
+    if builtin is not None:
+        out.icc_profile = write_icc_bytes(builtin)
     out.log_history(f"Assigned ICC profile {PROFILES[key][0]}")
     return out
+
+
+def _builtin_icc(key: str):
+    """IccProfile object for a built-in matrix+TRC profile."""
+    from siril_tpu.ops.icc_file import (
+        IccProfile, Trc, _D50, _D65, bradford_adapt)
+
+    name, m, trc_kind = PROFILES[key]
+    if trc_kind == "srgb":
+        trc = Trc("para", para_type=3,
+                  para=(2.4, 1.0 / 1.055, 0.055 / 1.055,
+                        1.0 / 12.92, 0.04045))
+    elif trc_kind == "rec2020":
+        a, b = 1.09929682680944, 0.018053968510807
+        trc = Trc("para", para_type=3,
+                  para=(1.0 / 0.45, 1.0 / a, (a - 1.0) / a, 1.0 / 4.5,
+                        b * 4.5))
+    else:
+        trc = Trc("gamma", 1.0)
+    if m is None:
+        return IccProfile(description=name, color_space="GRAY",
+                          trc={"k": trc})
+    m50 = bradford_adapt(np.asarray(m), _D65, _D50)
+    return IccProfile(description=name, matrix=m50,
+                      trc={"r": trc, "g": trc, "b": trc})
 
 
 def remove_profile(img: SirilImage) -> SirilImage:
@@ -86,23 +132,83 @@ def current_profile_key(img: SirilImage) -> str:
     return "srgb"
 
 
+def _profile_transforms(img: SirilImage, spec: str):
+    """(decode_to_linearD65, encode_from_linearD65, matrixD65, name) for a
+    built-in name, a .icc path, or the image's embedded profile ('')."""
+    import os
+
+    if spec == "" and img.icc_profile:
+        from siril_tpu.ops.icc_file import read_icc_bytes
+
+        prof = read_icc_bytes(img.icc_profile)
+    elif spec.lower().endswith((".icc", ".icm")) or \
+            (spec and os.path.exists(spec)):
+        from siril_tpu.ops.icc_file import read_icc
+
+        prof = read_icc(spec)
+    else:
+        key = (spec or "srgb").lower().replace("-", "").replace("_", "")
+        if key not in PROFILES:
+            key = current_profile_key(img) if not spec else None
+            if key is None:
+                raise ValueError(f"unknown profile '{spec}'")
+        name, m, trc_kind = PROFILES[key]
+        return (lambda x: _decode_trc(x, trc_kind),
+                lambda x: _encode_trc(x, trc_kind),
+                None if m is None else np.asarray(m), name)
+
+    trcs = prof.trc
+    if prof.is_gray or prof.matrix is None:
+        t = trcs.get("k") or next(iter(trcs.values()), None)
+        dec = (lambda x: t.decode(x)) if t else (lambda x: x)
+        enc = (lambda x: t.encode(x)) if t else (lambda x: x)
+        return dec, enc, None, prof.description
+
+    def dec(x):
+        out = np.empty_like(x)
+        for c, ch in enumerate("rgb"):
+            t = trcs.get(ch)
+            out[c] = t.decode(x[c]) if t else x[c]
+        return out
+
+    def enc(x):
+        out = np.empty_like(x)
+        for c, ch in enumerate("rgb"):
+            t = trcs.get(ch)
+            out[c] = t.encode(x[c]) if t else x[c]
+        return out
+
+    return dec, enc, prof.matrix_d65(), prof.description
+
+
 def convert_to_profile(img: SirilImage, dest: str) -> SirilImage:
-    """icc_convert_to: convert pixel values between profiles."""
-    src_key = current_profile_key(img)
-    dst_key = dest.lower().replace("-", "").replace("_", "")
-    if dst_key not in PROFILES:
-        raise ValueError(f"unknown profile '{dest}'")
-    _, m_src, trc_src = PROFILES[src_key]
-    _, m_dst, trc_dst = PROFILES[dst_key]
+    """icc_convert_to: convert pixel values between profiles (built-in
+    names or real .icc files; the image's embedded profile is the
+    source when present)."""
+    src_spec = "" if img.icc_profile else current_profile_key(img)
+    dec_src, _, m_src, _ = _profile_transforms(img, src_spec)
+    _, enc_dst, m_dst, dst_name = _profile_transforms(img, dest)
     data = img.host().astype(np.float64)
-    lin = _decode_trc(data, trc_src)
+    lin = dec_src(data)
     if img.nchans == 3 and m_src is not None and m_dst is not None and \
             not np.allclose(m_src, m_dst):
         flat = lin.reshape(3, -1)
         xyz = m_src @ flat
         lin = np.linalg.solve(m_dst, xyz).reshape(lin.shape)
-    out_d = _encode_trc(np.clip(lin, 0.0, 1.0), trc_dst)
+    out_d = enc_dst(np.clip(lin, 0.0, 1.0))
     out = img.copy(data=out_d.astype(np.float32))
-    out.keywords.extra["ICCPROF"] = PROFILES[dst_key][0]
-    out.log_history(f"Converted to ICC profile {PROFILES[dst_key][0]}")
+    out.keywords.extra["ICCPROF"] = dst_name
+    import os as _os
+
+    if dest.lower().endswith((".icc", ".icm")) or _os.path.exists(dest):
+        with open(dest, "rb") as f:
+            out.icc_profile = f.read()
+    else:
+        dst_key = dest.lower().replace("-", "").replace("_", "")
+        if dst_key in PROFILES:
+            from siril_tpu.ops.icc_file import write_icc_bytes
+
+            builtin = _builtin_icc(dst_key)
+            out.icc_profile = write_icc_bytes(builtin) if builtin else None
+    out.log_history(f"Converted to ICC profile {dst_name}")
     return out

@@ -391,9 +391,12 @@ def stack_sequence(seq: Sequence, args: StackArgs,
     # double-buffered: prefetch next block while device computes current;
     # device→host copies are started async and collected at the end so
     # they overlap with later blocks' compute (tunnel D2H is slow)
+    from siril_tpu.core.processing import check_cancelled
+
     pending = []
     next_fut = pool.submit(assemble, blocks[0])
     for bi, block in enumerate(blocks):
+        check_cancelled("stacking")    # processing.h:260 between blocks
         c, y0, y1 = block
         buf = next_fut.result()
         if bi + 1 < len(blocks):
@@ -553,7 +556,20 @@ def _finalize_metadata(seq: Sequence, indices: np.ndarray,
 # HBM-resident stacking (single-upload fast path)
 # ---------------------------------------------------------------------------
 
-_RESIDENT_BUDGET_BYTES = 4 << 30     # raw u16 frames kept on device
+def _resident_budget_bytes() -> int:
+    """Raw u16 bytes the resident path may hold — derived from the
+    device's actual HBM and the ``setmem`` ratio (utils/devmem.py), not
+    a constant.  Env override SIRIL_TPU_RESIDENT_BUDGET for tests."""
+    env = os.environ.get("SIRIL_TPU_RESIDENT_BUDGET")
+    if env:
+        return int(env)
+    from siril_tpu.utils.devmem import device_hbm_bytes, resident_stack_budget
+
+    if device_hbm_bytes() is None:
+        # CPU backend: cap at 4 GiB so huge-stack tests still exercise
+        # the streaming fallback
+        return min(resident_stack_budget(), 4 << 30)
+    return resident_stack_budget()
 
 
 def _resident_stack(seq: Sequence, args: StackArgs,
@@ -584,7 +600,7 @@ def _resident_stack(seq: Sequence, args: StackArgs,
     L, H, W = seq.nb_layers, seq.ry, seq.rx
     if _frame_shifts(seq, indices, args.reglayer) is not None:
         return None
-    if n * L * H * W * 2 > _RESIDENT_BUDGET_BYTES:
+    if n * L * H * W * 2 > _resident_budget_bytes():
         return None
     try:
         readers = [seq.open_reader(int(i)) for i in indices]

@@ -43,7 +43,14 @@ from siril_tpu.registration.matching import (
 from siril_tpu.registration.starfinder import StarFinderParams, detect_stars
 from siril_tpu.utils.log import log_error, log_message
 
-_HBM_BUDGET_BYTES = 6 << 30
+def _hbm_budget_bytes() -> int:
+    """Fused-pipeline working-set budget from the real device HBM ×
+    setmem ratio (utils/devmem.py); 6 GiB fallback off-device."""
+    from siril_tpu.utils.devmem import device_hbm_bytes, memory_budget_bytes
+
+    if device_hbm_bytes() is None:
+        return 6 << 30
+    return memory_budget_bytes()
 
 
 @dataclass
@@ -79,7 +86,7 @@ def fused_preprocess_stack(seq: Sequence, args: Optional[FusedArgs] = None
     if seq.ry == 0:
         seq.ry, seq.rx = H, W
     total_f32 = n * L * H * W * 4
-    if total_f32 * 2 > _HBM_BUDGET_BYTES:
+    if total_f32 * 2 > _hbm_budget_bytes():
         raise MemoryError(
             f"fused pipeline needs ~{2 * total_f32 >> 30} GiB HBM; use the "
             "staged calibrate/register/stack commands for this sequence")
