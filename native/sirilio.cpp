@@ -327,3 +327,204 @@ void rice_decode_tiles_i16(const uint8_t* heap, const int64_t* offsets,
 }
 
 } // extern "C"
+
+// ===========================================================================
+// Lossless JPEG (ITU-T.81 process 14, SOF3) decoder — the DNG/raw tile
+// codec (reference reaches it through libraw; this is an original
+// implementation of the published spec: Huffman difference categories,
+// predictors P1..P7, point transform, restart markers, FF00 stuffing).
+// ===========================================================================
+
+namespace ljpeg {
+
+struct BitReader {
+    const uint8_t* d;
+    int64_t n, pos;
+    uint32_t acc;
+    int bits;
+    BitReader(const uint8_t* d_, int64_t n_)
+        : d(d_), n(n_), pos(0), acc(0), bits(0) {}
+    int get1() {
+        if (bits == 0) {
+            uint8_t b = 0xFF;
+            if (pos < n) {
+                b = d[pos++];
+                if (b == 0xFF) {
+                    if (pos < n && d[pos] == 0x00) pos++;  // stuffed FF
+                    // a real marker mid-scan: feed 1-bits (decoder will
+                    // finish the current row; callers bound by size)
+                }
+            }
+            acc = b;
+            bits = 8;
+        }
+        bits--;
+        return (acc >> bits) & 1;
+    }
+    int get(int nb) {
+        int v = 0;
+        for (int i = 0; i < nb; i++) v = (v << 1) | get1();
+        return v;
+    }
+    void restart_align() {       // skip to just after the next RSTn
+        acc = 0; bits = 0;
+        while (pos + 1 < n) {
+            if (d[pos] == 0xFF && d[pos + 1] >= 0xD0 && d[pos + 1] <= 0xD7) {
+                pos += 2;
+                return;
+            }
+            pos++;
+        }
+    }
+};
+
+struct Huff {
+    int mincode[17], maxcode[17], valptr[17];
+    uint8_t vals[256];
+    bool ok = false;
+    void build(const uint8_t* counts, const uint8_t* symbols, int total) {
+        for (int i = 0; i < total && i < 256; i++) vals[i] = symbols[i];
+        int code = 0, k = 0;
+        for (int l = 1; l <= 16; l++) {
+            valptr[l] = k;
+            mincode[l] = code;
+            k += counts[l - 1];
+            code += counts[l - 1];
+            maxcode[l] = counts[l - 1] ? code - 1 : -1;
+            code <<= 1;
+        }
+        ok = true;
+    }
+    int decode(BitReader& br) const {
+        int code = 0;
+        for (int l = 1; l <= 16; l++) {
+            code = (code << 1) | br.get1();
+            if (maxcode[l] >= 0 && code <= maxcode[l])
+                return vals[valptr[l] + code - mincode[l]];
+        }
+        return -1;
+    }
+};
+
+static inline int extend(int v, int t) {
+    if (t == 0) return 0;
+    if (t == 16) return 32768;               // ssss=16: no extra bits
+    return (v < (1 << (t - 1))) ? v - (1 << t) + 1 : v;
+}
+
+}  // namespace ljpeg
+
+// Decode a lossless JPEG stream.  out: row-major interleaved
+// (height × width·ncomp) uint16.  Returns 0 on success, negative error.
+extern "C" int decode_ljpeg(const uint8_t* buf, int64_t len,
+                            uint16_t* out, int64_t out_cap,
+                            int32_t* out_w, int32_t* out_h,
+                            int32_t* out_ncomp) {
+    using namespace ljpeg;
+    if (len < 4 || buf[0] != 0xFF || buf[1] != 0xD8) return -1;
+    int64_t p = 2;
+    int precision = 0, width = 0, height = 0, ncomp = 0;
+    int comp_tbl[4] = {0, 0, 0, 0};
+    int predictor = 1, pt = 0, restart = 0;
+    ljpeg::Huff tables[4];
+    int64_t scan_start = -1;
+
+    while (p + 4 <= len) {
+        if (buf[p] != 0xFF) { p++; continue; }
+        uint8_t m = buf[p + 1];
+        p += 2;
+        if (m == 0xD8 || m == 0x01 || (m >= 0xD0 && m <= 0xD7)) continue;
+        if (p + 2 > len) return -2;
+        int seglen = (buf[p] << 8) | buf[p + 1];
+        if (m == 0xC3) {                      // SOF3
+            precision = buf[p + 2];
+            height = (buf[p + 3] << 8) | buf[p + 4];
+            width = (buf[p + 5] << 8) | buf[p + 6];
+            ncomp = buf[p + 7];
+            if (ncomp < 1 || ncomp > 4) return -3;
+        } else if (m == 0xC4) {               // DHT
+            int64_t q = p + 2;
+            while (q + 17 <= p + seglen) {
+                int th = buf[q] & 0x0F;
+                const uint8_t* counts = buf + q + 1;
+                int total = 0;
+                for (int i = 0; i < 16; i++) total += counts[i];
+                if (th < 4 && total <= 256)
+                    tables[th].build(counts, buf + q + 17, total);
+                q += 17 + total;
+            }
+        } else if (m == 0xDD) {               // DRI
+            restart = (buf[p + 2] << 8) | buf[p + 3];
+        } else if (m == 0xDA) {               // SOS
+            int ns = buf[p + 2];
+            int64_t q = p + 3;
+            for (int i = 0; i < ns && i < 4; i++) {
+                comp_tbl[i] = (buf[q + 1] >> 4) & 0x0F;
+                q += 2;
+            }
+            predictor = buf[q];
+            pt = buf[q + 2] & 0x0F;
+            scan_start = p + seglen;
+            break;
+        }
+        p += seglen;
+    }
+    if (scan_start < 0 || width <= 0 || height <= 0 || precision < 2)
+        return -4;
+    int64_t rowlen = (int64_t)width * ncomp;
+    if ((int64_t)height * rowlen > out_cap) return -5;
+    *out_w = width; *out_h = height; *out_ncomp = ncomp;
+
+    ljpeg::BitReader br(buf + scan_start, len - scan_start);
+    std::vector<int> prev_row(rowlen, 0), cur_row(rowlen, 0);
+    const int default_pred = 1 << (precision - pt - 1);
+    bool fresh = true;           // scan start or just after a restart
+    int64_t mcu = 0;
+    for (int y = 0; y < height; y++) {
+        bool row_fresh = (y == 0);
+        for (int x = 0; x < width; x++) {
+            for (int c = 0; c < ncomp; c++) {
+                const ljpeg::Huff& H = tables[comp_tbl[c]];
+                if (!H.ok) return -6;
+                int t = H.decode(br);
+                if (t < 0) return -7;
+                int diff = extend(t == 16 ? 0 : br.get(t), t);
+                int64_t i = (int64_t)x * ncomp + c;
+                int pred;
+                if (fresh)
+                    pred = default_pred;
+                else if (x == 0)
+                    pred = prev_row[i];
+                else if (row_fresh)
+                    pred = cur_row[i - ncomp];
+                else {
+                    int ra = cur_row[i - ncomp];
+                    int rb = prev_row[i];
+                    int rc = prev_row[i - ncomp];
+                    switch (predictor) {
+                        case 1: pred = ra; break;
+                        case 2: pred = rb; break;
+                        case 3: pred = rc; break;
+                        case 4: pred = ra + rb - rc; break;
+                        case 5: pred = ra + ((rb - rc) >> 1); break;
+                        case 6: pred = rb + ((ra - rc) >> 1); break;
+                        case 7: pred = (ra + rb) >> 1; break;
+                        default: pred = ra; break;
+                    }
+                }
+                int v = (pred + diff) & 0xFFFF;
+                cur_row[i] = v;
+                out[(int64_t)y * rowlen + i] = (uint16_t)(v << pt);
+            }
+            fresh = false;
+            mcu++;
+            if (restart && (mcu % restart) == 0
+                && !(y == height - 1 && x == width - 1)) {
+                br.restart_align();
+                fresh = true;            // predictor restarts from default
+            }
+        }
+        std::swap(prev_row, cur_row);
+    }
+    return 0;
+}

@@ -470,7 +470,7 @@ def cmd_convert(ctx, args):
     dest = pos[0]
     out_dir = ctx.path(flags.get("out", ".")) if isinstance(
         flags.get("out"), str) else ctx.cwd
-    exts = FITS_EXT + PIL_EXT + (".ser",)
+    exts = FITS_EXT + PIL_EXT + (".ser", ".dng")
     outpat = __import__("re").compile(__import__("re").escape(dest) + r"\\d+\\.")
     files = [f for f in globmod.glob(os.path.join(ctx.cwd, "*"))
              if os.path.splitext(f)[1].lower() in exts
@@ -909,6 +909,29 @@ def cmd_register(ctx, args):
 
     pos, flags = parse_flags(args)
     seq = ctx.load_sequence(pos[0])
+
+    if "3stars" in flags:
+        # headless 1/2/3-star registration (3stars.c):
+        # -star1=x,y [-star2=x,y] [-star3=x,y] [-boxsize=n]
+        from siril_tpu.registration.threestars import register_three_stars
+
+        picked = []
+        for key in ("star1", "star2", "star3"):
+            v = flags.get(key)
+            if isinstance(v, str) and "," in v:
+                x, y = v.split(",", 1)
+                picked.append((float(x), float(y)))
+        if not picked:
+            raise CommandError("register -3stars needs -star1=x,y "
+                               "(and optionally -star2/-star3)")
+        layer = int(float(flags.get("layer", 0) or 0))
+        box = int(float(flags.get("boxsize", 30) or 30))
+        try:
+            register_three_stars(seq, picked, layer=layer, box=box)
+        except ValueError as e:
+            raise CommandError(str(e))
+        return
+
     ra = RegArgs(starfinder=_sf_params(ctx))
     ra.two_pass = "2pass" in flags
     ra.output = "noout" not in flags and not ra.two_pass
@@ -1662,8 +1685,9 @@ def cmd_rgradient(ctx, args):
          req=REQ_SINGLE_IMAGE)
 def cmd_denoise(ctx, args):
     """NL-Bayes denoiser (filters/nlbayes, `denoise` command flags
-    command_list.h:46).  -da3d falls back to an extra guided refinement
-    pass; -mod blends with the original."""
+    command_list.h:46).  -da3d runs the dual-domain refinement
+    (ops/da3d.py, filters/da3d/DA3D.cpp); -mod blends with the
+    original."""
     from siril_tpu.ops.nlbayes import nlbayes_denoise
 
     pos, flags = parse_flags(args)
@@ -1673,9 +1697,15 @@ def cmd_denoise(ctx, args):
     out = nlbayes_denoise(img, use_vst="vst" in flags,
                           sos_iters=sos, sos_rho=rho)
     if "da3d" in flags:
-        from siril_tpu.ops.filters import guided_filter
+        from siril_tpu.ops.da3d import da3d_image
+        from siril_tpu.ops.statistics import bgnoise_np
 
-        out = guided_filter(out, radius=4, eps=1e-4)
+        noisy = img.host()
+        sigma = float(np.mean([bgnoise_np(noisy[c])
+                               for c in range(img.nchans)]))
+        refined = da3d_image(noisy, out.host(), sigma)
+        out = out.copy(data=np.clip(refined, 0.0, 1.0))
+        out.log_history("DA3D refinement")
     mod = _f(flags.get("mod"), 1.0) or 1.0
     if mod < 1.0:
         blend = (mod * out.host() + (1.0 - mod) * img.host())

@@ -30,6 +30,12 @@ def load_any(path: str) -> SirilImage:
         from siril_tpu.io.fits_io import read_fits
 
         return read_fits(path)
+    if ext == ".dng":
+        # DSLR raw: DNG parsed natively (io/dng.py; reference raw path is
+        # libraw, image_formats_libraries.c)
+        from siril_tpu.io.dng import read_dng
+
+        return read_dng(path)
     if ext in PIL_EXT:
         from PIL import Image
 

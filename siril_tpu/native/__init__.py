@@ -69,6 +69,9 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
                                           i64p]
     lib.rice_encode_tiles_i16.restype = i64
     lib.rice_decode_tiles_i16.argtypes = [u8p, i64p, i64p, i64, i64, i16p]
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    lib.decode_ljpeg.argtypes = [u8p, i64, u16p, i64, i32p, i32p, i32p]
+    lib.decode_ljpeg.restype = ctypes.c_int
     return lib
 
 
@@ -179,3 +182,31 @@ def rice_decode_tiles_i16(heap: bytes, offsets: np.ndarray,
         ntiles, tile_pix,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
     return out
+
+
+def decode_ljpeg(data: bytes):
+    """Lossless-JPEG (SOF3) decode → (array[h, w·ncomp] u16, ncomp),
+    or None when the native library is unavailable or decode fails."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    # upper bound from SOF3 header scan done in C; allocate generously by
+    # parsing dims here (cheap): find FFC3
+    i = data.find(b"\xff\xc3")
+    if i < 0 or i + 8 > len(data):
+        return None
+    h = int.from_bytes(data[i + 5:i + 7], "big")
+    w = int.from_bytes(data[i + 7:i + 9], "big")
+    nc = data[i + 9]
+    out = np.empty(h * w * nc, np.uint16)
+    ow = ctypes.c_int32()
+    oh = ctypes.c_int32()
+    onc = ctypes.c_int32()
+    rc = lib.decode_ljpeg(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), out.size,
+        ctypes.byref(ow), ctypes.byref(oh), ctypes.byref(onc))
+    if rc != 0:
+        return None
+    return out.reshape(oh.value, ow.value * onc.value), onc.value

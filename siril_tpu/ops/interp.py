@@ -348,13 +348,18 @@ def warp_homography_sip(data, H, sip_a, sip_b, crpix,
                           jnp.asarray(np.asarray(crpix, np.float32))))
 
 
-@lru_cache(maxsize=8)
-def _shift_batch_fn(method: int, clamp: bool = False):
+@lru_cache(maxsize=16)
+def _shift_batch_fn(method: int, clamp: bool = False, margin: int = 32):
     """Batched PURE-TRANSLATION warp: integer part by padded slice,
     fractional part by a separable 8-tap (lanczos4) / 4-tap (cubic) /
     2-tap (bilinear) filter applied as statically-shifted weighted sums —
     elementwise VPU work instead of arbitrary gathers, ~100× faster on
-    TPU than the general homography warp."""
+    TPU than the general homography warp.
+
+    ``margin`` (static) bounds |integer shift|: frames pad by
+    margin+A+1 per side instead of a whole image (a full-size pad was
+    24 GiB for 40×4K frames — the caller buckets the real max shift
+    into powers of two to bound recompiles)."""
     import jax
     import jax.numpy as jnp
 
@@ -390,20 +395,19 @@ def _shift_batch_fn(method: int, clamp: bool = False):
         # frames [N,C,H,W]; shifts [N,2] = (dx,dy) frame→ref translation:
         # out(x) = in(x − d)
         N, C, H, W = frames.shape
-        pad = A + 1
+        pad = margin + A + 1
 
         def one(fr, d):
             dx, dy = d[0], d[1]
             sx = -dx
             sy = -dy
-            ix = jnp.floor(sx).astype(jnp.int32)
-            iy = jnp.floor(sy).astype(jnp.int32)
+            ix = jnp.clip(jnp.floor(sx).astype(jnp.int32), -margin, margin)
+            iy = jnp.clip(jnp.floor(sy).astype(jnp.int32), -margin, margin)
             fx = sx - ix
             fy = sy - iy
-            big = jnp.pad(fr, ((0, 0), (H + pad, H + pad),
-                               (W + pad, W + pad)))
+            big = jnp.pad(fr, ((0, 0), (pad, pad), (pad, pad)))
             base = jax.lax.dynamic_slice(
-                big, (0, H + pad + iy - (A - 1), W + pad + ix - (A - 1)),
+                big, (0, pad + iy - (A - 1), pad + ix - (A - 1)),
                 (C, H + 2 * A, W + 2 * A))
             wx = frac_weights(fx)
             wy = frac_weights(fy)
@@ -439,11 +443,38 @@ def _shift_batch_fn(method: int, clamp: bool = False):
 def warp_translation_batch(frames_dev, shifts, method: int = INTERP_LANCZOS4,
                            clamp: bool = False):
     """Device-resident batched pure-translation warp.  ``shifts``:
-    (N, 2) frame→ref (dx, dy)."""
+    (N, 2) frame→ref (dx, dy).
+
+    Frames are processed in bounded chunks: the separable filter holds
+    ~4 intermediate planes per frame, so an unchunked vmap over a 4K
+    sequence peaks at several× the stack size (OOM at 40×16 Mpix)."""
     import jax.numpy as jnp
 
-    run = _shift_batch_fn(int(method), bool(clamp))
-    return run(frames_dev, jnp.asarray(np.asarray(shifts, np.float32)))
+    sh = np.asarray(shifts, np.float32)
+    need = int(np.ceil(np.abs(sh).max())) + 1 if sh.size else 1
+    margin = 32
+    while margin < need:
+        margin *= 2
+    run = _shift_batch_fn(int(method), bool(clamp), margin)
+    n = frames_dev.shape[0]
+    px = int(np.prod(frames_dev.shape[1:]))
+    chunk = max(1, min(n, (256 << 20) // max(px * 4, 1)))   # ~1 GiB working
+    if chunk >= n:
+        return run(frames_dev, jnp.asarray(sh))
+    outs = []
+    shd = jnp.asarray(sh)
+    for s0 in range(0, n, chunk):
+        e = min(s0 + chunk, n)
+        if e - s0 < chunk:     # pad tail so one executable serves all
+            fpad = jnp.concatenate(
+                [frames_dev[s0:e],
+                 frames_dev[e - 1:e].repeat(chunk - (e - s0), axis=0)])
+            spad = jnp.concatenate(
+                [shd[s0:e], shd[e - 1:e].repeat(chunk - (e - s0), axis=0)])
+            outs.append(run(fpad, spad)[: e - s0])
+        else:
+            outs.append(run(frames_dev[s0:e], shd[s0:e]))
+    return jnp.concatenate(outs, axis=0)
 
 
 def translations_from_Hs(Hs, atol: float = 1e-9):

@@ -183,6 +183,34 @@ def make_block_kernel(rtype: int, mode: int, siglow: float, sighigh: float,
 
 
 # ---------------------------------------------------------------------------
+# seam feathering (stacking/blending.c)
+# ---------------------------------------------------------------------------
+
+
+def compute_feather_masks(seq: Sequence, indices: np.ndarray,
+                          feather_dist: int, reglayer: int):
+    """Per-frame distance-ramp blending masks from the coverage edges
+    (blending.c: smoothstep ramp r³(6r²−15r+10) over feather_dist px of
+    distance to the nearest zero/missing pixel).  Returns a list of
+    (H, W) float16 masks in frame-selection order."""
+    from scipy.ndimage import distance_transform_edt
+
+    shifts = _frame_shifts(seq, indices, reglayer)
+    masks = []
+    for k, idx in enumerate(indices):
+        img = seq.read_frame(int(idx)).host()
+        cov = np.any(img > 0.0, axis=0)
+        if shifts is not None:
+            cov = _shift_into(cov.astype(np.float32)[None],
+                              int(shifts[0][k]), int(shifts[1][k]))[0] > 0.5
+        dist = distance_transform_edt(cov)
+        r = np.clip(dist / float(feather_dist), 0.0, 1.0)
+        ramp = r * r * r * (6.0 * r * r - 15.0 * r + 10.0)
+        masks.append(ramp.astype(np.float16))
+    return masks
+
+
+# ---------------------------------------------------------------------------
 # weights (median_and_mean.c:1111-1230)
 # ---------------------------------------------------------------------------
 
@@ -343,6 +371,14 @@ def stack_sequence(seq: Sequence, args: StackArgs,
     if args.method in ("rej", "mean") and args.weighting != NO_WEIGHT:
         weights = compute_weights(seq, indices, args, coeffs)
 
+    # seam feathering (stacking/blending.c): per-frame distance-ramp
+    # masks from the coverage edges, multiplied into the pixel weights
+    feather_masks = None
+    if args.method in ("rej", "mean") and args.feather_dist > 0:
+        feather_masks = compute_feather_masks(seq, indices,
+                                              int(args.feather_dist),
+                                              args.reglayer)
+
     rtype = args.rejection if args.method == "rej" else rj.NO_REJEC
     if args.method == "med":
         rtype = -1                       # median marker
@@ -353,12 +389,13 @@ def stack_sequence(seq: Sequence, args: StackArgs,
         max_outliers = int(np.floor(n * args.siglow))
         critical = rj.gesdt_critical_values(n, args.sighigh, max_outliers)
 
+    with_w = weights is not None or feather_masks is not None
     kernel = None
     if rtype != -1:
         kernel = make_block_kernel(
             rtype, args.normalize if do_norm else NO_NORM,
             float(args.siglow), float(args.sighigh), n, max_outliers,
-            weights is not None, want_maps=args.create_rejmaps)
+            with_w, want_maps=args.create_rejmaps)
 
     result = np.zeros((L, H, W), np.float32)
     rmap_lo = np.zeros((L, H, W), np.uint16) if args.create_rejmaps else None
@@ -406,9 +443,19 @@ def stack_sequence(seq: Sequence, args: StackArgs,
             mean = rj.median_stack(stack_dev)
             rl = rh = jnp.zeros((), jnp.int32)
         else:
-            w_dev = (jnp.asarray(np.broadcast_to(
-                weights[c][:, None], buf.shape).copy())
-                if weights is not None else jnp.zeros((1, 1), jnp.float32))
+            if with_w:
+                wbuf = (np.broadcast_to(weights[c][:, None], buf.shape)
+                        .astype(np.float32).copy()
+                        if weights is not None
+                        else np.ones(buf.shape, np.float32))
+                if feather_masks is not None:
+                    h_blk = y1 - y0
+                    for k in range(n):
+                        fm = feather_masks[k][y0:y1].astype(np.float32)
+                        wbuf[k, :h_blk * W] *= fm.reshape(-1)
+                w_dev = jnp.asarray(wbuf)
+            else:
+                w_dev = jnp.zeros((1, 1), jnp.float32)
             mean, rl, rh = kernel(
                 stack_dev,
                 jnp.asarray(coeffs.scale[c], jnp.float32),

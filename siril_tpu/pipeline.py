@@ -181,6 +181,7 @@ def fused_preprocess_stack(seq: Sequence, args: Optional[FusedArgs] = None
                                                args.clamp)
 
     # ---- 4. on-device estimators + rejection stack -----------------------
+    log_message(f"fused: warp done in {time.perf_counter() - t0:.1f}s")
     sa = args.stack
     do_norm = sa.normalize != NO_NORM
     coeffs = _device_norm_coeffs(frames, n, L, sa, seq, indices) if do_norm \
@@ -333,9 +334,26 @@ def _device_norm_coeffs(frames, n, L, sa: StackArgs, seq, indices
 
     flat = frames.reshape(n, L, -1)
     run = _est_fn(bool(sa.lite_norm))
+    # chunk the frame axis: the IKSS pass materializes several (N, P)
+    # temporaries — unchunked it peaks at ~5× the stack size (OOM at
+    # 40×16 Mpix); estimators are per-frame independent
+    px = flat.shape[-1]
+    chunk = max(1, min(n, (512 << 20) // max(px * 4, 1)))
     with stage("fused.estimators"):
-        packed = jnp.stack([run(flat[:, c]) for c in range(L)])
-        host = np.asarray(packed)                   # [L, 2, N] one fetch
+        cols = []
+        for c in range(L):
+            parts = []
+            for s0 in range(0, n, chunk):
+                e = min(s0 + chunk, n)
+                if e - s0 < chunk:       # pad tail: one executable
+                    sl = jnp.concatenate(
+                        [flat[s0:e, c],
+                         flat[e - 1:e, c].repeat(chunk - (e - s0), axis=0)])
+                    parts.append(run(sl)[:, : e - s0])
+                else:
+                    parts.append(run(flat[s0:e, c]))
+            cols.append(jnp.concatenate(parts, axis=1))
+        host = np.asarray(jnp.stack(cols))          # [L, 2, N] one fetch
     loc = host[:, 0]
     sca = host[:, 1]
     ref_abs = seq.get_reference()

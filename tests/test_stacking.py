@@ -267,3 +267,48 @@ def test_stack_maximize_and_upscale(tmp_path):
     COMMANDS["stack"].fn(ctx2, ["mx_", "rej", "3", "3", "-upscale",
                                 "-out=up2"])
     assert ctx2.image.width == 96 and ctx2.image.height == 80
+
+
+def test_feather_blending_seam(tmp_path, rng):
+    """stacking/blending.c seam feathering: two half-coverage frames with
+    different levels — feathered stack ramps smoothly across the overlap
+    edge instead of jumping (weights = smoothstep distance ramp)."""
+    h, w = 40, 120
+    files = []
+    vals = [0.3, 0.6]
+    for i, v in enumerate(vals):
+        f = np.zeros((h, w), np.float32)
+        if i == 0:
+            f[:, : w * 2 // 3] = v      # left 2/3
+        else:
+            f[:, w // 3:] = v           # right 2/3
+        img = SirilImage(data=f[None])
+        p = tmp_path / f"m_{i:05d}.fit"
+        write_fits(img, p, bitdepth=FLOAT_IMG)
+        files.append(str(p))
+    # no feather: hard content only
+    seq = Sequence.from_files(files, name="m_")
+    r0 = stk.stack_sequence(seq, stk.StackArgs(method="rej",
+                                               rejection=rj.NO_REJEC))
+    # feathered
+    seq2 = Sequence.from_files(files, name="m_")
+    r1 = stk.stack_sequence(seq2, stk.StackArgs(method="rej",
+                                                rejection=rj.NO_REJEC,
+                                                feather_dist=20))
+    out = r1.image.host()[0]
+    row = out[h // 2]
+    # in the overlap the feathered result transitions between the two
+    # levels: near the left coverage edge it should be closer to the
+    # right frame's value and vice versa
+    left_edge = w // 3 + 2       # just inside frame-2 coverage
+    right_edge = w * 2 // 3 - 3  # just inside frame-1 coverage
+    assert row[left_edge] < 0.40         # dominated by frame 1 (0.3)
+    assert row[right_edge] > 0.50        # dominated by frame 2 (0.6)
+    mid = (np.mean(vals))
+    assert abs(row[w // 2] - mid) < 0.05 # balanced at the center
+    # monotone ramp across the overlap (no seam jump)
+    overlap = row[w // 3 + 1: w * 2 // 3 - 1]
+    assert np.all(np.diff(overlap) > -1e-3)
+    # unfeathered: equal-weight mean everywhere in overlap
+    row0 = r0.image.host()[0][h // 2]
+    assert abs(row0[w // 2] - mid) < 1e-5
