@@ -65,7 +65,25 @@ def _candidate_fn(r: int, k: int):
         inb = (yy >= r) & (yy < x.shape[0] - r) & \
             (xx >= r) & (xx < x.shape[1] - r)
         resp = jnp.where(mask & inb, x, -jnp.inf)
-        return lax.top_k(resp.ravel(), k)
+        flat = resp.ravel()
+        # hierarchical top-k: XLA's top_k over a 16 Mpix ravel is a full
+        # sort (~seconds per frame on TPU); local maxima are ≥r apart, so
+        # a per-tile preselect loses nothing and the final top_k runs on
+        # ~0.4% of the pixels
+        p = flat.shape[0]
+        tile = 8192
+        if p > 4 * tile and (p // tile) * min(32, k) >= k:
+            ppad = -(-p // tile) * tile
+            padded = jnp.pad(flat, (0, ppad - p),
+                             constant_values=-jnp.inf).reshape(-1, tile)
+            ksub = min(32, k)
+            sub_v, sub_i = lax.top_k(padded, ksub)     # per tile
+            base = (jnp.arange(padded.shape[0]) * tile)[:, None]
+            cand_v = sub_v.ravel()
+            cand_i = (sub_i + base).ravel()
+            v, j = lax.top_k(cand_v, k)
+            return v, cand_i[j]
+        return lax.top_k(flat, k)
 
     return candidates
 
@@ -213,10 +231,15 @@ def _batch_stats_fn():
 
     @jax.jit
     def run(frames):
+        from siril_tpu.ops.statistics import hist_median_jax
+
         n = frames.shape[0]
         flat = frames.reshape(n, -1)
-        med = jnp.median(flat, axis=1)
-        mad = jnp.median(jnp.abs(flat - med[:, None]), axis=1)
+        # histogram medians: a full-sort median is ~seconds/frame at
+        # 16 Mpix on TPU; the u16-grid histogram is exact and cheap
+        valid = jnp.isfinite(flat)
+        med = hist_median_jax(flat, valid)
+        mad = hist_median_jax(jnp.abs(flat - med[:, None]), valid)
         mx = flat.max(axis=1)
         return jnp.stack([med, 1.4826 * mad, mx])
 
@@ -262,13 +285,17 @@ def detect_stars_batch(frames, params: Optional[StarFinderParams] = None,
         box = 2 * R + 1
     K = int(max_stars)
 
-    stats = np.asarray(_batch_stats_fn()(frames))       # [3, N] one fetch
+    from siril_tpu.utils.trace import stage
+
+    with stage("sf.stats"):
+        stats = np.asarray(_batch_stats_fn()(frames))   # [3, N] one fetch
     bgs, noises, sats = stats[0], np.maximum(stats[1], 1e-7), stats[2]
     thrs = (bgs + p.sigma * noises).astype(np.float32)
 
-    vals, idx = _batch_candidate_fn(R, K)(frames, jnp.asarray(thrs))
-    vals = np.asarray(vals)                             # [N, K] one fetch
-    idx = np.asarray(idx)
+    with stage("sf.candidates"):
+        vals, idx = _batch_candidate_fn(R, K)(frames, jnp.asarray(thrs))
+        vals = np.asarray(vals)                         # [N, K] one fetch
+        idx = np.asarray(idx)
 
     # flatten valid candidates across frames
     fi, ki = np.nonzero(vals > -np.inf)
@@ -278,11 +305,13 @@ def detect_stars_batch(frames, params: Optional[StarFinderParams] = None,
     cx = (idx[fi, ki] % W).astype(np.int32)
     y0s = np.clip(cy - R, 0, H - box).astype(np.int32)
     x0s = np.clip(cx - R, 0, W - box).astype(np.int32)
-    patches = np.asarray(_batch_gather_fn(box)(
-        frames, jnp.asarray(fi.astype(np.int32)), jnp.asarray(y0s),
-        jnp.asarray(x0s)))                              # one fetch
+    with stage("sf.patches"):
+        patches = np.asarray(_batch_gather_fn(box)(
+            frames, jnp.asarray(fi.astype(np.int32)), jnp.asarray(y0s),
+            jnp.asarray(x0s)))                          # one fetch
 
-    fit = fit_psf_batch(patches, profile=p.profile)     # one device call
+    with stage("sf.psf_fit"):
+        fit = fit_psf_batch(patches, profile=p.profile)  # one device call
     stars = stars_from_fit(fit, x0s, y0s, box, p.profile)
 
     # second-chance refit for blended candidates (same rule as the
