@@ -470,7 +470,9 @@ def cmd_convert(ctx, args):
     dest = pos[0]
     out_dir = ctx.path(flags.get("out", ".")) if isinstance(
         flags.get("out"), str) else ctx.cwd
-    exts = FITS_EXT + PIL_EXT + (".ser", ".dng")
+    from siril_tpu.io.films import FILM_EXTENSIONS
+
+    exts = FITS_EXT + PIL_EXT + (".ser", ".dng") + FILM_EXTENSIONS
     outpat = __import__("re").compile(__import__("re").escape(dest) + r"\\d+\\.")
     files = [f for f in globmod.glob(os.path.join(ctx.cwd, "*"))
              if os.path.splitext(f)[1].lower() in exts

@@ -867,3 +867,33 @@ def cmd_fusedstack(ctx, args):
     ctx.set_image(res.image, os.path.basename(p))
     log_message(f"fusedstack: saved {os.path.basename(p)} "
                 f"({res.elapsed_s:.2f}s)")
+
+
+# ===========================================================================
+# sequence export (headless surface of the reference "Export sequence"
+# dialog, io/sequence_export.c; video via OpenCV-ffmpeg)
+# ===========================================================================
+
+@command("seqexport",
+         "seqexport sequencename basename [-format=fits|fitseq|ser|tiff|"
+         "avi|mp4|mp4-h265|webm] [-fps=] [-quality=] [-normalize] "
+         "[-crop=x,y,w,h] [-resize=WxH] [-32b]",
+         min_args=2)
+def cmd_seqexport(ctx, args):
+    from siril_tpu.io.sequence_export import ExportArgs, export_sequence
+
+    pos, flags = parse_flags(args)
+    seq = ctx.load_sequence(pos[0])
+    ea = ExportArgs(basename=pos[1] if pos[1].endswith("_") else pos[1] + "_",
+                    output=str(flags.get("format", "fits")).lower(),
+                    normalize="normalize" in flags,
+                    fps=int(_f(flags.get("fps"), 25) or 25),
+                    quality=int(_f(flags.get("quality"), 3) or 3),
+                    bitdepth=32 if "32b" in flags else 16)
+    if isinstance(flags.get("crop"), str):
+        ea.crop = tuple(int(v) for v in flags["crop"].split(","))
+    if isinstance(flags.get("resize"), str):
+        w, h = flags["resize"].lower().split("x")
+        ea.resample = (int(w), int(h))
+    n = export_sequence(seq, ea, directory=ctx.cwd)
+    log_message(f"seqexport: wrote {n} frames as {ea.output}")

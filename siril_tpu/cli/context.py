@@ -88,6 +88,13 @@ class Session:
         elif os.path.exists(self.path(base + ".ser")) or name.endswith(".ser"):
             p = self.path(base + ".ser" if not name.endswith(".ser") else name)
             seq = Seq.from_ser(p)
+        elif any(os.path.exists(self.path(base + e)) for e in
+                 (".avi", ".mpg", ".mpeg", ".mov", ".mp4", ".webm")):
+            from siril_tpu.io.films import FILM_EXTENSIONS
+
+            p = next(self.path(base + e) for e in FILM_EXTENSIONS
+                     if os.path.exists(self.path(base + e)))
+            seq = Seq.from_film(p)
         else:
             try:
                 seq = Seq.scan(base, self.cwd)

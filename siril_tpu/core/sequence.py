@@ -30,6 +30,7 @@ from siril_tpu.core.image import SirilImage
 SEQ_REGULAR = 0
 SEQ_SER = 1
 SEQ_FITSEQ = 2
+SEQ_AVI = 3          # film (any ffmpeg container, io/films.py)
 SEQ_INTERNAL = 4
 
 # statistic column order for the (L, N, 14) stats cache — matches the
@@ -169,6 +170,26 @@ class Sequence:
         return seq
 
     @staticmethod
+    def from_film(path: str) -> "Sequence":
+        """Film sequence (SEQ_AVI, io/films.c film_struct) — any
+        ffmpeg-decodable container."""
+        from siril_tpu.io.films import FilmReader
+
+        fr = FilmReader(path)
+        name = os.path.splitext(os.path.basename(path))[0]
+        seq = Sequence(name, SEQ_AVI, os.path.dirname(path) or ".")
+        seq._film = fr
+        seq.number = fr.nframes
+        seq.rx, seq.ry = fr.w, fr.h
+        seq.nb_layers = fr.nchans
+        seq.bitpix = 8
+        seq.filenum = np.arange(seq.number, dtype=np.int64)
+        seq.incl = np.ones(seq.number, dtype=bool)
+        seq.date_obs = [None] * seq.number
+        seq.airmass = np.zeros(seq.number)
+        return seq
+
+    @staticmethod
     def scan(basename: str, directory: str = ".") -> "Sequence":
         """Discover files ``basename%05d.ext`` like check_seq
         (io/sequence.c:169)."""
@@ -220,6 +241,8 @@ class Sequence:
             from siril_tpu.io.fits_io import read_fits
 
             img = read_fits(self._fitseq_path, hdu_index=index)
+        elif self.seq_type == SEQ_AVI:
+            img = self._film.read_frame(index)
         else:
             raise ValueError(f"unsupported sequence type {self.seq_type}")
         if self.nb_layers < 0:

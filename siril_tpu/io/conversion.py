@@ -20,7 +20,7 @@ from siril_tpu.utils.log import log_error, log_message
 
 FITS_EXT = (".fit", ".fits", ".fts")
 PIL_EXT = (".tif", ".tiff", ".png", ".jpg", ".jpeg", ".bmp", ".ppm", ".pgm",
-           ".pnm", ".webp")
+           ".pnm", ".webp", ".avif")
 
 
 def load_any(path: str) -> SirilImage:
@@ -83,8 +83,9 @@ def convert_to_sequence(inputs: Seq[str], dest_name: str,
     if dest_name and dest_name[-1] not in "_-0123456789":
         dest_name = dest_name + "_"
 
-    # expand SER/AVI containers into frames
+    # expand SER/AVI/film containers into frames
     expanded: List = []
+    film_readers = {}
     for p in inputs:
         if p.lower().endswith(".ser") and output != "ser":
             from siril_tpu.io.ser import SerFile
@@ -95,21 +96,38 @@ def convert_to_sequence(inputs: Seq[str], dest_name: str,
         elif p.lower().endswith(".avi"):
             from siril_tpu.io.avi import AviReader
 
-            ar = AviReader(p)
-            for i in range(ar.nframes):
+            try:
+                ar = AviReader(p)
+                nf = ar.nframes
+            except ValueError:
+                # compressed AVI: fall through to the ffmpeg film reader
+                from siril_tpu.io.films import FilmReader
+
+                film_readers[p] = FilmReader(p)
+                nf = film_readers[p].nframes
+            for i in range(nf):
                 expanded.append((p, i))
         else:
-            expanded.append((p, None))
+            from siril_tpu.io.films import is_film
+
+            if is_film(p):
+                from siril_tpu.io.films import FilmReader
+
+                film_readers[p] = FilmReader(p)
+                for i in range(film_readers[p].nframes):
+                    expanded.append((p, i))
+            else:
+                expanded.append((p, None))
 
     if output == "ser":
         from siril_tpu.io.ser import SER_MONO, SER_RGB, SerWriter
 
-        first = _read_item(expanded[0], debayer)
+        first = _read_item(expanded[0], debayer, film_readers)
         cid = SER_RGB if first.nchans == 3 else SER_MONO
         out_path = os.path.join(directory, dest_name + ".ser")
         w = SerWriter(out_path, first.width, first.height, cid, 16)
         for item in expanded:
-            w.write_frame(_read_item(item, debayer))
+            w.write_frame(_read_item(item, debayer, film_readers))
         w.close()
         log_message(f"Converted {len(expanded)} frames to {out_path}")
         return Sequence.from_ser(out_path)
@@ -118,12 +136,12 @@ def convert_to_sequence(inputs: Seq[str], dest_name: str,
         from siril_tpu.io.fits_io import FitseqWriter
 
         out_path = os.path.join(directory, dest_name + ".fit")
-        first = _read_item(expanded[0], debayer)
+        first = _read_item(expanded[0], debayer, film_readers)
         from siril_tpu.core.image import FLOAT_IMG, USHORT_IMG
 
         w = FitseqWriter(out_path, bitdepth=first.orig_bitdepth)
         for item in expanded:
-            w.append(_read_item(item, debayer))
+            w.append(_read_item(item, debayer, film_readers))
         w.close()
         log_message(f"Converted {len(expanded)} frames to FITS cube "
                     f"{dest_name}.fit")
@@ -142,7 +160,7 @@ def convert_to_sequence(inputs: Seq[str], dest_name: str,
         else:
             from siril_tpu.io.fits_io import write_fits
 
-            img = _read_item(item, debayer)
+            img = _read_item(item, debayer, film_readers)
             write_fits(img, out)
         files.append(out)
     log_message(f"Converted {len(files)} files to sequence {dest_name}")
@@ -152,10 +170,12 @@ def convert_to_sequence(inputs: Seq[str], dest_name: str,
     return seq
 
 
-def _read_item(item, debayer: bool) -> SirilImage:
+def _read_item(item, debayer: bool, film_readers=None) -> SirilImage:
     src, sub = item
     if sub is not None:
-        if src.lower().endswith(".avi"):
+        if film_readers and src in film_readers:
+            img = film_readers[src].read_frame(sub)
+        elif src.lower().endswith(".avi"):
             from siril_tpu.io.avi import AviReader
 
             img = AviReader(src).read_frame(sub)

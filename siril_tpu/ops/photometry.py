@@ -19,6 +19,7 @@ pass with fixed-size windows around each star.
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
@@ -230,6 +231,27 @@ def light_curve(seq, target_xy: Tuple[float, float],
         f.write("# frame date_obs rel_mag err\n")
         for r in rows:
             f.write(f"{r[0]} {r[1]} {r[2]:.5f} {r[3]:.5f}\n")
+    if rows:
+        # PNG plot companion (the reference renders the curve through
+        # its siril_plot surface, light_curve.c:285 create_JD plots)
+        try:
+            from siril_tpu.utils.dates import date_obs_to_julian
+            from siril_tpu.utils.splot import SirilPlot
+
+            xs = []
+            for r in rows:
+                jd = date_obs_to_julian(r[1]) if r[1] else None
+                xs.append(jd if jd else float(r[0]))
+            plot = SirilPlot(title="Light curve", xlabel="JD",
+                             ylabel="relative magnitude", revertY=True)
+            plot.add_xyerrdata("V-C", xs, [r[2] for r in rows],
+                               [r[3] for r in rows])
+            plot.sort_x()
+            plot.save_png(os.path.splitext(out_path)[0] + ".png")
+        except Exception as e:     # plotting must never fail photometry
+            from siril_tpu.utils.log import log_error
+
+            log_error(f"light curve plot failed: {e}")
     return rows
 
 

@@ -661,3 +661,15 @@ class SirilInterface:
 
         p = path if os.path.isabs(path) else os.path.join(self.ctx.cwd, path)
         return export_avi(self._require_seq(), p, fps)
+
+    def export_sequence_video(self, basename: str, fmt: str = "mp4",
+                              fps: int = 25, quality: int = 3) -> int:
+        """Export the loaded sequence as MP4/WebM/AVI/SER/FITSEQ/TIFF
+        (sequence_export.c headless surface)."""
+        from siril_tpu.io.sequence_export import ExportArgs, export_sequence
+
+        return export_sequence(
+            self._require_seq(),
+            ExportArgs(output=fmt, basename=basename, fps=fps,
+                       quality=quality),
+            directory=self.ctx.cwd)

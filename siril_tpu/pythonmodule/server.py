@@ -450,7 +450,23 @@ def run_python_script(script_path: str, session, args=None,
     with PythonCommandServer(session) as srv:
         env = dict(os.environ)
         env["MY_SOCKET"] = srv.socket_path
+        # bootstrap: run the user script with a ``siril`` wire client
+        # pre-injected (scripts may also ``import sirilpy`` themselves —
+        # the reference package reads the same $MY_SOCKET)
+        repo_root = os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+        boot = (
+            "import sys; sys.path.insert(0, %r)\n"
+            "from siril_tpu.pythonmodule.client import SirilWireClient\n"
+            "siril = SirilWireClient()\n"
+            "import runpy, builtins\n"
+            "builtins.siril = siril\n"
+            "sys.argv = [%r] + sys.argv[1:]\n"
+            "exec(compile(open(%r).read(), %r, 'exec'),"
+            " {'siril': siril, '__name__': '__main__', '__file__': %r})\n"
+            % (repo_root, script_path, script_path, script_path, script_path)
+        )
         proc = subprocess.run(
-            [sys.executable, script_path] + list(args or []),
+            [sys.executable, "-c", boot] + list(args or []),
             env=env, timeout=timeout)
         return proc.returncode
