@@ -349,7 +349,8 @@ def warp_homography_sip(data, H, sip_a, sip_b, crpix,
 
 
 @lru_cache(maxsize=16)
-def _shift_batch_fn(method: int, clamp: bool = False, margin: int = 32):
+def _shift_batch_fn(method: int, clamp: bool = False, margin: int = 32,
+                    donate: bool = False):
     """Batched PURE-TRANSLATION warp: integer part by padded slice,
     fractional part by a separable 8-tap (lanczos4) / 4-tap (cubic) /
     2-tap (bilinear) filter applied as statically-shifted weighted sums —
@@ -390,8 +391,7 @@ def _shift_batch_fn(method: int, clamp: bool = False, margin: int = 32):
             w = jnp.stack([1.0 - t, t])
         return w / jnp.sum(w)
 
-    @jax.jit
-    def run(frames, shifts):
+    def run_impl(frames, shifts):
         # frames [N,C,H,W]; shifts [N,2] = (dx,dy) frame→ref translation:
         # out(x) = in(x − d)
         N, C, H, W = frames.shape
@@ -437,11 +437,15 @@ def _shift_batch_fn(method: int, clamp: bool = False, margin: int = 32):
 
         return jax.vmap(one)(frames, shifts)
 
+    # donate=True lets XLA reuse the input chunk's HBM for the output —
+    # the chunked fused pipeline warps in place instead of doubling the
+    # stack footprint
+    run = jax.jit(run_impl, donate_argnums=(0,) if donate else ())
     return run
 
 
 def warp_translation_batch(frames_dev, shifts, method: int = INTERP_LANCZOS4,
-                           clamp: bool = False):
+                           clamp: bool = False, donate: bool = False):
     """Device-resident batched pure-translation warp.  ``shifts``:
     (N, 2) frame→ref (dx, dy).
 
@@ -455,7 +459,7 @@ def warp_translation_batch(frames_dev, shifts, method: int = INTERP_LANCZOS4,
     margin = 32
     while margin < need:
         margin *= 2
-    run = _shift_batch_fn(int(method), bool(clamp), margin)
+    run = _shift_batch_fn(int(method), bool(clamp), margin, bool(donate))
     n = frames_dev.shape[0]
     px = int(np.prod(frames_dev.shape[1:]))
     chunk = max(1, min(n, (256 << 20) // max(px * 4, 1)))   # ~1 GiB working

@@ -290,25 +290,36 @@ _HIST_BINS = 65536
 
 
 def hist_median_jax(x, valid, bins: int = _HIST_BINS):
-    """Median over the last axis via a 65536-bin histogram — exact for
-    u16-grid data (every value a multiple of 1/65535), the reference's
-    own approach for large n.  Orders of magnitude faster on TPU than a
-    full sort at megapixel row lengths."""
-    import jax
+    """Median over the last axis, exact on the u16 grid (every value a
+    multiple of 1/65535) — same result as the reference's histogram
+    median (sorting.c:577,644).
+
+    TPU-first formulation: bisection on the bin index with a fused
+    count-below reduce per step.  A scatter-add histogram serializes on
+    TPU (~2 s/frame at 16 Mpix) and a full sort is no better; 16
+    compare+sum passes are pure VPU/HBM streaming (~ms/frame), and XLA
+    fuses the compare into the reduction so nothing is materialized."""
     import jax.numpy as jnp
+    from jax import lax
 
-    idx = jnp.clip(jnp.round(x * (bins - 1)).astype(jnp.int32), 0, bins - 1)
+    x = x * np.float32(bins - 1)                 # bin space
+    n = valid.sum(axis=-1)
+    target = ((n + 1) // 2).astype(jnp.int32)    # 1-based rank of median
+    steps = int(np.ceil(np.log2(bins)))
 
-    def one(ii, vv):
-        hist = jnp.zeros(bins, jnp.int32).at[ii].add(
-            vv.astype(jnp.int32))
-        cum = jnp.cumsum(hist)
-        n = cum[-1]
-        target = (n + 1) // 2
-        mbin = jnp.searchsorted(cum, target)
-        return mbin.astype(jnp.float32) / (bins - 1)
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) >> 1
+        # count of values in bins <= mid (round-to-nearest grid)
+        below = (valid & (x < (mid + 0.5)[:, None].astype(jnp.float32)))
+        cnt = below.sum(axis=-1).astype(jnp.int32)
+        ok = cnt >= target
+        return jnp.where(ok, lo, mid + 1), jnp.where(ok, mid, hi)
 
-    return jax.vmap(one)(idx, valid)
+    lo = jnp.zeros(x.shape[:-1], jnp.int32)
+    hi = jnp.full(x.shape[:-1], bins - 1, jnp.int32)
+    lo, hi = lax.fori_loop(0, steps, body, (lo, hi))
+    return lo.astype(jnp.float32) / np.float32(bins - 1)
 
 
 def norm_estimators_hist_jax(frames, lite: bool = False):

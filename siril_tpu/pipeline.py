@@ -24,6 +24,7 @@ Checkpoint parity: pass ``write_intermediate=True`` to also materialize
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 from typing import List, Optional
@@ -86,9 +87,12 @@ def fused_preprocess_stack(seq: Sequence, args: Optional[FusedArgs] = None
     if seq.ry == 0:
         seq.ry, seq.rx = H, W
     total_f32 = n * L * H * W * 4
-    if total_f32 * 2 > _hbm_budget_bytes():
+    # chunked working set: the stack itself + ~2 chunk-sized temporaries
+    # (warp in/out, stream block) — frames are never held twice
+    need = total_f32 + 3 * args.frame_chunk * L * H * W * 4
+    if need > _hbm_budget_bytes():
         raise MemoryError(
-            f"fused pipeline needs ~{2 * total_f32 >> 30} GiB HBM; use the "
+            f"fused pipeline needs ~{need >> 30} GiB HBM; use the "
             "staged calibrate/register/stack commands for this sequence")
 
     # ---- 1. upload + decode + calibrate, in frame chunks -----------------
@@ -98,17 +102,38 @@ def fused_preprocess_stack(seq: Sequence, args: Optional[FusedArgs] = None
     if args.calib is not None:
         with stage("fused.prepare_masters"):
             cal_state = prepare_calibration(args.calib, first)
+    layer = min(args.stack.reglayer, L - 1)
     decoded: List = []
+    detect_parts: List = []
     pool_read = _raw_reader(seq, indices, L, H, W)
+    sync_trace = bool(os.environ.get("SIRIL_TPU_SYNC_TRACE"))
     for start in range(0, n, args.frame_chunk):
         chunk_idx = indices[start:start + args.frame_chunk]
-        raw = pool_read(start, len(chunk_idx))          # np i16 or f32
-        dev = jax.device_put(raw)
+        with stage("fused.read" if sync_trace else "fused.read.async"):
+            raw = pool_read(start, len(chunk_idx))      # np i16 or f32
+        with stage("fused.upload" if sync_trace else "fused.upload.async"):
+            dev = jax.device_put(raw)
+            if sync_trace:
+                dev.block_until_ready()
         xf = _decode_fn()(dev) if raw.dtype == np.int16 else jnp.asarray(dev)
         if cal_state is not None:
             xf = _calibrate_batch(xf, cal_state)
+        if sync_trace:
+            xf.block_until_ready()
         decoded.append(xf)
-    frames = jnp.concatenate(decoded, axis=0)           # [N, L, H, W] f32
+        if args.register and n > 1:
+            # dispatch detection stats+candidates for this chunk now —
+            # async, so it executes while the next chunk DMAs in
+            from siril_tpu.registration.starfinder import chunk_detect
+
+            detect_parts.append(chunk_detect(
+                xf[:, layer], H, W, args.starfinder,
+                max_stars=args.max_stars))
+    # frames stay a LIST of chunk arrays end-to-end: one [N,...] array
+    # plus its warped copy would double the HBM footprint (OOM at
+    # 100×16 Mpix); every later stage operates per chunk or per
+    # pixel-row block
+    frames = decoded
     del decoded
     log_message(f"fused: {n} frames resident "
                 f"({total_f32 >> 20} MiB f32) in "
@@ -116,7 +141,6 @@ def fused_preprocess_stack(seq: Sequence, args: Optional[FusedArgs] = None
 
     # ---- 2. registration (star detect on device slices) ------------------
     Hs = np.tile(np.eye(3), (n, 1, 1))
-    layer = min(args.stack.reglayer, L - 1)
     if args.register and n > 1:
         ref_pos = 0
         ref_abs = seq.get_reference()
@@ -125,22 +149,43 @@ def fused_preprocess_stack(seq: Sequence, args: Optional[FusedArgs] = None
         from siril_tpu.registration.starfinder import detect_stars_batch
 
         with stage("fused.star_detection"):
-            stars_all = detect_stars_batch(frames[:, layer],
+            # stats+candidates were dispatched chunk-by-chunk during
+            # upload; fetch and finish (patch gather + PSF fit)
+            pre = (np.concatenate([np.asarray(p[0]) for p in detect_parts],
+                                  axis=1),
+                   np.concatenate([np.asarray(p[1]) for p in detect_parts]),
+                   np.concatenate([np.asarray(p[2]) for p in detect_parts]))
+            stars_all = detect_stars_batch([c[:, layer] for c in frames],
                                            args.starfinder,
-                                           max_stars=args.max_stars)
+                                           max_stars=args.max_stars,
+                                           precomputed=pre)
         ref_stars = stars_all[ref_pos]
         if len(ref_stars) < args.min_pairs:
             raise RuntimeError("not enough stars on the reference frame")
         reg = seq.reg(layer)
         ok = 0
+        # matching is host-side numpy — run frames concurrently (the
+        # vectorized triangle matcher spends its time in BLAS/numpy which
+        # releases the GIL)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _match(k):
+            if k == ref_pos:
+                return None
+            return match_stars(ref_stars, stars_all[k], ttype=args.ttype,
+                               min_pairs=args.min_pairs)
+
+        with stage("fused.match"), \
+                ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 4)) \
+                as pool:
+            matches = list(pool.map(_match, range(n)))
         for k in range(n):
             if k == ref_pos:
                 reg.H[int(indices[k])] = np.eye(3)
                 reg.valid[int(indices[k])] = True
                 ok += 1
                 continue
-            m = match_stars(ref_stars, stars_all[k], ttype=args.ttype,
-                            min_pairs=args.min_pairs)
+            m = matches[k]
             if m is None:
                 log_error(f"fused: frame {int(indices[k]) + 1} failed to "
                           "match; excluded")
@@ -158,27 +203,43 @@ def fused_preprocess_stack(seq: Sequence, args: Optional[FusedArgs] = None
 
         good = ~np.isnan(Hs[:, 0, 0])
         if not good.all():
-            frames = frames[np.nonzero(good)[0]]
+            kept, base = [], 0
+            for c in frames:
+                m = good[base:base + c.shape[0]]
+                base += c.shape[0]
+                if m.all():
+                    kept.append(c)
+                elif m.any():
+                    kept.append(c[np.nonzero(m)[0]])
+            frames = kept
             Hs = Hs[good]
             indices = indices[good]
             n = len(indices)
         with stage("fused.warp"):
             from siril_tpu.ops.interp import (
                 translations_from_Hs,
+                warp_homography_batch,
                 warp_translation_batch,
             )
 
             shifts = translations_from_Hs(Hs)
-            if shifts is not None:
-                # pure translations: separable shift filter (VPU) instead
-                # of the gather-based homography warp (~100x on TPU)
-                frames = warp_translation_batch(frames, shifts,
-                                                args.interpolation,
-                                                args.clamp)
-            else:
-                frames = warp_homography_batch(frames, Hs, (H, W),
-                                               args.interpolation,
-                                               args.clamp)
+            base = 0
+            for ci, c in enumerate(frames):
+                ni = c.shape[0]
+                if shifts is not None:
+                    # pure translations: separable shift filter (VPU)
+                    # instead of the gather-based homography warp
+                    # (~100x on TPU); donated input — warped chunk
+                    # reuses the decoded chunk's HBM
+                    frames[ci] = warp_translation_batch(
+                        c, shifts[base:base + ni], args.interpolation,
+                        args.clamp, donate=True)
+                else:
+                    frames[ci] = warp_homography_batch(
+                        c, Hs[base:base + ni], (H, W),
+                        args.interpolation, args.clamp)
+                base += ni
+            del c
 
     # ---- 4. on-device estimators + rejection stack -----------------------
     log_message(f"fused: warp done in {time.perf_counter() - t0:.1f}s")
@@ -189,26 +250,41 @@ def fused_preprocess_stack(seq: Sequence, args: Optional[FusedArgs] = None
 
     from siril_tpu.ops.stacking import make_block_kernel, norm_to_0_1_range
 
+    # stream the rejection kernel over pixel-row blocks: each block
+    # gathers the same rows from every chunk into one (n, rows·W) array,
+    # so only the stack itself (chunked) + one block live in HBM
+    rows = max(1, min(H, (256 << 20) // max(n * W * 4, 1)))
+    nblocks = -(-H // rows)
     means = []
     rl_tot = jnp.zeros((), jnp.float32)
     rh_tot = jnp.zeros((), jnp.float32)
-    flat = frames.reshape(n, L, H * W)
     for c in range(L):
         kernel = make_block_kernel(
             sa.rejection if sa.method == "rej" else rj.NO_REJEC,
             sa.normalize if do_norm else NO_NORM,
             float(sa.siglow), float(sa.sighigh), n, 0, False,
             want_maps=False)
-        mean, rl, rh = kernel(
-            flat[:, c],
-            jnp.asarray(coeffs.scale[c], jnp.float32),
-            jnp.asarray(coeffs.offset[c], jnp.float32),
-            jnp.asarray(coeffs.mul[c], jnp.float32),
-            jnp.zeros((1, 1), jnp.float32),
-            jnp.zeros(1, jnp.float32))
-        means.append(mean)
-        rl_tot = rl_tot + rl.astype(jnp.float32)
-        rh_tot = rh_tot + rh.astype(jnp.float32)
+        sc = jnp.asarray(coeffs.scale[c], jnp.float32)
+        off = jnp.asarray(coeffs.offset[c], jnp.float32)
+        mu = jnp.asarray(coeffs.mul[c], jnp.float32)
+        parts = []
+        for b in range(nblocks):
+            y0 = b * rows
+            y1 = min(y0 + rows, H)
+            block = jnp.concatenate(
+                [ch[:, c, y0:y1, :].reshape(ch.shape[0], -1)
+                 for ch in frames], axis=0)
+            # a short tail block compiles its own executable (padding
+            # would push normalized pad pixels through rejection and
+            # pollute the counts); the compile cache amortizes it
+            mean, rl, rh = kernel(
+                block, sc, off, mu,
+                jnp.zeros((1, 1), jnp.float32),
+                jnp.zeros(1, jnp.float32))
+            parts.append(mean)
+            rl_tot = rl_tot + rl.astype(jnp.float32)
+            rh_tot = rh_tot + rh.astype(jnp.float32)
+        means.append(jnp.concatenate(parts))
 
     packed = jnp.concatenate(
         [jnp.stack(means).ravel(), rl_tot[None], rh_tot[None]])
@@ -332,26 +408,21 @@ def _device_norm_coeffs(frames, n, L, sa: StackArgs, seq, indices
 
     from siril_tpu.utils.trace import stage
 
-    flat = frames.reshape(n, L, -1)
+    # frames: a list of [n_i, L, H, W] chunk arrays (fused pipeline) or
+    # one [N, L, H, W] array; estimators are per-frame independent, so
+    # sub-chunk each piece to bound the IKSS temporaries (~5× its input)
+    chunks = list(frames) if isinstance(frames, (list, tuple)) else [frames]
+    px = int(np.prod(chunks[0].shape[2:]))
     run = _est_fn(bool(sa.lite_norm))
-    # chunk the frame axis: the IKSS pass materializes several (N, P)
-    # temporaries — unchunked it peaks at ~5× the stack size (OOM at
-    # 40×16 Mpix); estimators are per-frame independent
-    px = flat.shape[-1]
-    chunk = max(1, min(n, (512 << 20) // max(px * 4, 1)))
+    sub = max(1, (512 << 20) // max(px * 4, 1))
     with stage("fused.estimators"):
         cols = []
         for c in range(L):
             parts = []
-            for s0 in range(0, n, chunk):
-                e = min(s0 + chunk, n)
-                if e - s0 < chunk:       # pad tail: one executable
-                    sl = jnp.concatenate(
-                        [flat[s0:e, c],
-                         flat[e - 1:e, c].repeat(chunk - (e - s0), axis=0)])
-                    parts.append(run(sl)[:, : e - s0])
-                else:
-                    parts.append(run(flat[s0:e, c]))
+            for ch in chunks:
+                flat = ch[:, c].reshape(ch.shape[0], -1)
+                for s0 in range(0, flat.shape[0], sub):
+                    parts.append(run(flat[s0:s0 + sub]))
             cols.append(jnp.concatenate(parts, axis=1))
         host = np.asarray(jnp.stack(cols))          # [L, 2, N] one fetch
     loc = host[:, 0]

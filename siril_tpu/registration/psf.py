@@ -89,9 +89,17 @@ def fit_psf_batch(patches: np.ndarray, profile: int = PROFILE_GAUSSIAN,
     # is expensive to compile and each batch size is a fresh program
     K2 = 1 << max(int(np.ceil(np.log2(max(K, 1)))), 8)
     if K2 != K:
-        pad = np.zeros((K2 - K, S, S), patches.dtype)
-        pad[:, S // 2, S // 2] = 1.0        # fitable dummy patches
-        patches = np.concatenate([patches, pad])
+        if isinstance(patches, np.ndarray):
+            pad = np.zeros((K2 - K, S, S), patches.dtype)
+            pad[:, S // 2, S // 2] = 1.0    # fitable dummy patches
+            patches = np.concatenate([patches, pad])
+        else:
+            # device-resident input (fetching patches through a slow
+            # device→host link costs more than the whole fit): pad on
+            # device, never round-trip the pixels
+            pad = jnp.zeros((K2 - K, S, S), patches.dtype
+                            ).at[:, S // 2, S // 2].set(1.0)
+            patches = jnp.concatenate([patches, pad])
     moffat = profile in (PROFILE_MOFFAT, PROFILE_MOFFAT_FIXED)
     free_beta = profile == PROFILE_MOFFAT
     beta_fixed = None if free_beta else (fixed_beta if moffat else None)

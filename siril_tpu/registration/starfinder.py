@@ -57,8 +57,12 @@ def _candidate_fn(r: int, k: int):
 
     @jax.jit
     def candidates(x, thr):
+        # max pooling is separable: two 1-D windows are (4r+2) ops/pixel
+        # vs (2r+1)² for the 2-D window — ~10× fewer at r=10
         mp = lax.reduce_window(x, -jnp.inf, lax.max,
-                               (2 * r + 1, 2 * r + 1), (1, 1), "SAME")
+                               (2 * r + 1, 1), (1, 1), "SAME")
+        mp = lax.reduce_window(mp, -jnp.inf, lax.max,
+                               (1, 2 * r + 1), (1, 1), "SAME")
         mask = (x >= mp) & (x > thr)
         yy = lax.broadcasted_iota(jnp.int32, x.shape, 0)
         xx = lax.broadcasted_iota(jnp.int32, x.shape, 1)
@@ -139,8 +143,7 @@ def detect_stars(layer: np.ndarray, params: Optional[StarFinderParams] = None,
 
     y0s = np.clip(cy - R, 0, H - box).astype(np.int32)
     x0s = np.clip(cx - R, 0, W - box).astype(np.int32)
-    patches = np.asarray(_gather_fn(box)(x, jnp.asarray(y0s),
-                                         jnp.asarray(x0s)))
+    patches = _gather_fn(box)(x, jnp.asarray(y0s), jnp.asarray(x0s))
 
     fit = fit_psf_batch(patches, profile=p.profile)
     stars = stars_from_fit(fit, x0s, y0s, box, p.profile)
@@ -157,7 +160,8 @@ def detect_stars(layer: np.ndarray, params: Optional[StarFinderParams] = None,
             half = box // 2
             small = (half // 2) * 2 + 1          # odd, ≈ half the box
             off = (box - small) // 2
-            sub = patches[retry][:, off:off + small, off:off + small]
+            sub = patches[np.asarray(retry)][:, off:off + small,
+                           off:off + small]
             fit2 = fit_psf_batch(sub, profile=p.profile)
             stars2 = stars_from_fit(fit2, x0s[retry] + off, y0s[retry] + off,
                                     small, p.profile)
@@ -218,8 +222,11 @@ def _batch_candidate_fn(r: int, k: int):
 
     @jax.jit
     def run(frames, thrs):
-        # per-frame detection stats on device: median + MAD noise
-        return jax.vmap(single)(frames, thrs)
+        # lax.map, not vmap: vmap materializes N full-frame intermediates
+        # (maxpool, mask, padded tiles ≈ 4×N×H×W bytes — OOM at 40×16 Mpix
+        # on top of the resident stack); the sequential map keeps one
+        # frame's worth live and a 16 Mpix frame already fills the chip
+        return lax.map(lambda a: single(a[0], a[1]), (frames, thrs))
 
     return run
 
@@ -233,10 +240,12 @@ def _batch_stats_fn():
     def run(frames):
         from siril_tpu.ops.statistics import hist_median_jax
 
+        # batched bisection medians (statistics.py hist_median_jax):
+        # exact on the u16 grid, nothing but fused compare+reduce passes
+        # — a full-sort median is ~seconds/frame at 16 Mpix on TPU, and a
+        # per-frame lax.map pays ~10 ms dispatch per bisect step
         n = frames.shape[0]
         flat = frames.reshape(n, -1)
-        # histogram medians: a full-sort median is ~seconds/frame at
-        # 16 Mpix on TPU; the u16-grid histogram is exact and cheap
         valid = jnp.isfinite(flat)
         med = hist_median_jax(flat, valid)
         mad = hist_median_jax(jnp.abs(flat - med[:, None]), valid)
@@ -262,13 +271,67 @@ def _batch_gather_fn(b: int):
     return run
 
 
+def detection_radius(H: int, W: int,
+                     params: Optional[StarFinderParams] = None) -> int:
+    """The candidate-search radius used for an (H, W) layer."""
+    p = params or StarFinderParams()
+    R = int(p.radius)
+    box = 2 * R + 1
+    if H < 4 * box or W < 4 * box:
+        R = max(min(H, W) // 8, 3)
+    return R
+
+
+@lru_cache(maxsize=8)
+def _stats_cand_fn(r: int, k: int, sigma: float):
+    """One fused device program per frame-chunk: detection stats +
+    threshold + candidate top-k, no host sync — lets the fused pipeline
+    issue detection for chunk i while chunk i+1 is still DMA-ing in."""
+    import jax
+    import jax.numpy as jnp
+
+    cand = _candidate_fn(r, k)
+
+    @jax.jit
+    def run(frames):
+        from siril_tpu.ops.statistics import hist_median_jax
+
+        n = frames.shape[0]
+        flat = frames.reshape(n, -1)
+        valid = jnp.isfinite(flat)
+        med = hist_median_jax(flat, valid)
+        mad = hist_median_jax(jnp.abs(flat - med[:, None]), valid)
+        mx = flat.max(axis=1)
+        stats = jnp.stack([med, 1.4826 * mad, mx])
+        thrs = med + np.float32(sigma) * jnp.maximum(1.4826 * mad, 1e-7)
+        from jax import lax
+
+        vals, idx = lax.map(lambda a: cand(a[0], a[1]),
+                            (frames, thrs.astype(jnp.float32)))
+        return stats, vals, idx
+
+    return run
+
+
+def chunk_detect(frames_chunk, H: int, W: int,
+                 params: Optional[StarFinderParams] = None,
+                 max_stars: int = 500):
+    """Async per-chunk stats+candidates (device arrays, not fetched)."""
+    p = params or StarFinderParams()
+    R = detection_radius(H, W, p)
+    return _stats_cand_fn(R, int(max_stars), float(p.sigma))(frames_chunk)
+
+
 def detect_stars_batch(frames, params: Optional[StarFinderParams] = None,
-                       max_stars: int = 500) -> List[List[PSFStar]]:
+                       max_stars: int = 500,
+                       precomputed=None) -> List[List[PSFStar]]:
     """Batched peaker over N frames in a handful of device calls — used
     by the fused pipeline where per-frame round-trips through the axon
     tunnel (~30 ms latency each) dominate per-frame detection.
 
-    ``frames``: (N, H, W) array (device-resident or host).  Detection
+    ``frames``: (N, H, W) array (device-resident or host), or a LIST of
+    (n_i, H, W) chunk arrays (requires ``precomputed``; the fused
+    pipeline keeps its stack chunked to stay at 1× HBM).  Detection
     noise uses the device MAD estimate (≈ bgnoise on sky-dominated
     frames) instead of the host k-sigma estimator of the single-frame
     path.  Returns one star list per frame.
@@ -276,8 +339,18 @@ def detect_stars_batch(frames, params: Optional[StarFinderParams] = None,
     import jax.numpy as jnp
 
     p = params or StarFinderParams()
-    frames = jnp.asarray(frames, jnp.float32)
-    N, H, W = frames.shape
+    if isinstance(frames, (list, tuple)):
+        if precomputed is None:
+            raise ValueError("chunked frames require precomputed "
+                             "stats/candidates (chunk_detect)")
+        chunks = list(frames)
+        frames = None
+        N = sum(int(c.shape[0]) for c in chunks)
+        H, W = (int(d) for d in chunks[0].shape[-2:])
+    else:
+        chunks = None
+        frames = jnp.asarray(frames, jnp.float32)
+        N, H, W = frames.shape
     R = int(p.radius)
     box = 2 * R + 1
     if H < 4 * box or W < 4 * box:
@@ -287,15 +360,22 @@ def detect_stars_batch(frames, params: Optional[StarFinderParams] = None,
 
     from siril_tpu.utils.trace import stage
 
-    with stage("sf.stats"):
-        stats = np.asarray(_batch_stats_fn()(frames))   # [3, N] one fetch
-    bgs, noises, sats = stats[0], np.maximum(stats[1], 1e-7), stats[2]
-    thrs = (bgs + p.sigma * noises).astype(np.float32)
-
-    with stage("sf.candidates"):
-        vals, idx = _batch_candidate_fn(R, K)(frames, jnp.asarray(thrs))
-        vals = np.asarray(vals)                         # [N, K] one fetch
+    if precomputed is not None:
+        stats, vals, idx = precomputed
+        stats = np.asarray(stats)
+        vals = np.asarray(vals)
         idx = np.asarray(idx)
+        bgs, noises, sats = stats[0], np.maximum(stats[1], 1e-7), stats[2]
+    else:
+        with stage("sf.stats"):
+            stats = np.asarray(_batch_stats_fn()(frames))  # [3, N] one fetch
+        bgs, noises, sats = stats[0], np.maximum(stats[1], 1e-7), stats[2]
+        thrs = (bgs + p.sigma * noises).astype(np.float32)
+
+        with stage("sf.candidates"):
+            vals, idx = _batch_candidate_fn(R, K)(frames, jnp.asarray(thrs))
+            vals = np.asarray(vals)                     # [N, K] one fetch
+            idx = np.asarray(idx)
 
     # flatten valid candidates across frames
     fi, ki = np.nonzero(vals > -np.inf)
@@ -306,9 +386,25 @@ def detect_stars_batch(frames, params: Optional[StarFinderParams] = None,
     y0s = np.clip(cy - R, 0, H - box).astype(np.int32)
     x0s = np.clip(cx - R, 0, W - box).astype(np.int32)
     with stage("sf.patches"):
-        patches = np.asarray(_batch_gather_fn(box)(
-            frames, jnp.asarray(fi.astype(np.int32)), jnp.asarray(y0s),
-            jnp.asarray(x0s)))                          # one fetch
+        # keep the patch stack on device — fit_psf_batch consumes it
+        # there, and the tunnel's device→host path is ~50× slower than
+        # upload, so a ~30 MB fetch would dominate detection
+        if chunks is not None:
+            # fi ascends (np.nonzero row-major), so per-chunk gathers
+            # concatenate back in candidate order
+            parts, base = [], 0
+            for ch in chunks:
+                m = (fi >= base) & (fi < base + ch.shape[0])
+                if m.any():
+                    parts.append(_batch_gather_fn(box)(
+                        ch, jnp.asarray((fi[m] - base).astype(np.int32)),
+                        jnp.asarray(y0s[m]), jnp.asarray(x0s[m])))
+                base += ch.shape[0]
+            patches = jnp.concatenate(parts, axis=0)
+        else:
+            patches = _batch_gather_fn(box)(
+                frames, jnp.asarray(fi.astype(np.int32)),
+                jnp.asarray(y0s), jnp.asarray(x0s))
 
     with stage("sf.psf_fit"):
         fit = fit_psf_batch(patches, profile=p.profile)  # one device call
@@ -324,7 +420,8 @@ def detect_stars_batch(frames, params: Optional[StarFinderParams] = None,
             half = box // 2
             small = (half // 2) * 2 + 1
             off = (box - small) // 2
-            sub = patches[retry][:, off:off + small, off:off + small]
+            sub = patches[np.asarray(retry)][:, off:off + small,
+                           off:off + small]
             fit2 = fit_psf_batch(sub, profile=p.profile)
             stars2 = stars_from_fit(fit2, x0s[retry] + off,
                                     y0s[retry] + off, small, p.profile)
