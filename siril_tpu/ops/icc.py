@@ -164,17 +164,23 @@ def _profile_transforms(img: SirilImage, spec: str):
         enc = (lambda x: t.encode(x)) if t else (lambda x: x)
         return dec, enc, None, prof.description
 
+    def _chan_trc(c, nchans):
+        # mono data under an RGB profile uses the r-curve (luminance
+        # proxy, same behavior class as the reference's gray fallback)
+        ch = "rgb"[c] if nchans >= 3 else "r"
+        return trcs.get(ch) or trcs.get("k")
+
     def dec(x):
         out = np.empty_like(x)
-        for c, ch in enumerate("rgb"):
-            t = trcs.get(ch)
+        for c in range(x.shape[0]):
+            t = _chan_trc(c, x.shape[0])
             out[c] = t.decode(x[c]) if t else x[c]
         return out
 
     def enc(x):
         out = np.empty_like(x)
-        for c, ch in enumerate("rgb"):
-            t = trcs.get(ch)
+        for c in range(x.shape[0]):
+            t = _chan_trc(c, x.shape[0])
             out[c] = t.encode(x[c]) if t else x[c]
         return out
 
@@ -190,8 +196,11 @@ def convert_to_profile(img: SirilImage, dest: str) -> SirilImage:
     _, enc_dst, m_dst, dst_name = _profile_transforms(img, dest)
     data = img.host().astype(np.float64)
     lin = dec_src(data)
+    # atol covers s15f16 colorant quantization + the Bradford D50↔D65
+    # round trip of parsed profiles: same-primary profiles must compare
+    # equal or a near-identity matrix pass injects ~5e-4 of error
     if img.nchans == 3 and m_src is not None and m_dst is not None and \
-            not np.allclose(m_src, m_dst):
+            not np.allclose(m_src, m_dst, atol=5e-4):
         flat = lin.reshape(3, -1)
         xyz = m_src @ flat
         lin = np.linalg.solve(m_dst, xyz).reshape(lin.shape)

@@ -87,10 +87,37 @@ class Trc:
         raise ValueError(f"parametric curve type {t}")
 
     def encode(self, y: np.ndarray) -> np.ndarray:
-        """Linear → encoded (numerical inverse for table/para)."""
+        """Linear → encoded (analytic inverse for gamma/parametric,
+        numerical inverse for sampled tables)."""
         y = np.clip(y, 0.0, 1.0)
         if self.kind == "gamma":
             return y ** (1.0 / self.gamma)
+        if self.kind == "para":
+            g = self.para + (0.0,) * 7
+            t = self.para_type
+            ginv = 1.0 / g[0]
+            if t == 0:
+                return y ** ginv
+            if t == 1:
+                a, b = g[1], g[2]
+                return (np.maximum(y, 0.0) ** ginv - b) / a
+            if t == 2:
+                a, b, c = g[1], g[2], g[3]
+                return (np.maximum(y - c, 0.0) ** ginv - b) / a
+            if t == 3:          # sRGB-style: inverse of the two branches
+                a, b, c, d = g[1], g[2], g[3], g[4]
+                thr = np.maximum(a * d + b, 0.0) ** g[0]
+                return np.where(
+                    y >= thr,
+                    (np.maximum(y, 0.0) ** ginv - b) / a,
+                    y / max(c, 1e-12))
+            if t == 4:
+                a, b, c, d, e, f = g[1], g[2], g[3], g[4], g[5], g[6]
+                thr = np.maximum(a * d + b, 0.0) ** g[0] + e
+                return np.where(
+                    y >= thr,
+                    (np.maximum(y - e, 0.0) ** ginv - b) / a,
+                    (y - f) / max(c, 1e-12))
         xs = np.linspace(0.0, 1.0, 4096)
         ys = self.decode(xs)
         order = np.argsort(ys)

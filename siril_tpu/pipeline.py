@@ -107,10 +107,26 @@ def fused_preprocess_stack(seq: Sequence, args: Optional[FusedArgs] = None
     detect_parts: List = []
     pool_read = _raw_reader(seq, indices, L, H, W)
     sync_trace = bool(os.environ.get("SIRIL_TPU_SYNC_TRACE"))
-    for start in range(0, n, args.frame_chunk):
+    # read-ahead double buffering: decode chunk k+1 on a worker thread
+    # while chunk k uploads/computes
+    from concurrent.futures import ThreadPoolExecutor
+
+    starts = list(range(0, n, args.frame_chunk))
+    ahead = ThreadPoolExecutor(max_workers=2)
+
+    def _count(s):
+        return len(indices[s:s + args.frame_chunk])
+
+    # depth-2 prefetch (~2 chunks of host RAM): disk streams at
+    # ~180 MB/s here, so a single-chunk lookahead still stalls the loop
+    pending = [ahead.submit(pool_read, s, _count(s)) for s in starts[:2]]
+    for si, start in enumerate(starts):
         chunk_idx = indices[start:start + args.frame_chunk]
         with stage("fused.read" if sync_trace else "fused.read.async"):
-            raw = pool_read(start, len(chunk_idx))      # np i16 or f32
+            raw = pending.pop(0).result()               # np i16 or f32
+            if si + 2 < len(starts):
+                s2 = starts[si + 2]
+                pending.append(ahead.submit(pool_read, s2, _count(s2)))
         with stage("fused.upload" if sync_trace else "fused.upload.async"):
             dev = jax.device_put(raw)
             if sync_trace:
@@ -129,6 +145,7 @@ def fused_preprocess_stack(seq: Sequence, args: Optional[FusedArgs] = None
             detect_parts.append(chunk_detect(
                 xf[:, layer], H, W, args.starfinder,
                 max_stars=args.max_stars))
+    ahead.shutdown(wait=False)
     # frames stay a LIST of chunk arrays end-to-end: one [N,...] array
     # plus its warped copy would double the HBM footprint (OOM at
     # 100×16 Mpix); every later stage operates per chunk or per

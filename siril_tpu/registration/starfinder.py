@@ -361,10 +361,11 @@ def detect_stars_batch(frames, params: Optional[StarFinderParams] = None,
     from siril_tpu.utils.trace import stage
 
     if precomputed is not None:
-        stats, vals, idx = precomputed
-        stats = np.asarray(stats)
-        vals = np.asarray(vals)
-        idx = np.asarray(idx)
+        with stage("sf.fetch_pre"):
+            stats, vals, idx = precomputed
+            stats = np.asarray(stats)
+            vals = np.asarray(vals)
+            idx = np.asarray(idx)
         bgs, noises, sats = stats[0], np.maximum(stats[1], 1e-7), stats[2]
     else:
         with stage("sf.stats"):
@@ -408,7 +409,8 @@ def detect_stars_batch(frames, params: Optional[StarFinderParams] = None,
 
     with stage("sf.psf_fit"):
         fit = fit_psf_batch(patches, profile=p.profile)  # one device call
-    stars = stars_from_fit(fit, x0s, y0s, box, p.profile)
+    with stage("sf.mkstars"):
+        stars = stars_from_fit(fit, x0s, y0s, box, p.profile)
 
     # second-chance refit for blended candidates (same rule as the
     # single-frame path): one extra batched fit on smaller crops
@@ -417,26 +419,28 @@ def detect_stars_batch(frames, params: Optional[StarFinderParams] = None,
                  if np.isfinite(s.fwhmx) and
                  (s.roundness < p.roundness or s.fwhmx > box / 2)]
         if retry:
-            half = box // 2
-            small = (half // 2) * 2 + 1
-            off = (box - small) // 2
-            sub = patches[np.asarray(retry)][:, off:off + small,
-                           off:off + small]
-            fit2 = fit_psf_batch(sub, profile=p.profile)
-            stars2 = stars_from_fit(fit2, x0s[retry] + off,
-                                    y0s[retry] + off, small, p.profile)
-            for k, i in enumerate(retry):
-                s2 = stars2[k]
-                if s2.roundness > stars[i].roundness and \
-                        0.5 < s2.fwhmx <= small:
-                    stars[i] = s2
+            with stage("sf.retry"):
+                half = box // 2
+                small = (half // 2) * 2 + 1
+                off = (box - small) // 2
+                sub = patches[np.asarray(retry)][:, off:off + small,
+                               off:off + small]
+                fit2 = fit_psf_batch(sub, profile=p.profile)
+                stars2 = stars_from_fit(fit2, x0s[retry] + off,
+                                        y0s[retry] + off, small, p.profile)
+                for k, i in enumerate(retry):
+                    s2 = stars2[k]
+                    if s2.roundness > stars[i].roundness and \
+                            0.5 < s2.fwhmx <= small:
+                        stars[i] = s2
 
-    out: List[List[PSFStar]] = []
-    for f in range(N):
-        sel = np.nonzero(fi == f)[0]
-        out.append(_filter_and_dedup(
-            [stars[i] for i in sel], x0s[sel], y0s[sel], R, box, p,
-            float(noises[f]), float(sats[f])))
+    with stage("sf.dedup"):
+        out: List[List[PSFStar]] = []
+        for f in range(N):
+            sel = np.nonzero(fi == f)[0]
+            out.append(_filter_and_dedup(
+                [stars[i] for i in sel], x0s[sel], y0s[sel], R, box, p,
+                float(noises[f]), float(sats[f])))
     return out
 
 

@@ -117,3 +117,24 @@ def test_seqexport_command(tmp_path):
     assert process_command_line(
         ctx, "seqexport light_ clip -format=mp4 -fps=12") == 0
     assert os.path.getsize(os.path.join(d, "clip.mp4")) > 100
+
+
+def test_convert_expands_film(tmp_path):
+    """convert picks up film containers and expands them into FITS
+    frames (conversion.c film path)."""
+    d = str(tmp_path)
+    _make_fits_seq(d, n=5)
+    from siril_tpu.cli.context import Session
+    from siril_tpu.cli.parser import process_command_line
+
+    ctx = Session(cwd=d)
+    assert process_command_line(ctx, "seqexport light_ vid -format=mp4") == 0
+    # remove the FITS so convert only sees the film
+    for i in range(5):
+        os.remove(os.path.join(d, f"light_{i:05d}.fit"))
+    assert process_command_line(ctx, "convert cfr") == 0
+    from siril_tpu.io.fits_io import read_fits
+
+    assert os.path.exists(os.path.join(d, "cfr_00001.fit"))
+    img = read_fits(os.path.join(d, "cfr_00001.fit"))
+    assert img.data.shape[-2:] == (48, 64)

@@ -103,3 +103,19 @@ def test_icc_assign_command(tmp_path):
     rc = process_command_line(ctx, "icc_assign x.icc")
     assert rc == 0
     assert ctx.image.icc_profile is not None
+
+
+def test_mono_image_with_rgb_profile_roundtrip():
+    """A mono image assigned an RGB profile converts without error
+    (r-curve used as the gray fallback)."""
+    import numpy as np
+
+    from siril_tpu.core.image import SirilImage
+    from siril_tpu.ops.icc import assign_profile, convert_to_profile
+
+    rng = np.random.default_rng(1)
+    img = SirilImage(data=rng.random((1, 8, 8)).astype(np.float32))
+    a = assign_profile(img, "srgb")
+    lin = convert_to_profile(a, "srgblinear")
+    back = convert_to_profile(lin, "srgb")
+    np.testing.assert_allclose(back.host(), a.host(), atol=2e-4)

@@ -84,3 +84,45 @@ def test_fusedstack_command(tmp_path):
     COMMANDS["fusedstack"].fn(ctx, ["fl_", "rej", "3", "3", "-out=final"])
     assert os.path.exists(tmp_path / "final.fit")
     assert ctx.image is not None
+
+
+def test_fused_multichunk_matches_single_chunk(tmp_path):
+    """The chunk-list path (frames kept as a list, per-chunk warp with
+    donation, row-block streamed stack) must equal the one-chunk path."""
+    rng = np.random.default_rng(9)
+    shifts = [(0, 0), (3, 1), (-2, 4), (5, -3), (1, 2), (-4, -1), (2, 3)]
+    seq, base = make_seq(tmp_path, rng, shifts)
+    sa = StackArgs(method="rej", rejection=rj.WINSORIZED,
+                   normalize=ADDITIVE_SCALING)
+    sf = StarFinderParams(radius=6)
+    res1 = fused_preprocess_stack(
+        seq, FusedArgs(stack=sa, starfinder=sf, frame_chunk=64))
+    seq2 = Sequence.scan("fl_", str(tmp_path))
+    res2 = fused_preprocess_stack(
+        seq2, FusedArgs(stack=sa, starfinder=sf, frame_chunk=3))
+    a = res1.image.host()
+    b = res2.image.host()
+    np.testing.assert_allclose(a, b, atol=1e-5)
+    assert res1.total_rejected == res2.total_rejected
+
+
+def test_fused_multichunk_excludes_bad_frame(tmp_path):
+    """A frame that cannot match (pure noise) is excluded even when it
+    sits inside a middle chunk."""
+    rng = np.random.default_rng(11)
+    shifts = [(0, 0), (2, 1), (-1, 3), (4, -2), (1, 1)]
+    seq, base = make_seq(tmp_path, rng, shifts)
+    # overwrite frame 2 with a flat starless field (no candidates)
+    img = SirilImage(data=np.full((1, 160, 192), 0.05, np.float32))
+    write_fits(img, str(tmp_path / "fl_00002.fit"), bitdepth=16)
+    seq = Sequence.scan("fl_", str(tmp_path))
+    res = fused_preprocess_stack(
+        seq, FusedArgs(stack=StackArgs(method="rej",
+                                       rejection=rj.WINSORIZED,
+                                       normalize=ADDITIVE_SCALING),
+                       starfinder=StarFinderParams(radius=6),
+                       frame_chunk=2))
+    assert not seq.incl[2]
+    out = res.image.host()[0]
+    interior = np.s_[20:-20, 20:-20]
+    assert np.abs(out[interior] - base[interior]).mean() < 0.01
