@@ -195,9 +195,5 @@ def _write_frame(writer, args: ExportArgs, img: SirilImage, k: int,
 
 
 def _close_writer(writer, args: ExportArgs) -> None:
-    if writer is None:
-        return
-    if args.output in (EXPORT_MP4, EXPORT_MP4_H265, EXPORT_WEBM_VP9):
-        writer.close()
-    else:
+    if writer is not None:
         writer.close()
