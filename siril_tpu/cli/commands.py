@@ -305,7 +305,14 @@ def cmd_capabilities(ctx, args):
 
     log_message("Formats: FITS (r/w, RICE/GZIP tile compression), "
                 "SER (r/w), FITSEQ (r/w), XISF (r/w), AVI (r/w), PIC (r), "
-                "TIFF/PNG/JPEG/BMP/PNM via PIL")
+                "DNG (r), TIFF/PNG/JPEG/BMP/PNM/WebP/AVIF via PIL")
+    try:
+        import cv2  # noqa: F401
+
+        log_message("Film: import AVI/MPG/MPEG/MOV/MP4/WebM (ffmpeg); "
+                    "export MP4/WebM (seqexport)")
+    except ImportError:
+        log_message("Film: AVI only (OpenCV-ffmpeg unavailable)")
     log_message(f"Native I/O kernels: "
                 f"{'available' if native.available() else 'python fallback'}")
     log_message(f"Commands: {len({c.name for c in COMMANDS.values()})}")

@@ -857,7 +857,10 @@ def cmd_fusedstack(ctx, args):
                    register="noreg" not in flags)
     if flags.get("transf") == "homography":
         fa.ttype = HOMOGRAPHY_TRANSFORMATION
-    res = fused_preprocess_stack(seq, fa)
+    try:
+        res = fused_preprocess_stack(seq, fa)
+    except MemoryError as e:
+        raise CommandError(str(e))
     name = flags.get("out") if isinstance(flags.get("out"), str) \
         else seq.name + "fused"
     p = ctx.path(name)

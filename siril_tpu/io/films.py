@@ -63,23 +63,32 @@ class FilmReader:
         self.nframes = int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT))
         self._pos = 0
         self._lock = threading.Lock()
-        # probe first frame for channel count (mono films decode as 3
+        # probe several frames for channel count (mono films decode as 3
         # identical planes; keep them mono like the reference's
-        # get_film_layer logic)
+        # get_film_layer logic).  One frame is not enough: a color film
+        # fading in from black would be locked to mono
         ok, f0 = self._cap.read()
         if not ok:
             raise ValueError(f"cannot decode first frame of {path}")
         self._pos = 1
-        self.nchans = 1 if self._is_gray(f0) else 3
+        gray = self._is_gray(f0)
         if self.nframes <= 0:
             # some containers don't index; count by walking once
-            n = 1
+            n = self._pos
             while self._cap.grab():
                 n += 1
             self.nframes = n
-            self._seek(0)
-            self._pos = 0
-        self._first = f0
+        if gray and self.nframes > 1:
+            # sample across the film, not just the start
+            for k in (self.nframes // 4, self.nframes // 2,
+                      (3 * self.nframes) // 4):
+                self._seek(max(k, 1))
+                ok, f = self._cap.read()
+                if ok and not self._is_gray(f):
+                    gray = False
+                    break
+        self.nchans = 1 if gray else 3
+        self._seek(0)
 
     @staticmethod
     def _is_gray(bgr: np.ndarray) -> bool:

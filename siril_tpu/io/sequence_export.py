@@ -53,8 +53,11 @@ class ExportArgs:
 
 
 def _shift_only(H: np.ndarray) -> bool:
-    """test_regdata_is_valid_and_shift: rotation/scale parts ≈ identity."""
-    return bool(np.allclose(H[:, :2, :2], np.eye(2), atol=1e-3))
+    """test_regdata_is_valid_and_shift: rotation/scale ≈ identity AND no
+    projective terms (a perspective warp is not a shift even when its
+    affine block is near-identity)."""
+    return bool(np.allclose(H[:, :2, :2], np.eye(2), atol=1e-3) and
+                np.allclose(H[:, 2, :2], 0.0, atol=1e-7))
 
 
 def export_sequence(seq: Sequence, args: ExportArgs,
@@ -90,7 +93,12 @@ def export_sequence(seq: Sequence, args: ExportArgs,
     crop = args.crop
     if crop:
         cx, cy, cw, ch = crop
+        if not (0 <= cx < W and 0 <= cy < H):
+            raise ValueError(f"crop origin ({cx},{cy}) outside "
+                             f"{W}x{H} image")
         cw, ch = min(cw, W - cx), min(ch, H - cy)
+        if cw <= 0 or ch <= 0:
+            raise ValueError("crop rectangle is empty")
         crop = (cx, cy, cw, ch)
     out_w = crop[2] if crop else W
     out_h = crop[3] if crop else H

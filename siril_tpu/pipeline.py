@@ -16,7 +16,9 @@ in HBM across stages:
 For BASELINE's north-star config (calibrate+register+sigma-stack of
 N×16MP lights) this moves N×2 bytes/px over the wire instead of
 N×(4+4+4+4) for the staged path, and writes nothing intermediate.
-Frames that do not fit the HBM budget fall back to the staged commands.
+Sequences that exceed the HBM budget raise MemoryError; the fusedstack
+command surfaces it as a clean error telling the user to run the staged
+calibrate/register/stack commands instead.
 
 Checkpoint parity: pass ``write_intermediate=True`` to also materialize
 ``pp_``/``r_`` sequences like the reference (slower, resumable).

@@ -115,8 +115,9 @@ class SirilWireClient:
                 c, h, w).copy()
         finally:
             shm.close()
-            self._request(_proto.CMD_RELEASE_SHM,
-                          data[:-256] + name.encode().ljust(256, b"\0"))
+            # the name is the struct's trailing 256 bytes — echo the
+            # descriptor back verbatim
+            self._request(_proto.CMD_RELEASE_SHM, data)
         return arr
 
     def set_image_pixeldata(self, arr: np.ndarray) -> None:
@@ -137,8 +138,11 @@ class SirilWireClient:
             shm.close()
         desc = struct.pack("!IIIIQ", w, h, c, 1, arr.nbytes) + \
             name.encode().ljust(256, b"\0")
-        status, data = self._request(_proto.CMD_SET_PIXELDATA, desc)
-        self._check(status, data)
+        status, sdata = self._request(_proto.CMD_SET_PIXELDATA, desc)
+        self._check(status, sdata)
+        # unlink the server-side segment — without this every call leaks
+        # one image-sized /dev/shm block until server shutdown
+        self._request(_proto.CMD_RELEASE_SHM, data)
 
     # ------------------------------------------------------------------
     def get_selection(self):

@@ -68,21 +68,27 @@ class SirilPlot:
 
     # ------------------------------------------------------------------
     def save_dat(self, path: str) -> None:
-        """siril_plot_save_dat: columns x, then y (err) per series."""
+        """siril_plot_save_dat: per-series x y [err] column groups —
+        series may have different lengths and x grids, so each carries
+        its own x column (short series pad with 'nan')."""
         with open(path, "w") as f:
-            hdr = ["x"] + [s.label or f"series{i}"
-                           for i, s in enumerate(self.series)]
-            f.write("# " + " ".join(h.replace(" ", "_") for h in hdr) + "\n")
-            n = max(len(s.x) for s in self.series)
+            hdr = []
+            for i, s in enumerate(self.series):
+                lab = (s.label or f"series{i}").replace(" ", "_")
+                hdr += [f"x_{lab}", f"y_{lab}"]
+                if s.errp is not None:
+                    hdr.append(f"err_{lab}")
+            f.write("# " + " ".join(hdr) + "\n")
+            n = max((len(s.x) for s in self.series), default=0)
             for i in range(n):
                 row = []
-                for k, s in enumerate(self.series):
+                for s in self.series:
                     if i < len(s.x):
-                        if k == 0:
-                            row.append(f"{s.x[i]:.8g}")
-                        row.append(f"{s.y[i]:.8g}")
+                        row += [f"{s.x[i]:.8g}", f"{s.y[i]:.8g}"]
                         if s.errp is not None:
                             row.append(f"{s.errp[i]:.8g}")
+                    else:
+                        row += ["nan"] * (3 if s.errp is not None else 2)
                 f.write(" ".join(row) + "\n")
 
     def save_png(self, path: str, width: int = 800, height: int = 600

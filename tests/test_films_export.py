@@ -138,3 +138,26 @@ def test_convert_expands_film(tmp_path):
     assert os.path.exists(os.path.join(d, "cfr_00001.fit"))
     img = read_fits(os.path.join(d, "cfr_00001.fit"))
     assert img.data.shape[-2:] == (48, 64)
+
+
+def test_color_film_with_black_lead_in(tmp_path):
+    """A color film whose first frames are black must still import as
+    color (channel probe samples across the film)."""
+    path = str(tmp_path / "fade.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 48))
+    for i in range(4):
+        w.write(np.zeros((48, 64, 3), np.uint8))         # black lead-in
+    for i in range(8):
+        f = np.zeros((48, 64, 3), np.uint8)
+        f[..., 2] = 200                                   # red (BGR)
+        w.write(f)
+    w.release()
+
+    from siril_tpu.io.films import FilmReader
+
+    fr = FilmReader(path)
+    assert fr.nchans == 3
+    img = fr.read_frame(8)
+    assert img.data.shape[0] == 3
+    assert img.data[0].mean() > 0.5 > img.data[2].mean()  # red, not blue
+    fr.close()

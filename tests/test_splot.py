@@ -30,7 +30,7 @@ def test_png_and_dat(tmp_path):
     lines = open(dat).read().splitlines()
     assert lines[0].startswith("#")
     assert len(lines) == 31
-    assert len(lines[1].split()) == 4        # x, y, err, y2
+    assert len(lines[1].split()) == 5        # x1, y1, err1, x2, y2
 
 
 def test_empty_series_png(tmp_path):

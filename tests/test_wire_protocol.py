@@ -167,3 +167,21 @@ s.disconnect()
     before = ctx.image.host().copy()
     process_command_line(ctx, "pyscript wire_script.py")
     np.testing.assert_allclose(ctx.image.host(), before * 0.5, atol=1e-6)
+
+
+def test_client_releases_shm(server, tmp_path):
+    """set/get_image_pixeldata must not leak server-side SHM segments
+    (one image-sized /dev/shm block per call otherwise)."""
+    import numpy as np
+
+    from siril_tpu.core.image import SirilImage
+    from siril_tpu.pythonmodule.client import SirilWireClient
+
+    srv, ctx = server
+    ctx.set_image(SirilImage(data=np.full((1, 8, 8), 0.25, np.float32)))
+    cl = SirilWireClient(srv.socket_path)
+    for _ in range(3):
+        px = cl.get_image_pixeldata()
+        cl.set_image_pixeldata(px * 0.5)
+    cl.close()
+    assert len(srv._shm) == 0, f"leaked segments: {list(srv._shm)}"
