@@ -1042,7 +1042,7 @@ def _drizzle_out_sequence(ctx, seq, reglayer, prefix, flags):
         acc = DrizzleAccumulator(out_shape, da)
         acc.add_frame(seq.read_frame(int(i)), reg.H[int(i)],
                       weight_plane=wplane)
-        out_img, _ = acc.finalize()
+        out_img, _ = acc.finalize(want_weight=False)
         pth = ctx.path(f"{prefix}{seq.name}{int(seq.filenum[i]):05d}.fit")
         write_fits(out_img, pth, bitdepth=FLOAT_IMG)
         outs.append(pth)

@@ -234,11 +234,13 @@ def warp_homography(data, H, out_shape: Tuple[int, int],
     """
     import jax.numpy as jnp
 
+    from siril_tpu.utils.fetch import fetch_np
+
     Hinv = np.linalg.inv(np.asarray(H, np.float64))
     run = _warp_fn(int(out_shape[0]), int(out_shape[1]), int(method),
                    bool(clamp))
-    return np.asarray(run(jnp.asarray(data, jnp.float32),
-                          jnp.asarray(Hinv, jnp.float32)))
+    return fetch_np(run(jnp.asarray(data, jnp.float32),
+                        jnp.asarray(Hinv, jnp.float32)))
 
 
 def _dilate3(mask):

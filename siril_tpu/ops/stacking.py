@@ -729,7 +729,9 @@ def _resident_stack(seq: Sequence, args: StackArgs,
     packed = jnp.concatenate(
         [jnp.stack(means).ravel(), rl_tot[None], rh_tot[None]])
     with stage("stack.kernel+fetch"):
-        host = np.asarray(packed)
+        from siril_tpu.utils.fetch import fetch_np
+
+        host = fetch_np(packed)
     result = host[:L * H * W].reshape(L, H, W).astype(np.float32)
     tot_rej = (int(host[-2]), int(host[-1]))
     seq.close_readers()

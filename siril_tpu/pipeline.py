@@ -308,7 +308,9 @@ def fused_preprocess_stack(seq: Sequence, args: Optional[FusedArgs] = None
     packed = jnp.concatenate(
         [jnp.stack(means).ravel(), rl_tot[None], rh_tot[None]])
     with stage("fused.stack+fetch"):
-        host = np.asarray(packed)                        # the ONE fetch
+        from siril_tpu.utils.fetch import fetch_np
+
+        host = fetch_np(packed)                          # the ONE fetch
     result = host[:L * H * W].reshape(L, H, W).astype(np.float32)
     tot = (int(host[-2]), int(host[-1]))
     if sa.output_norm:

@@ -418,6 +418,11 @@ def detect_stars_batch(frames, params: Optional[StarFinderParams] = None,
         retry = [i for i, s in enumerate(stars)
                  if np.isfinite(s.fwhmx) and
                  (s.roundness < p.roundness or s.fwhmx > box / 2)]
+        if len(retry) > 4096:
+            # pathological inputs (e.g. raw CFA mosaics) flag nearly every
+            # candidate; refit only the brightest — beyond that the refit
+            # outcosts the whole detection pass
+            retry = sorted(retry, key=lambda i: -stars[i].A)[:4096]
         if retry:
             with stage("sf.retry"):
                 half = box // 2
