@@ -11,6 +11,7 @@ from typing import Tuple
 
 import numpy as np
 
+from siril_tpu.utils.fetch import fetch_np
 from siril_tpu.core.image import SirilImage
 
 
@@ -165,7 +166,7 @@ def scnr(img: SirilImage, scnr_type: str = "avgneutral",
     else:
         out = jnp.stack([r, g2, b])
     out = jnp.clip(out, 0.0, 1.0)
-    res = img.copy(data=np.asarray(img.apply_mask_blend(out)))
+    res = img.copy(data=fetch_np(img.apply_mask_blend(out)))
     res.log_history(f"SCNR ({scnr_type})")
     return res
 
@@ -194,7 +195,7 @@ def saturation(img: SirilImage, amount: float, background_factor: float = 0.0,
     s2 = jnp.where(apply, jnp.clip(s * (1.0 + amount), 0.0, 1.0), s)
     r, g, b = hsl_to_rgb(h, s2, l)
     out = jnp.clip(jnp.stack([r, g, b]), 0.0, 1.0)
-    res = img.copy(data=np.asarray(img.apply_mask_blend(out)))
+    res = img.copy(data=fetch_np(img.apply_mask_blend(out)))
     res.log_history(f"Saturation enhancement ({amount:+.2f})")
     return res
 
@@ -203,7 +204,7 @@ def negative(img: SirilImage) -> SirilImage:
     """`neg` command."""
     jnp = _jnp()
     out = 1.0 - img.device()
-    res = img.copy(data=np.asarray(img.apply_mask_blend(out)))
+    res = img.copy(data=fetch_np(img.apply_mask_blend(out)))
     res.log_history("Negative transformation")
     return res
 
@@ -220,7 +221,7 @@ def apply_ccm(img: SirilImage, matrix, gamma: float = 1.0) -> SirilImage:
     if gamma != 1.0:
         out = jnp.power(jnp.clip(out, 0.0, 1.0), 1.0 / gamma)
     out = jnp.clip(out, 0.0, 1.0)
-    res = img.copy(data=np.asarray(img.apply_mask_blend(out)))
+    res = img.copy(data=fetch_np(img.apply_mask_blend(out)))
     res.log_history("Color conversion matrix applied")
     return res
 

@@ -18,6 +18,7 @@ from typing import Optional, Tuple
 import numpy as np
 
 from siril_tpu.core.image import SirilImage
+from siril_tpu.utils.fetch import fetch_np
 
 
 def _jnp():
@@ -57,7 +58,7 @@ def gaussian_blur_chw(data, sigma: float):
 
 def gauss(img: SirilImage, sigma: float) -> SirilImage:
     out = gaussian_blur_chw(img.device(), sigma)
-    res = img.copy(data=np.asarray(img.apply_mask_blend(out)))
+    res = img.copy(data=fetch_np(img.apply_mask_blend(out)))
     res.log_history(f"Gaussian filter (sigma={sigma:.2f})")
     return res
 
@@ -69,7 +70,7 @@ def unsharp(img: SirilImage, sigma: float, amount: float) -> SirilImage:
     d = img.device()
     g = gaussian_blur_chw(d, sigma)
     out = jnp.clip(amount * d + (1.0 - amount) * g, 0.0, 1.0)
-    res = img.copy(data=np.asarray(img.apply_mask_blend(out)))
+    res = img.copy(data=fetch_np(img.apply_mask_blend(out)))
     res.log_history(f"Unsharp (sigma={sigma:.2f}, amount={amount:.2f})")
     return res
 
@@ -100,7 +101,7 @@ def median_filter(img: SirilImage, ksize: int = 3, modulation: float = 1.0,
     out = d
     for _ in range(max(iterations, 1)):
         out = one_pass(out)
-    res = img.copy(data=np.asarray(img.apply_mask_blend(out)))
+    res = img.copy(data=fetch_np(img.apply_mask_blend(out)))
     res.log_history(f"Median filter ({ksize}x{ksize}, mod={modulation:.2f})")
     return res
 
@@ -225,7 +226,7 @@ def bilateral(img: SirilImage, d: float = 5.0, sigma_col: float = 0.1,
             den = den + w
     out = num / jnp.maximum(den, 1e-9)
     out = mod * out + (1.0 - mod) * x
-    res = img.copy(data=np.asarray(img.apply_mask_blend(out)))
+    res = img.copy(data=fetch_np(img.apply_mask_blend(out)))
     res.log_history("Bilateral filter")
     return res
 
@@ -261,7 +262,7 @@ def guided_filter(img: SirilImage, radius: int = 8, eps: float = 1e-3,
     b = mean_x - a * mean_g
     out = _box(a, radius) * g + _box(b, radius)
     out = mod * out + (1.0 - mod) * x
-    res = img.copy(data=np.asarray(img.apply_mask_blend(
+    res = img.copy(data=fetch_np(img.apply_mask_blend(
         jnp.clip(out, 0.0, 1.0))))
     res.log_history("Guided filter")
     return res
@@ -403,7 +404,7 @@ def unpurple(img: SirilImage, blue_threshold: float = 0.2,
         fringe = fringe & jnp.asarray(star_mask, bool)
     b2 = jnp.where(fringe, g + (b - g) * (1.0 - strength), b)
     out = jnp.stack([r, g, b2])
-    res = img.copy(data=np.asarray(img.apply_mask_blend(out)))
+    res = img.copy(data=fetch_np(img.apply_mask_blend(out)))
     res.log_history("Unpurple")
     return res
 
@@ -420,7 +421,7 @@ def ddp(img: SirilImage, level: float, coef: float, sigma: float) -> SirilImage:
     d = img.device()
     blur = gaussian_blur_chw(d, sigma) if sigma > 0 else d
     out = jnp.clip(coef * d / (blur + level), 0.0, 1.0)
-    res = img.copy(data=np.asarray(img.apply_mask_blend(out)))
+    res = img.copy(data=fetch_np(img.apply_mask_blend(out)))
     res.log_history(f"DDP (level={level:.4f}, coef={coef:.2f})")
     return res
 

@@ -647,27 +647,36 @@ def _resident_stack(seq: Sequence, args: StackArgs,
     L, H, W = seq.nb_layers, seq.ry, seq.rx
     if _frame_shifts(seq, indices, args.reglayer) is not None:
         return None
-    if n * L * H * W * 2 > _resident_budget_bytes():
-        return None
     try:
         readers = [seq.open_reader(int(i)) for i in indices]
     except (ValueError, OSError):
         return None
+    is_u16 = all(r.hdu.bitpix == 16 and r.hdu.bzero == 32768.0
+                 and r.hdu.bscale == 1.0 for r in readers)
+    is_f32 = all(r.hdu.bitpix == -32 and r.hdu.bscale == 1.0
+                 and not r.hdu.bzero for r in readers)
+    # f32 sources (drizzled/processed sequences) ride the same path:
+    # uploads are cheap (~1.7 GB/s) — it is the block-streaming disk
+    # passes and per-block fetches that were costing minutes
+    if not (is_u16 or is_f32):
+        return None
     for r in readers:
-        if (r.hdu.bitpix != 16 or r.hdu.bzero != 32768.0
-                or r.hdu.bscale != 1.0 or r.nchans != L
-                or r.height != H or r.width != W):
+        if r.nchans != L or r.height != H or r.width != W:
             return None
+    px_bytes = 2 if is_u16 else 4
+    if n * L * H * W * px_bytes > _resident_budget_bytes():
+        return None
 
-    # host: gather native-endian i16 [n, L, H·W] (top-down)
-    raw = np.empty((n, L, H * W), np.int16)
+    # host: gather native-endian raw [n, L, H·W] (top-down)
+    raw = np.empty((n, L, H * W), np.int16 if is_u16 else np.float32)
     pool = cf.ThreadPoolExecutor(max_workers=8)
 
     def one(k):
         r = readers[k]
         mm = r._mm
         a = mm[:, ::-1, :] if r.bottom_up else mm
-        raw[k] = np.ascontiguousarray(a).astype("<i2").reshape(L, H * W)
+        dt = "<i2" if is_u16 else "<f4"
+        raw[k] = np.ascontiguousarray(a).astype(dt).reshape(L, H * W)
 
     from siril_tpu.utils.trace import stage
 
@@ -704,7 +713,8 @@ def _resident_stack(seq: Sequence, args: StackArgs,
     for c in range(L):
         x16 = dev[:, c]
         if rtype == -1:
-            xf = (x16.astype(jnp.float32) + 32768.0) * (1.0 / 65535.0)
+            xf = x16 if x16.dtype == jnp.float32 else \
+                (x16.astype(jnp.float32) + 32768.0) * (1.0 / 65535.0)
             mean = rj.median_stack(xf)
             rl = rh = jnp.zeros((), jnp.int32)
         else:
@@ -754,7 +764,8 @@ def _resident_est_fn(lite: bool):
 
     @jax.jit
     def run(x16):
-        xf = (x16.astype(jnp.float32) + 32768.0) * (1.0 / 65535.0)
+        xf = x16 if x16.dtype == jnp.float32 else \
+            (x16.astype(jnp.float32) + 32768.0) * (1.0 / 65535.0)
         est = norm_estimators_hist_jax(xf, lite=lite)
         return jnp.stack([est["median"], est["mad"],
                           est["location"], est["scale"]])

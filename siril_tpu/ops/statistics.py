@@ -290,36 +290,42 @@ _HIST_BINS = 65536
 
 
 def hist_median_jax(x, valid, bins: int = _HIST_BINS):
-    """Median over the last axis, exact on the u16 grid (every value a
-    multiple of 1/65535) — same result as the reference's histogram
-    median (sorting.c:577,644).
+    """Median over the last axis (the lower-median sample, the same
+    order statistic as the reference's histogram median for large n,
+    sorting.c:577,644) — exact to f32 for ANY value grid, u16 or
+    continuous (drizzled/processed sequences).
 
-    TPU-first formulation: bisection on the bin index with a fused
+    TPU-first formulation: value-space bisection with a fused
     count-below reduce per step.  A scatter-add histogram serializes on
-    TPU (~2 s/frame at 16 Mpix) and a full sort is no better; 16
+    TPU (~2 s/frame at 16 Mpix) and a full sort is no better; 32
     compare+sum passes are pure VPU/HBM streaming (~ms/frame), and XLA
     fuses the compare into the reduction so nothing is materialized."""
     import jax.numpy as jnp
     from jax import lax
 
-    x = x * np.float32(bins - 1)                 # bin space
     n = valid.sum(axis=-1)
-    target = ((n + 1) // 2).astype(jnp.int32)    # 1-based rank of median
-    steps = int(np.ceil(np.log2(bins)))
+    big = jnp.float32(3.4e38)
+    top = jnp.max(jnp.where(valid, x, -big), axis=-1)
+    bot = jnp.min(jnp.where(valid, x, big), axis=-1) - jnp.float32(1e-7)
 
-    def body(_, lohi):
-        lo, hi = lohi
-        mid = (lo + hi) >> 1
-        # count of values in bins <= mid (round-to-nearest grid)
-        below = (valid & (x < (mid + 0.5)[:, None].astype(jnp.float32)))
-        cnt = below.sum(axis=-1).astype(jnp.int32)
-        ok = cnt >= target
-        return jnp.where(ok, lo, mid + 1), jnp.where(ok, mid, hi)
+    def rank_value(target):
+        # invariant: count(≤hi) ≥ target, count(≤lo) < target; 32 f32
+        # bisections pin hi to the exact sample value
+        def body(_, lohi):
+            lo, hi = lohi
+            mid = 0.5 * (lo + hi)
+            cnt = (valid & (x <= mid[:, None])).sum(axis=-1
+                                                    ).astype(jnp.int32)
+            ok = cnt >= target
+            return jnp.where(ok, lo, mid), jnp.where(ok, mid, hi)
 
-    lo = jnp.zeros(x.shape[:-1], jnp.int32)
-    hi = jnp.full(x.shape[:-1], bins - 1, jnp.int32)
-    lo, hi = lax.fori_loop(0, steps, body, (lo, hi))
-    return lo.astype(jnp.float32) / np.float32(bins - 1)
+        _, hi = lax.fori_loop(0, 32, body, (bot, top))
+        return hi
+
+    v_lo = rank_value(((n + 1) // 2).astype(jnp.int32))
+    v_hi = rank_value((n // 2 + 1).astype(jnp.int32))
+    # average the middle pair for even n (masked_median_jax semantics)
+    return jnp.where((n % 2 == 0) & (n > 0), 0.5 * (v_lo + v_hi), v_lo)
 
 
 def norm_estimators_hist_jax(frames, lite: bool = False):

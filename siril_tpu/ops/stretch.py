@@ -18,6 +18,7 @@ from typing import Optional
 
 import numpy as np
 
+from siril_tpu.utils.fetch import fetch_np
 from siril_tpu.core.image import SirilImage
 
 # ---------------------------------------------------------------------------
@@ -141,7 +142,7 @@ def apply_mtf(img: SirilImage, params, linked: bool = True) -> SirilImage:
         chans = [mtf(data[c], params[c].midtones, params[c].shadows,
                      params[c].highlights) for c in range(data.shape[0])]
         out = jnp.stack(chans)
-    res = img.copy(data=np.asarray(img.apply_mask_blend(out)))
+    res = img.copy(data=fetch_np(img.apply_mask_blend(out)))
     res.log_history("MTF stretch")
     return res
 
@@ -480,7 +481,7 @@ def apply_ght(img: SirilImage, p: GHTParams) -> SirilImage:
         out = jnp.stack([r, g, b])
     else:
         out = jnp.clip(ght(data, p, c), 0.0, 1.0)
-    res = img.copy(data=np.asarray(img.apply_mask_blend(out)))
+    res = img.copy(data=fetch_np(img.apply_mask_blend(out)))
     res.log_history(f"GHT (D={p.D:.2f} B={p.B:.2f})")
     return res
 
@@ -521,7 +522,7 @@ def asinh_stretch(img: SirilImage, beta: float, offset: float = 0.0,
                       jnp.arcsinh(beta * x) / (jnp.where(x == 0, 1.0, x) * ab)
                       if beta != 0 else 1.0)
         out = jnp.clip(prime * k[None], 0.0, 1.0)
-    res = img.copy(data=np.asarray(img.apply_mask_blend(out)))
+    res = img.copy(data=fetch_np(img.apply_mask_blend(out)))
     res.log_history(f"Asinh Transformation: (stretch={beta:6.1f}, bp={offset:7.5f})")
     return res
 
@@ -565,6 +566,6 @@ def apply_curve(img: SirilImage, points, algo: str = "spline",
         do = channels[ci] if ci < len(channels) else True
         chans.append(f(data[ci]) if do else data[ci])
     out = jnp.clip(jnp.stack(chans), 0.0, 1.0)
-    res = img.copy(data=np.asarray(img.apply_mask_blend(out)))
+    res = img.copy(data=fetch_np(img.apply_mask_blend(out)))
     res.log_history("Curves transform")
     return res

@@ -15,6 +15,7 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
+from siril_tpu.utils.fetch import fetch_np
 from siril_tpu.core.image import SirilImage
 
 WAVELET_LINEAR = 1      # kernel 1/4 1/2 1/4
@@ -157,6 +158,6 @@ def wavelet_denoise(img: SirilImage, nb_layers: int = 4,
     if use_vst:
         out = anscombe_inverse_exact(out)
     out = jnp.clip(out, 0.0, 1.0)
-    res = img.copy(data=np.asarray(img.apply_mask_blend(out)))
+    res = img.copy(data=fetch_np(img.apply_mask_blend(out)))
     res.log_history(f"Wavelet denoise ({mode}, {nb_layers} layers)")
     return res

@@ -4,9 +4,9 @@ materializing a prefixed sequence on disk: preprocess.c, global.c,
 stacking.c).
 
 The reference materializes because files ARE its checkpoint system.  On
-TPU the dominant costs are host↔device transfers (the axon tunnel moves
-~45 MB/s) and disk I/O, so this pipeline keeps the whole stack resident
-in HBM across stages:
+TPU the dominant costs are device→host fetches (the axon tunnel is
+asymmetric: uploads ~1.7 GB/s, fetches 1–30 MB/s) and disk I/O, so this
+pipeline keeps the whole stack resident in HBM across stages:
 
   raw u16 upload (once) → device decode → fused calibrate kernel →
   batched star detection → [host: triangle match + RANSAC, tiny] →

@@ -312,3 +312,36 @@ def test_feather_blending_seam(tmp_path, rng):
     # unfeathered: equal-weight mean everywhere in overlap
     row0 = r0.image.host()[0][h // 2]
     assert abs(row0[w // 2] - mid) < 1e-5
+
+
+def test_resident_path_f32_sources(tmp_path, monkeypatch):
+    """FLOAT FITS sequences (drizzled/processed) ride the resident
+    single-upload path and match the streaming path."""
+    import os
+
+    import numpy as np
+
+    from siril_tpu.core.image import SirilImage
+    from siril_tpu.core.sequence import Sequence
+    from siril_tpu.io.fits_io import write_fits
+    from siril_tpu.ops import rejection as rj
+    from siril_tpu.ops.normalization import ADDITIVE_SCALING
+    from siril_tpu.ops.stacking import StackArgs, stack_sequence
+
+    rng = np.random.default_rng(2)
+    base = np.clip(0.3 + rng.normal(0, 0.01, (32, 40)), 0, 1)
+    for i in range(8):
+        f = np.clip(base + rng.normal(0, 0.01, base.shape), 0, 1)
+        write_fits(SirilImage(data=f.astype(np.float32)[None]),
+                   str(tmp_path / f"fl_{i:05d}.fit"), bitdepth=-32)
+    args = StackArgs(method="rej", rejection=rj.WINSORIZED,
+                     normalize=ADDITIVE_SCALING)
+
+    seq = Sequence.scan("fl_", str(tmp_path))
+    res_resident = stack_sequence(seq, args)
+
+    monkeypatch.setenv("SIRIL_TPU_RESIDENT_BUDGET", "1")   # force stream
+    seq2 = Sequence.scan("fl_", str(tmp_path))
+    res_stream = stack_sequence(seq2, args)
+    np.testing.assert_allclose(res_resident.image.host(),
+                               res_stream.image.host(), atol=1e-5)
