@@ -324,8 +324,10 @@ def hist_median_jax(x, valid, bins: int = _HIST_BINS):
 
     v_lo = rank_value(((n + 1) // 2).astype(jnp.int32))
     v_hi = rank_value((n // 2 + 1).astype(jnp.int32))
-    # average the middle pair for even n (masked_median_jax semantics)
-    return jnp.where((n % 2 == 0) & (n > 0), 0.5 * (v_lo + v_hi), v_lo)
+    # average the middle pair for even n (masked_median_jax semantics);
+    # rows with no valid samples (dead frames) report 0.0, not ±inf
+    med = jnp.where(n % 2 == 0, 0.5 * (v_lo + v_hi), v_lo)
+    return jnp.where(n > 0, med, 0.0)
 
 
 def norm_estimators_hist_jax(frames, lite: bool = False):

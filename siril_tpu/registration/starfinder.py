@@ -71,22 +71,34 @@ def _candidate_fn(r: int, k: int):
         resp = jnp.where(mask & inb, x, -jnp.inf)
         flat = resp.ravel()
         # hierarchical top-k: XLA's top_k over a 16 Mpix ravel is a full
-        # sort (~seconds per frame on TPU); local maxima are ≥r apart, so
-        # a per-tile preselect loses nothing and the final top_k runs on
-        # ~0.4% of the pixels
-        p = flat.shape[0]
-        tile = 8192
-        if p > 4 * tile and (p // tile) * min(32, k) >= k:
-            ppad = -(-p // tile) * tile
-            padded = jnp.pad(flat, (0, ppad - p),
-                             constant_values=-jnp.inf).reshape(-1, tile)
-            ksub = min(32, k)
-            sub_v, sub_i = lax.top_k(padded, ksub)     # per tile
-            base = (jnp.arange(padded.shape[0]) * tile)[:, None]
-            cand_v = sub_v.ravel()
-            cand_i = (sub_i + base).ravel()
+        # sort (~seconds per frame on TPU).  Preselect per 2-D tile:
+        # candidates are local maxima of a (2r+1)² window, so two can be
+        # no closer than r+1 px — a (bh, bw) tile holds at most
+        # ceil(bh/(r+1))·ceil(bw/(r+1)) of them, and keeping that many
+        # per tile is LOSSLESS (a 1-D ravel tile had no such bound and
+        # silently dropped stars in dense fields)
+        Himg, Wimg = x.shape
+        bh, bw = 64, 128
+        ksub = (-(-bh // (r + 1))) * (-(-bw // (r + 1)))
+        ntiles = (-(-Himg // bh)) * (-(-Wimg // bw))
+        if Himg * Wimg >= 1 << 22 and ksub < bh * bw and \
+                ntiles * ksub >= k:
+            hp = -(-Himg // bh) * bh
+            wp = -(-Wimg // bw) * bw
+            padded = jnp.pad(resp, ((0, hp - Himg), (0, wp - Wimg)),
+                             constant_values=-jnp.inf)
+            nby, nbx = hp // bh, wp // bw
+            blocks = padded.reshape(nby, bh, nbx, bw).transpose(
+                0, 2, 1, 3).reshape(nby * nbx, bh * bw)
+            sub_v, sub_i = lax.top_k(blocks, ksub)     # per tile
+            bi = jnp.arange(nby * nbx)[:, None]
+            by = (bi // nbx) * bh + sub_i // bw
+            bx = (bi % nbx) * bw + sub_i % bw
+            cand_v = jnp.where((by < Himg) & (bx < Wimg),
+                               sub_v, -jnp.inf).ravel()
+            cand_i = (by * Wimg + bx).ravel()
             v, j = lax.top_k(cand_v, k)
-            return v, cand_i[j]
+            return v, jnp.clip(cand_i[j], 0, Himg * Wimg - 1)
         return lax.top_k(flat, k)
 
     return candidates
@@ -117,11 +129,8 @@ def detect_stars(layer: np.ndarray, params: Optional[StarFinderParams] = None,
     p = params or StarFinderParams()
     K = int(max_stars or p.max_stars)
     H, W = layer.shape
-    R = int(p.radius)
+    R = detection_radius(H, W, p)
     box = 2 * R + 1
-    if H < 4 * box or W < 4 * box:
-        R = max(min(H, W) // 8, 3)
-        box = 2 * R + 1
 
     if bg is None or noise is None:
         from siril_tpu.ops.statistics import STATS_BASIC, compute_stats_np
@@ -351,11 +360,10 @@ def detect_stars_batch(frames, params: Optional[StarFinderParams] = None,
         chunks = None
         frames = jnp.asarray(frames, jnp.float32)
         N, H, W = frames.shape
-    R = int(p.radius)
+    # the SAME radius rule as chunk_detect — precomputed candidate
+    # indices are decoded with it, a divergent copy would shift patches
+    R = detection_radius(H, W, p)
     box = 2 * R + 1
-    if H < 4 * box or W < 4 * box:
-        R = max(min(H, W) // 8, 3)
-        box = 2 * R + 1
     K = int(max_stars)
 
     from siril_tpu.utils.trace import stage
