@@ -135,8 +135,11 @@ def richardson_lucy(img: SirilImage, psf: np.ndarray, iterations: int = 20,
     def conv(x, o):
         return jnp.fft.irfft2(jnp.fft.rfft2(x) * o, s=(H, W))
 
+    # otf passed as ARGUMENTS, not closure constants: jit lowers closed-
+    # over device arrays through a host fetch, and the axon backend
+    # cannot transfer complex64 (UNIMPLEMENTED)
     @jax.jit
-    def run(x0):
+    def run(x0, otf, otf_c):
         def tv_term(u, corr):
             gy = jnp.gradient(u, axis=-2)
             gx = jnp.gradient(u, axis=-1)
@@ -172,8 +175,10 @@ def richardson_lucy(img: SirilImage, psf: np.ndarray, iterations: int = 20,
             cond, body, (x0, jnp.int32(0), jnp.float32(jnp.inf)))
         return u
 
-    out = jnp.clip(run(jnp.maximum(d, 1e-7)), 0.0, 1.0)
-    res = img.copy(data=np.asarray(img.apply_mask_blend(out)))
+    out = jnp.clip(run(jnp.maximum(d, 1e-7), otf, otf_c), 0.0, 1.0)
+    from siril_tpu.utils.fetch import fetch_np
+
+    res = img.copy(data=fetch_np(img.apply_mask_blend(out)))
     res.log_history(f"RL deconvolution ({iterations} iters, "
                     f"{'mult' if multiplicative else 'gd'})")
     return res
@@ -231,8 +236,10 @@ def split_bregman_tv(img: SirilImage, psf: np.ndarray, lam: float = 3000.0,
     def div(px, py):
         return (px - jnp.roll(px, 1, axis=-1)) + (py - jnp.roll(py, 1, axis=-2))
 
+    # Ktb/denom as arguments, not closure constants (complex64 closures
+    # force a host fetch at lowering — unimplemented on the axon backend)
     @jax.jit
-    def run(x0):
+    def run(x0, Ktb, denom):
         def body(i, state):
             u, bx, by = state
             ux = grad_x(u)
@@ -255,7 +262,9 @@ def split_bregman_tv(img: SirilImage, psf: np.ndarray, lam: float = 3000.0,
             (x0, jnp.zeros_like(x0), jnp.zeros_like(x0)))
         return u
 
-    out = jnp.clip(run(d), 0.0, 1.0)
-    res = img.copy(data=np.asarray(img.apply_mask_blend(out)))
+    out = jnp.clip(run(d, Ktb, denom), 0.0, 1.0)
+    from siril_tpu.utils.fetch import fetch_np
+
+    res = img.copy(data=fetch_np(img.apply_mask_blend(out)))
     res.log_history(f"Split-Bregman TV deconvolution ({iterations} iters)")
     return res

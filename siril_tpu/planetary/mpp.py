@@ -177,18 +177,27 @@ def mpp_analyze(seq, args: Optional[MPPArgs] = None) -> MPPState:
         acc += shifted.sum(axis=0)
     reference = (acc / n_best).astype(np.float32)
 
-    # 4. AP grid where structure is significant
+    # 4. AP grid where structure is significant.  Threshold against a
+    # PERCENTILE of the patch energies, not the global max — a sharp
+    # planet limb concentrates the max into a thin arc and a
+    # fraction-of-max rule then rejects every interior box
     gy, gx = np.gradient(reference)
     energy = gx * gx + gy * gy
     step = max(int(args.ap_size * (1.0 - args.ap_overlap)), 8)
     half = args.ap_size // 2
-    aps = []
-    emax = energy.max() or 1.0
+    cells = []
     for y in range(half, H - half + 1, step):
         for x in range(half, W - half + 1, step):
-            e = energy[y - half:y + half, x - half:x + half].mean()
-            if e >= args.structure_threshold * emax * 0.05:
-                aps.append((x, y))
+            cells.append((x, y, energy[y - half:y + half,
+                                       x - half:x + half].mean()))
+    if cells:
+        es = np.array([c[2] for c in cells])
+        ref_e = float(np.percentile(es[es > 0], 75)) if (es > 0).any() \
+            else 1.0
+        thr = args.structure_threshold * 0.1 * ref_e
+        aps = [(x, y) for x, y, e in cells if e >= thr]
+    else:
+        aps = []
     if not aps:
         aps = [(W // 2, H // 2)]
     log_message(f"MPP analyze: {len(aps)} alignment points "
