@@ -286,25 +286,35 @@ def mpp_compute_shifts(seq, state: MPPState,
         # globally align the whole frame (one FFT shift) so patches are
         # extracted on the exact reference grid; only LOCAL shifts remain
         aligned = _subpixel_shift_batch(frames, state.global_shifts[pos])
+        B = len(pos)
+        # ONE device call per chunk (not per frame): B×A patches batched
+        # — per-frame round trips through the tunnel dominated at 500
+        # frames × 147 APs
+        patches_all = np.stack([
+            np.stack([aligned[k][y0:y0 + S, x0:x0 + S]
+                      for (y0, x0) in origins]) for k in range(B)])
+        pm = patches_all - patches_all.mean(axis=(2, 3), keepdims=True)
+        sh_all, pv_all = corr(
+            jnp.asarray(np.broadcast_to(
+                ref_patches, (B,) + ref_patches.shape
+            ).reshape(B * A, S, S)),
+            jnp.asarray(pm.reshape(B * A, S, S)))
+        sh_all = np.asarray(sh_all).reshape(B, A, 2)
+        pv_all = np.asarray(pv_all).reshape(B, A)
+        q_all = quality_batch(
+            patches_all.reshape(B * A, S, S)).reshape(B, A)
         for k, p in enumerate(pos):
-            fr = aligned[k]
-            patches = np.stack([fr[y0:y0 + S, x0:x0 + S]
-                                for (y0, x0) in origins])
-            pm = patches - patches.mean(axis=(1, 2), keepdims=True)
-            sh, pv = corr(jnp.asarray(ref_patches), jnp.asarray(pm))
-            sh = np.array(sh)
-            pv = np.asarray(pv)
             # regularize (penalty-matrix equivalent): smooth the shift
             # field over neighboring APs weighted by correlation peak —
             # rim/background APs suffer the aperture problem and must
             # follow their well-constrained neighbors
-            sh = np.clip(sh, -S / 4, S / 4)
-            w = np.maximum(pv, 0.0) ** 2
+            sh = np.clip(sh_all[k], -S / 4, S / 4)
+            w = np.maximum(pv_all[k], 0.0) ** 2
             num = _ap_neighbor_w @ (sh * w[:, None])
             den = _ap_neighbor_w @ w
             sh_smooth = num / np.maximum(den[:, None], 1e-9)
             ap_shifts[p] = np.clip(sh_smooth, -S / 8, S / 8)
-            ap_qual[p] = quality_batch(patches)
+            ap_qual[p] = q_all[k]
     state.ap_shifts = ap_shifts
     state.ap_quality = ap_qual
     log_message(f"MPP shifts: {n} frames × {A} APs")
@@ -345,14 +355,16 @@ def mpp_stack(seq, state: MPPState,
     for chunk, frames in _read_frames(seq, indices, layer, args.frame_batch):
         pos = [int(np.nonzero(indices == i)[0][0]) for i in chunk]
         aligned = _subpixel_shift_batch(frames, state.global_shifts[pos])
+        # gather every selected AP patch of the whole chunk, then ONE
+        # bucketed device call — a per-frame shift call meant a device
+        # round trip AND a fresh compile per distinct AP count
+        chunk_patches, chunk_resid, chunk_aps = [], [], []
         for k, p in enumerate(pos):
             aps = use_by_frame.get(p)
             if not aps:
                 continue
             fr = aligned[k]
-            patches = np.zeros((len(aps), S, S), np.float32)
-            metas = []
-            for j, a in enumerate(aps):
+            for a in aps:
                 x, y = state.ap_xy[a]
                 lx, ly = state.ap_shifts[p, a]
                 # local content at ref position x sits at x − lx in the
@@ -361,18 +373,28 @@ def mpp_stack(seq, state: MPPState,
                 cy = y - ly
                 ix = int(np.clip(round(cx) - half, 0, W - S))
                 iy = int(np.clip(round(cy) - half, 0, H - S))
-                patches[j] = fr[iy:iy + S, ix:ix + S]
-                metas.append((a, cx - (ix + half), cy - (iy + half)))
-            # subpixel residual centering: the desired center sits at
-            # patch coord half+resid; move content by −resid to center it
-            resid = np.array([[m[1], m[2]] for m in metas])
-            shifted = _subpixel_shift_batch(patches, -resid)
-            for j, (a, _, _) in enumerate(metas):
-                x, y = state.ap_xy[a].astype(int)
-                y0 = int(np.clip(y - half, 0, H - S))
-                x0 = int(np.clip(x - half, 0, W - S))
-                acc[y0:y0 + S, x0:x0 + S] += shifted[j] * win
-                wacc[y0:y0 + S, x0:x0 + S] += win
+                chunk_patches.append(fr[iy:iy + S, ix:ix + S])
+                # subpixel residual centering: the desired center sits
+                # at patch coord half+resid; move content by −resid
+                chunk_resid.append((cx - (ix + half), cy - (iy + half)))
+                chunk_aps.append(a)
+        if not chunk_patches:
+            continue
+        allp = np.stack(chunk_patches).astype(np.float32)
+        allr = np.asarray(chunk_resid, np.float32)
+        T = len(allp)
+        T2 = 1 << max(int(np.ceil(np.log2(max(T, 1)))), 6)
+        if T2 != T:                       # bucket: one compile per size
+            allp = np.concatenate(
+                [allp, np.zeros((T2 - T, S, S), np.float32)])
+            allr = np.concatenate([allr, np.zeros((T2 - T, 2), np.float32)])
+        shifted = _subpixel_shift_batch(allp, -allr)[:T]
+        for j, a in enumerate(chunk_aps):
+            x, y = state.ap_xy[a].astype(int)
+            y0 = int(np.clip(y - half, 0, H - S))
+            x0 = int(np.clip(x - half, 0, W - S))
+            acc[y0:y0 + S, x0:x0 + S] += shifted[j] * win
+            wacc[y0:y0 + S, x0:x0 + S] += win
 
     out = np.where(wacc > 1e-6, acc / np.maximum(wacc, 1e-6),
                    state.reference).astype(np.float32)
