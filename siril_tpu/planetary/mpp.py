@@ -104,8 +104,10 @@ def _subpixel_shift_batch(frames, shifts):
     """Shift (N,H,W) frames by per-frame (dx,dy) via Fourier phase ramp."""
     import jax.numpy as jnp
 
+    from siril_tpu.utils.fetch import fetch_np
+
     N, H, W = frames.shape
-    return np.asarray(_cached_shift_fn(H, W)(
+    return fetch_np(_cached_shift_fn(H, W)(
         jnp.asarray(frames, jnp.float32), jnp.asarray(shifts, jnp.float32)))
 
 
@@ -269,6 +271,9 @@ def mpp_compute_shifts(seq, state: MPPState,
                         int(x) - half:int(x) + half]
         for x, y in state.ap_xy])
     ref_patches -= ref_patches.mean(axis=(1, 2), keepdims=True)
+    import jax.numpy as jnp
+
+    ref_dev = jnp.asarray(ref_patches, jnp.float32)   # uploaded ONCE
 
     ap_shifts = np.zeros((n, A, 2))
     ap_qual = np.zeros((n, A))
@@ -295,9 +300,9 @@ def mpp_compute_shifts(seq, state: MPPState,
                       for (y0, x0) in origins]) for k in range(B)])
         pm = patches_all - patches_all.mean(axis=(2, 3), keepdims=True)
         sh_all, pv_all = corr(
-            jnp.asarray(np.broadcast_to(
-                ref_patches, (B,) + ref_patches.shape
-            ).reshape(B * A, S, S)),
+            jnp.tile(ref_dev, (B, 1, 1)),    # tiled on DEVICE — re-
+            # uploading ~90 MB of identical reference bytes per chunk
+            # would cost more than the correlation itself
             jnp.asarray(pm.reshape(B * A, S, S)))
         sh_all = np.asarray(sh_all).reshape(B, A, 2)
         pv_all = np.asarray(pv_all).reshape(B, A)

@@ -455,16 +455,19 @@ def run_python_script(script_path: str, session, args=None,
         # the reference package reads the same $MY_SOCKET)
         repo_root = os.path.dirname(os.path.dirname(
             os.path.dirname(os.path.abspath(__file__))))
+        script_dir = os.path.dirname(os.path.abspath(script_path)) or "."
         boot = (
             "import sys; sys.path.insert(0, %r)\n"
+            "sys.path.insert(0, %r)\n"   # script dir: sibling imports
             "from siril_tpu.pythonmodule.client import SirilWireClient\n"
             "siril = SirilWireClient()\n"
-            "import runpy, builtins\n"
+            "import builtins\n"
             "builtins.siril = siril\n"
             "sys.argv = [%r] + sys.argv[1:]\n"
-            "exec(compile(open(%r).read(), %r, 'exec'),"
+            "exec(compile(open(%r, encoding='utf-8').read(), %r, 'exec'),"
             " {'siril': siril, '__name__': '__main__', '__file__': %r})\n"
-            % (repo_root, script_path, script_path, script_path, script_path)
+            % (repo_root, script_dir, script_path, script_path, script_path,
+               script_path)
         )
         proc = subprocess.run(
             [sys.executable, "-c", boot] + list(args or []),

@@ -153,3 +153,21 @@ def test_extended_interface(tmp_path):
     # analyse from file
     info = s.analyse_image_from_file("py_00002.fit")
     assert info["shape"] == (1, 32, 32)
+
+
+def test_pyscript_sibling_import_and_utf8(tmp_path):
+    """pyscript scripts can import modules next to them and may contain
+    non-ASCII source (UTF-8 read in the bootstrap)."""
+    import os
+
+    from siril_tpu.cli.context import Session
+    from siril_tpu.cli.parser import process_command_line
+
+    ctx = Session(cwd=str(tmp_path))
+    with open(tmp_path / "helper.py", "w") as f:
+        f.write("VALUE = 41\n")
+    with open(tmp_path / "main.py", "w", encoding="utf-8") as f:
+        f.write("# résumé: sibling import test — 2°\n"
+                "import helper\n"
+                "siril.log(f'value {helper.VALUE + 1}')\n")
+    assert process_command_line(ctx, "pyscript main.py") == 0
