@@ -70,6 +70,19 @@ class Session:
         if name:
             self.image_name = name
 
+    def _find_film(self, base: str):
+        """Resolve a film path from a basename OR an explicit filename
+        ('capture' and 'capture.mp4' both work)."""
+        from siril_tpu.io.films import FILM_EXTENSIONS, is_film
+
+        if is_film(base) and os.path.exists(self.path(base)):
+            return self.path(base)
+        for e in FILM_EXTENSIONS:
+            p = self.path(base + e)
+            if os.path.exists(p):
+                return p
+        return None
+
     def load_sequence(self, name: str) -> Sequence:
         """Load a sequence by name: .seq sidecar, .ser file, or scan."""
         from siril_tpu.core.sequence import Sequence as Seq
@@ -88,13 +101,8 @@ class Session:
         elif os.path.exists(self.path(base + ".ser")) or name.endswith(".ser"):
             p = self.path(base + ".ser" if not name.endswith(".ser") else name)
             seq = Seq.from_ser(p)
-        elif any(os.path.exists(self.path(base + e)) for e in
-                 (".avi", ".mpg", ".mpeg", ".mov", ".mp4", ".webm")):
-            from siril_tpu.io.films import FILM_EXTENSIONS
-
-            p = next(self.path(base + e) for e in FILM_EXTENSIONS
-                     if os.path.exists(self.path(base + e)))
-            seq = Seq.from_film(p)
+        elif self._find_film(base) is not None:
+            seq = Seq.from_film(self._find_film(base))
         else:
             try:
                 seq = Seq.scan(base, self.cwd)

@@ -120,6 +120,8 @@ def _builtin_icc(key: str):
 def remove_profile(img: SirilImage) -> SirilImage:
     out = img.copy()
     out.keywords.extra.pop("ICCPROF", None)
+    out.icc_profile = None       # drop the embedded bytes too, or saves
+    # keep embedding it and conversions keep using it as the source
     out.log_history("Removed ICC profile")
     return out
 
@@ -133,8 +135,9 @@ def current_profile_key(img: SirilImage) -> str:
 
 
 def _profile_transforms(img: SirilImage, spec: str):
-    """(decode_to_linearD65, encode_from_linearD65, matrixD65, name) for a
-    built-in name, a .icc path, or the image's embedded profile ('')."""
+    """(decode_to_linearD65, encode_from_linearD65, matrixD65, name,
+    raw_bytes) for a built-in name, a .icc path, or the image's embedded
+    profile ('').  raw_bytes is None for built-in names."""
     import os
 
     if spec == "" and img.icc_profile:
@@ -149,20 +152,18 @@ def _profile_transforms(img: SirilImage, spec: str):
     else:
         key = (spec or "srgb").lower().replace("-", "").replace("_", "")
         if key not in PROFILES:
-            key = current_profile_key(img) if not spec else None
-            if key is None:
-                raise ValueError(f"unknown profile '{spec}'")
+            raise ValueError(f"unknown profile '{spec}'")
         name, m, trc_kind = PROFILES[key]
         return (lambda x: _decode_trc(x, trc_kind),
                 lambda x: _encode_trc(x, trc_kind),
-                None if m is None else np.asarray(m), name)
+                None if m is None else np.asarray(m), name, None)
 
     trcs = prof.trc
     if prof.is_gray or prof.matrix is None:
         t = trcs.get("k") or next(iter(trcs.values()), None)
         dec = (lambda x: t.decode(x)) if t else (lambda x: x)
         enc = (lambda x: t.encode(x)) if t else (lambda x: x)
-        return dec, enc, None, prof.description
+        return dec, enc, None, prof.description, prof.raw
 
     def _chan_trc(c, nchans):
         # mono data under an RGB profile uses the r-curve (luminance
@@ -184,7 +185,7 @@ def _profile_transforms(img: SirilImage, spec: str):
             out[c] = t.encode(x[c]) if t else x[c]
         return out
 
-    return dec, enc, prof.matrix_d65(), prof.description
+    return dec, enc, prof.matrix_d65(), prof.description, prof.raw
 
 
 def convert_to_profile(img: SirilImage, dest: str) -> SirilImage:
@@ -192,8 +193,8 @@ def convert_to_profile(img: SirilImage, dest: str) -> SirilImage:
     names or real .icc files; the image's embedded profile is the
     source when present)."""
     src_spec = "" if img.icc_profile else current_profile_key(img)
-    dec_src, _, m_src, _ = _profile_transforms(img, src_spec)
-    _, enc_dst, m_dst, dst_name = _profile_transforms(img, dest)
+    dec_src, _, m_src, _, _ = _profile_transforms(img, src_spec)
+    _, enc_dst, m_dst, dst_name, raw_dst = _profile_transforms(img, dest)
     data = img.host().astype(np.float64)
     lin = dec_src(data)
     # atol covers s15f16 colorant quantization + the Bradford D50↔D65
@@ -207,11 +208,10 @@ def convert_to_profile(img: SirilImage, dest: str) -> SirilImage:
     out_d = enc_dst(np.clip(lin, 0.0, 1.0))
     out = img.copy(data=out_d.astype(np.float32))
     out.keywords.extra["ICCPROF"] = dst_name
-    import os as _os
-
-    if dest.lower().endswith((".icc", ".icm")) or _os.path.exists(dest):
-        with open(dest, "rb") as f:
-            out.icc_profile = f.read()
+    if raw_dst is not None:
+        # file / embedded destination: _profile_transforms already holds
+        # the parsed file's bytes — no second disk read
+        out.icc_profile = raw_dst
     else:
         dst_key = dest.lower().replace("-", "").replace("_", "")
         if dst_key in PROFILES:

@@ -57,8 +57,21 @@ class Trc:
     para_type: int = 0
     para: Tuple[float, ...] = ()
 
+    def _validate(self) -> None:
+        """Reject malformed curves with a clean error instead of a
+        ZeroDivisionError deep in encode/decode."""
+        if self.kind == "gamma" and self.gamma == 0.0:
+            raise ValueError("malformed ICC TRC: zero gamma")
+        if self.kind == "para":
+            g = self.para + (0.0,) * 7
+            if g[0] == 0.0:
+                raise ValueError("malformed ICC TRC: zero exponent")
+            if self.para_type in (1, 2) and g[1] == 0.0:
+                raise ValueError("malformed ICC TRC: zero slope")
+
     def decode(self, x: np.ndarray) -> np.ndarray:
         """Encoded → linear."""
+        self._validate()
         x = np.clip(x, 0.0, 1.0)
         if self.kind == "gamma":
             return x ** self.gamma
@@ -89,6 +102,7 @@ class Trc:
     def encode(self, y: np.ndarray) -> np.ndarray:
         """Linear → encoded (analytic inverse for gamma/parametric,
         numerical inverse for sampled tables)."""
+        self._validate()
         y = np.clip(y, 0.0, 1.0)
         if self.kind == "gamma":
             return y ** (1.0 / self.gamma)

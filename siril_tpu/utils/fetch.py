@@ -15,12 +15,16 @@ _SLICE_BYTES = 32 << 20
 
 
 def fetch_np(x, slice_bytes: int = _SLICE_BYTES) -> np.ndarray:
-    """Device array → numpy via bounded-size slices."""
+    """Device array → numpy via bounded-size slices, written straight
+    into one preallocated buffer (a parts list + concatenate would
+    double peak host memory on exactly the large transfers this
+    function exists for)."""
     nbytes = x.size * x.dtype.itemsize
     if nbytes <= slice_bytes:
         return np.asarray(x)
     flat = x.reshape(-1)
     per = max(1, slice_bytes // max(x.dtype.itemsize, 1))
-    parts = [np.asarray(flat[i:i + per])
-             for i in range(0, flat.shape[0], per)]
-    return np.concatenate(parts).reshape(x.shape)
+    out = np.empty(flat.shape[0], x.dtype)
+    for i in range(0, flat.shape[0], per):
+        out[i:i + per] = np.asarray(flat[i:i + per])
+    return out.reshape(x.shape)

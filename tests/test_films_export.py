@@ -161,3 +161,19 @@ def test_color_film_with_black_lead_in(tmp_path):
     assert img.data.shape[0] == 3
     assert img.data[0].mean() > 0.5 > img.data[2].mean()  # red, not blue
     fr.close()
+
+
+def test_load_sequence_by_explicit_film_filename(tmp_path):
+    """load_sequence('capture.mp4') resolves the film directly
+    (previously only the bare basename worked)."""
+    d = str(tmp_path)
+    _make_fits_seq(d, n=4)
+    from siril_tpu.cli.context import Session
+    from siril_tpu.cli.parser import process_command_line
+
+    ctx = Session(cwd=d)
+    assert process_command_line(ctx, "seqexport light_ capture -format=mp4") == 0
+    seq = ctx.load_sequence("capture.mp4")
+    assert seq.number == 4
+    seq2 = ctx.load_sequence("capture")
+    assert seq2.number == 4
