@@ -171,7 +171,9 @@ def spcc(img: SirilImage, catalog, wcs=None,
     xp = getattr(cone, "xp_sampled", None)
     if xp is None:
         xp = getattr(cone, "xp_spectra", None)    # legacy attribute
-    elif xp is not None:
+    if xp is not None:
+        # BOTH attributes carry energy flux — always convert, or the
+        # legacy path integrates raw W·m⁻²·nm⁻¹ as if it were counts
         from siril_tpu.astrometry.xp_spectra import flux_to_relcount
 
         xp = flux_to_relcount(xp)

@@ -73,6 +73,7 @@ class _AsyncWriter:
     def __init__(self, max_inflight: int):
         self.q: "queue.Queue" = queue.Queue(maxsize=max_inflight)
         self.errors: List[str] = []
+        self.failed_tags: List[int] = []     # frame idx per failed write
         self.t = threading.Thread(target=self._run, daemon=True)
         self.t.start()
 
@@ -81,14 +82,16 @@ class _AsyncWriter:
             item = self.q.get()
             if item is None:
                 return
-            fn, a = item
+            fn, a, tag = item
             try:
                 fn(*a)
             except Exception as e:        # pragma: no cover
                 self.errors.append(f"{type(e).__name__}: {e}")
+                if tag is not None:
+                    self.failed_tags.append(tag)
 
-    def submit(self, fn, *a):
-        self.q.put((fn, a))
+    def submit(self, fn, *a, tag=None):
+        self.q.put((fn, a, tag))
 
     def close(self):
         self.q.put(None)
@@ -172,13 +175,20 @@ def run_sequence(args: SeqArgs) -> SeqResult:
             continue
         res.processed += 1
         if args.output:
-            writer.submit(write_one, pos, idx, out)
+            writer.submit(write_one, pos, idx, out, tag=idx)
         log_progress((pos + 1) / n)
 
     pool.shutdown(wait=True)
     writer.close()
     if writer.errors:
         log_error(f"{args.description}: write errors: {writer.errors[:3]}")
+        # frames whose write failed are NOT in the output: report them
+        # as failed (and unselect below) instead of silently shrinking
+        # the output sequence while still counting them processed
+        for tag in writer.failed_tags:
+            if tag not in res.failed:
+                res.failed.append(tag)
+                res.processed = max(res.processed - 1, 0)
     if cancelled:
         log_error(f"{args.description}: cancelled after "
                   f"{res.processed}/{n} frames")

@@ -35,7 +35,7 @@ T_BLACK, T_WHITE = 50714, 50717
 T_MAKE, T_MODEL = 271, 272
 T_EXPOSURE, T_ISO = 33434, 34855
 
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 13: 4,
               10: 8, 11: 4, 12: 8, 16: 8, 17: 8}
 
 
@@ -60,7 +60,7 @@ def _read_ifd(data: bytes, off: int, endian: str) -> Tuple[Dict, int]:
 def _values(entry, endian: str) -> List:
     typ, n, raw = entry
     fmt = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f",
-           12: "d"}.get(typ)
+           12: "d", 13: "I"}.get(typ)   # 13 = IFD offset (LONG-typed)
     if fmt:
         return list(struct.unpack_from(endian + fmt * n, raw, 0))
     if typ in (5, 10):      # rationals
@@ -73,10 +73,14 @@ def _values(entry, endian: str) -> List:
     return [raw]
 
 
-def _unpack_bits(raw: bytes, bits: int, count: int) -> np.ndarray:
-    """TIFF6 big-endian bit packing → uint16 samples."""
+def _unpack_bits(raw: bytes, bits: int, count: int,
+                 endian: str = ">") -> np.ndarray:
+    """TIFF6 bit packing → uint16 samples.  16-bit samples follow the
+    FILE byte order (little-endian 'II' DNGs are the common case); sub-
+    byte packing is always MSB-first per TIFF6."""
     if bits == 16:
-        return np.frombuffer(raw, ">u2", count=count).astype(np.uint16)
+        return np.frombuffer(raw, endian + "u2",
+                             count=count).astype(np.uint16)
     if bits == 8:
         return np.frombuffer(raw, np.uint8, count=count).astype(np.uint16)
     b = np.frombuffer(raw, np.uint8)
@@ -324,7 +328,8 @@ def read_dng(path: str) -> SirilImage:
 
     def decode_chunk(raw, th, tw):
         if comp == 1:
-            return _unpack_bits(raw, bits, th * tw).reshape(th, tw)
+            return _unpack_bits(raw, bits, th * tw,
+                                endian).reshape(th, tw)
         if comp == 7:
             res = _ljpeg_decode(raw)
             if res is None:

@@ -204,7 +204,7 @@ def estimate_kernel_l0(image: np.ndarray, ks: int = 15,
 
     k = None
     u = None
-    for (vs, kss) in scales:
+    for si_, (vs, kss) in enumerate(scales):
         h, w = vs.shape
         u_update, k_update = _l0_fns(h, w, kss)
         if u is None or u.shape != vs.shape:
@@ -221,10 +221,11 @@ def estimate_kernel_l0(image: np.ndarray, ks: int = 15,
                                        gamma))
             k = _kernel_cleanup(k_np)
             lam_s = max(lam_s * lam_ratio, lam_min)
-        if (vs.shape != scales[-1][0].shape):
-            # upsample latent for the next scale
+        if si_ + 1 < len(scales):
+            # upsample latent for the next scale (indexing by position:
+            # tuple equality against numpy arrays raises under numpy 2)
             u = np.kron(u, np.ones((2, 2), np.float32))
-            nh, nw = scales[scales.index((vs, kss)) + 1][0].shape
+            nh, nw = scales[si_ + 1][0].shape
             u = u[:nh, :nw]
             if u.shape != (nh, nw):
                 u = np.pad(u, ((0, nh - u.shape[0]), (0, nw - u.shape[1])),
@@ -340,8 +341,11 @@ def estimate_kernel_si(image: np.ndarray, ks: int = 15,
         ks += 1
     v = _grey(image)
     vpatch = _best_patch(v, min(patch, min(v.shape)))
-    mag, n = _kernel_spectrum(v, ks)
-    rad = _support_radius(v, ks)
+    # spectrum/support from the selected PATCH, like the reference's
+    # searchBlurredPatch — full-frame complex FFTs at 24 Mpix cost
+    # orders of magnitude more for the same estimate
+    mag, n = _kernel_spectrum(vpatch, ks)
+    rad = _support_radius(vpatch, ks)
 
     # support mask in the corner (kernel occupies [0:ks, 0:ks] wrapped)
     sup = np.zeros((n, n), bool)
@@ -393,8 +397,9 @@ def estimate_kernel_blind(image: np.ndarray, ks: int = 15,
                           lam: float = 1e-3,
                           comp: Optional[float] = None) -> np.ndarray:
     """makepsf blind dispatch (-l0 default / -si; -multiscale, -lambda=,
-    -comp= accepted — comp is the SI compensation factor, folded into
-    the noise-floor subtraction here)."""
+    -comp= accepted — comp scales the SI restart budget like the
+    reference's compensation factor trades time for quality)."""
     if method == "si":
-        return estimate_kernel_si(image, ks)
+        restarts = 6 if comp is None else max(2, int(round(6 * comp)))
+        return estimate_kernel_si(image, ks, restarts=restarts)
     return estimate_kernel_l0(image, ks, lam=lam, multiscale=multiscale)

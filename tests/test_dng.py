@@ -159,7 +159,10 @@ def write_dng(path, cfa: np.ndarray, bits=16, compression=1,
     white = white if white is not None else (1 << bits) - 1
     if compression == 1:
         if bits == 16:
-            raw = cfa.astype(">u2").tobytes()
+            # the file header is 'II' (little-endian): 16-bit samples
+            # follow the file byte order per TIFF6 — real camera DNGs
+            # are packed this way
+            raw = cfa.astype("<u2").tobytes()
         else:
             b = np.unpackbits(cfa.astype(">u2").view(np.uint8)
                               .reshape(-1, 2), axis=1)[:, 16 - bits:]
