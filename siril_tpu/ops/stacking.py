@@ -130,11 +130,11 @@ def make_block_kernel(rtype: int, mode: int, siglow: float, sighigh: float,
     two scalars ON DEVICE — device→host transfers through the tunnel cost
     ~0.6s each, so shipping full count maps tripled the bench time.
 
-    On TPU, sigma/MAD/percentile/winsorized/none configs dispatch to the
-    fused Pallas kernel (pallas/reject_stack.py): one HBM read of the raw
-    stack, decode+normalize+sort+clip+mean in VMEM.  The jnp formulation
-    stays as the fallback for SIGMEDIAN/LINEARFIT/GESDT and non-TPU
-    backends, parity-tested in tests/test_pallas_reject.py.
+    On TPU, every rejection mode dispatches to the fused Pallas kernel
+    (pallas/reject_stack.py): one HBM read of the raw stack,
+    decode+normalize+sort+clip+mean in VMEM.  The jnp formulation stays
+    as the fallback for non-TPU backends, parity-tested in
+    tests/test_pallas_reject.py.
     """
     import jax
     import jax.numpy as jnp
@@ -154,9 +154,10 @@ def make_block_kernel(rtype: int, mode: int, siglow: float, sighigh: float,
         def kernel(stack, scale, offset, mul, weights, critical):
             mean, rl, rh = pallas_reject_mean(
                 stack, scale, offset, mul,
-                weights if with_weights else None,
+                weights if with_weights else None, critical,
                 rtype=rtype, mode=mode, siglow=siglow, sighigh=sighigh,
-                with_weights=with_weights)
+                with_weights=with_weights, n_full=n_full,
+                max_outliers=max_outliers)
             if want_maps:
                 return mean, rl, rh
             return mean, rl.sum(), rh.sum()

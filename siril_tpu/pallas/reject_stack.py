@@ -40,10 +40,22 @@ Mosaic constraint shaping the code: ``lax.while_loop`` carries of
 per-pixel iteration state lives in VMEM scratch refs and the loop carries
 only scalars.
 
-Supported rejections: NO_REJEC, PERCENTILE, SIGMA, MAD, WINSORIZED —
-the deep-sky defaults.  SIGMEDIAN / LINEARFIT / GESDT keep the jnp path
-(``ops.rejection.rejection_mean``); the dispatcher in ops/stacking.py
-falls back automatically.
+All 8 rejection modes are implemented (round 3 extended SIGMEDIAN /
+LINEARFIT / GESDT, previously jnp-path fallbacks whose ``lax.while_loop``
+formulations cold-compiled in ~7 minutes through the remote-compile
+tunnel — Mosaic compiles these in seconds):
+
+- **SIGMEDIAN** (rejection_float.c:210-221): rejected values are
+  *replaced* by the running median, so the sorted array changes every
+  round — each round re-sorts with the bitonic network (rounds are few).
+- **LINEARFIT** (rejection_float.c:259-300): the kept set is a mask, not
+  a window; per-entry positions (= rank among kept) and the cumulative
+  N−r≤4 guard use a Hillis–Steele log-step prefix sum built from
+  ``pltpu.roll``.
+- **GESDT** (rejection_float.c:302-345): the confirm_outliers rule
+  confirms a *prefix* of walk steps, so no per-step storage is needed:
+  pass 1 walks the window recording only the last flagged step, pass 2
+  replays the walk marking rejections for steps ≤ the confirm index.
 """
 
 from __future__ import annotations
@@ -61,17 +73,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from siril_tpu.ops.rejection import (
-    NO_REJEC, PERCENTILE, SIGMA, MAD, WINSORIZED,
+    NO_REJEC, PERCENTILE, SIGMA, MAD, SIGMEDIAN, WINSORIZED, LINEARFIT,
+    GESDT,
 )
 from siril_tpu.ops.normalization import NO_NORM, ADDITIVE, ADDITIVE_SCALING
 
 _INF = float("inf")   # plain float: jnp scalars would be captured tracers
 
-#: rejection modes this kernel implements
-PALLAS_RTYPES = frozenset({NO_REJEC, PERCENTILE, SIGMA, MAD, WINSORIZED})
+#: rejection modes this kernel implements (all 8)
+PALLAS_RTYPES = frozenset({NO_REJEC, PERCENTILE, SIGMA, MAD, SIGMEDIAN,
+                           WINSORIZED, LINEARFIT, GESDT})
 
 # rows in the int32 state scratch
-_LO, _HI, _R, _RL, _RH, _FIRST = 0, 1, 2, 3, 4, 5
+_LO, _HI, _R, _RL, _RH, _FIRST, _LF = 0, 1, 2, 3, 4, 5, 6
 
 
 def _next_pow2(n: int) -> int:
@@ -124,6 +138,19 @@ def _bitonic_merge(x, npad: int):
     return x
 
 
+def _cumsum0(a, length: int):
+    """Inclusive prefix sum along axis 0 (Hillis–Steele, log₂ steps of
+    ``pltpu.roll`` + masked add — no native cumsum on the VPU)."""
+    rows = lax.broadcasted_iota(jnp.int32, a.shape, 0)
+    s = a
+    k = 1
+    while k < length:
+        sh = _roll0(s, k)                 # value from row i − k
+        s = s + jnp.where(rows >= k, sh, jnp.zeros_like(sh))
+        k *= 2
+    return s
+
+
 def _select_at(xs, idx_row):
     """xs[idx_row[0, p], p] via mask-reduce; idx_row: (1, T) int32."""
     rows = lax.broadcasted_iota(jnp.int32, xs.shape, 0)
@@ -167,17 +194,20 @@ def _clip_counts(lo, hi, r, n_low_cand, n_high_cand):
 
 
 def _build_kernel(rtype: int, mode: int, siglow: float, sighigh: float,
-                  n: int, npad: int, with_weights: bool, in_dtype):
+                  n: int, npad: int, with_weights: bool, in_dtype,
+                  n_full: int = 0, max_outliers: int = 0):
     """Return the pallas kernel body for one static config.
 
     Scratch refs (allocated by the caller):
       xs_ref:  (npad, T) f32 — sorted stack (+inf padded)
       x_ref:   (n, T)   f32 — normalized unsorted stack
-      st_ref:  (8, T)   i32 — rows _LO.._FIRST of per-pixel loop state
+      st_ref:  (8, T)   i32 — rows _LO.._LF of per-pixel loop state
       sf_ref:  (8, T)   f32 — rows 0..2: med / sigma / sigma0
+      aux_ref: (npad, T) i32 — keep mask (LINEARFIT / GESDT)
     """
     siglow = float(siglow)
     sighigh = float(sighigh)
+    n_full = n_full or n
 
     def candidates(xs, lo, hi, center, spread):
         rows = lax.broadcasted_iota(jnp.int32, xs.shape, 0)
@@ -196,8 +226,9 @@ def _build_kernel(rtype: int, mode: int, siglow: float, sighigh: float,
         n_w = hi - lo
         return _window_median(ds, jnp.zeros_like(n_w), n_w)
 
-    def kernel(stack_ref, scale_ref, offset_ref, mul_ref, w_ref,
-               mean_ref, rejl_ref, rejh_ref, xs_ref, x_ref, st_ref, sf_ref):
+    def kernel(stack_ref, scale_ref, offset_ref, mul_ref, w_ref, crit_ref,
+               mean_ref, rejl_ref, rejh_ref, xs_ref, x_ref, st_ref, sf_ref,
+               aux_ref):
         x = stack_ref[:]
         if in_dtype == jnp.int16:
             # raw FITS i16 (BZERO 32768) → [0,1] (image_format_fits.c:449)
@@ -371,18 +402,218 @@ def _build_kernel(rtype: int, mode: int, siglow: float, sighigh: float,
             hi = st_ref[_HI:_HI + 1]
             rejl = st_ref[_RL:_RL + 1]
             rejh = st_ref[_RH:_RH + 1]
+        elif rtype == SIGMEDIAN:
+            # rejection_float.c:210-221 — rejected values are REPLACED by
+            # the running median (kept count never shrinks); the array is
+            # re-sorted each round so the median stays a window lookup
+            rows = lax.broadcasted_iota(jnp.int32, xs_ref.shape, 0)
+            vmask = rows < nvalid
+            nv = nvalid.astype(jnp.float32)
+            nvs = jnp.maximum(nv, 1.0)
+            st_ref[_RL:_RL + 1] = zero
+            st_ref[_RH:_RH + 1] = zero
+            st_ref[_FIRST:_FIRST + 1] = jnp.where(nvalid > 1, 1, 0)
+
+            def body(it):
+                v = xs_ref[:]
+                med = _window_median(v, zero, nvalid)
+                vv = jnp.where(vmask, v, 0.0)
+                mean_v = vv.sum(axis=0, keepdims=True) / nvs
+                var = (jnp.where(vmask, (v - mean_v) ** 2, 0.0)
+                       ).sum(axis=0, keepdims=True) / jnp.maximum(nv - 1.0,
+                                                                  1.0)
+                sd = jnp.where(nv > 1, jnp.sqrt(jnp.maximum(var, 0.0)), 0.0)
+                active = st_ref[_FIRST:_FIRST + 1] > 0
+                low = vmask & ((med - v) > sd * siglow) & active
+                high = vmask & ((v - med) > sd * sighigh) & active
+                rep = low | high
+                xs_ref[:] = _bitonic_sort(jnp.where(rep, med, v), npad)
+                st_ref[_RL:_RL + 1] = st_ref[_RL:_RL + 1] + \
+                    low.sum(axis=0, keepdims=True).astype(jnp.int32)
+                st_ref[_RH:_RH + 1] = st_ref[_RH:_RH + 1] + \
+                    high.sum(axis=0, keepdims=True).astype(jnp.int32)
+                changed = rep.sum(axis=0, keepdims=True) > 0
+                st_ref[_FIRST:_FIRST + 1] = jnp.where(active & changed,
+                                                      1, 0)
+                return it + 1, changed.any()
+
+            lax.while_loop(lambda c: c[1], lambda c: body(c[0]),
+                           (jnp.int32(0), jnp.array(True)))
+            lo, hi = lo0, hi0
+            rejl = st_ref[_RL:_RL + 1]
+            rejh = st_ref[_RH:_RH + 1]
+            xs = xs_ref[:]                       # modified values
+            s1 = jnp.where(jnp.isfinite(xs), xs, 0.0)
+
+        elif rtype == LINEARFIT:
+            # rejection_float.c:259-300 — fit y = b + a·i over the sorted
+            # kept values (i = rank among kept), σ = mean |residual|;
+            # m_x / m_dx2 stay the FULL-size constants
+            # (median_and_mean.c:1491-1499 quirk)
+            m_x = (n_full - 1) * 0.5
+            m_dx2_run = 0.0
+            for j in range(n_full):
+                dx_ = j - m_x
+                m_dx2_run += (dx_ * dx_ - m_dx2_run) / (j + 1)
+            inv_mdx2 = float(1.0 / m_dx2_run) if m_dx2_run else 0.0
+
+            rows = lax.broadcasted_iota(jnp.int32, xs_ref.shape, 0)
+            aux_ref[:] = (rows < nvalid).astype(jnp.int32)
+            st_ref[_R:_R + 1] = zero
+            st_ref[_RL:_RL + 1] = zero
+            st_ref[_RH:_RH + 1] = zero
+            st_ref[_FIRST:_FIRST + 1] = jnp.where(nvalid > 1, 1, 0)
+
+            def body(it):
+                keep = aux_ref[:] > 0
+                kf = keep.astype(jnp.float32)
+                pos = _cumsum0(kf, npad) - 1.0
+                nk = kf.sum(axis=0, keepdims=True)
+                nks = jnp.maximum(nk, 1.0)
+                m_y = jnp.where(keep, xs, 0.0).sum(
+                    axis=0, keepdims=True) / nks
+                dx = pos - m_x
+                dy = xs - m_y
+                m_dxdy = jnp.where(keep, dx * dy, 0.0).sum(
+                    axis=0, keepdims=True) / nks
+                a = m_dxdy * inv_mdx2
+                b = m_y - m_x * a
+                resid = xs - (a * pos + b)
+                sigma = jnp.where(keep, jnp.abs(resid), 0.0).sum(
+                    axis=0, keepdims=True) / nks
+                active = st_ref[_FIRST:_FIRST + 1] > 0
+                low_cand = keep & ((-resid) > sigma * siglow)
+                high_cand = keep & (resid > sigma * sighigh)
+                cand = low_cand | high_cand
+                r_ = st_ref[_R:_R + 1]
+                max_acc = jnp.maximum(nk.astype(jnp.int32) - r_ - 4, 0)
+                rank = _cumsum0(cand.astype(jnp.float32), npad)
+                accept = cand & (rank <= max_acc.astype(jnp.float32)) & \
+                    active
+                n_low = (accept & low_cand).sum(
+                    axis=0, keepdims=True).astype(jnp.int32)
+                n_high = (accept & high_cand).sum(
+                    axis=0, keepdims=True).astype(jnp.int32)
+                aux_ref[:] = (keep & ~accept).astype(jnp.int32)
+                n_new = nk.astype(jnp.int32) - n_low - n_high
+                changed = (n_low + n_high) > 0
+                st_ref[_R:_R + 1] = r_ + n_low + n_high
+                st_ref[_RL:_RL + 1] = st_ref[_RL:_RL + 1] + n_low
+                st_ref[_RH:_RH + 1] = st_ref[_RH:_RH + 1] + n_high
+                st_ref[_FIRST:_FIRST + 1] = jnp.where(
+                    active & changed & (n_new > 3), 1, 0)
+                return it + 1, changed.any()
+
+            lax.while_loop(lambda c: c[1], lambda c: body(c[0]),
+                           (jnp.int32(0), jnp.array(True)))
+            rejl = st_ref[_RL:_RL + 1]
+            rejh = st_ref[_RH:_RH + 1]
+            lo, hi = None, None                  # mask-based keep
+
+        elif rtype == GESDT:
+            # rejection_float.c:302-345 + confirm_outliers
+            # (median_and_mean.c:685-701).  confirm_outliers accepts a
+            # PREFIX of walk steps (0..max(last_flag, 1)), so two passes
+            # suffice: pass 1 finds the last flagged step, pass 2 replays
+            # the identical walk marking rejections for confirmed steps.
+            M = max(int(max_outliers), 1)
+            rows = lax.broadcasted_iota(jnp.int32, xs_ref.shape, 0)
+            removed = jnp.full_like(nvalid, n_full) - nvalid
+            budget_ok = removed < max_outliers
+            crit_bc = jnp.broadcast_to(
+                crit_ref[:].astype(jnp.float32), (M, xs.shape[1]))
+            crit_rows = lax.broadcasted_iota(jnp.int32, crit_bc.shape, 0)
+
+            def walk_step(j, lo_, hi_):
+                size = hi_ - lo_
+                mean_w, sd = _window_mean_sd(s1, s2, lo_, hi_)
+                first = _select_at(xs, lo_)
+                last = _select_at(xs, jnp.maximum(hi_ - 1, 0))
+                dev_low = mean_w - first
+                dev_high = last - mean_w
+                take_high = dev_high > dev_low      # strict >
+                maxdev = jnp.where(take_high, dev_high, dev_low)
+                g = maxdev / jnp.maximum(sd, 1e-30)
+                valid_step = (j < (max_outliers - removed)) & (size > 1)
+                new_lo = jnp.where(valid_step,
+                                   jnp.where(take_high, lo_, lo_ + 1), lo_)
+                new_hi = jnp.where(valid_step,
+                                   jnp.where(take_high, hi_ - 1, hi_), hi_)
+                return (size, g, take_high, first, last, valid_step,
+                        new_lo, new_hi)
+
+            st_ref[_LO:_LO + 1] = lo0
+            st_ref[_HI:_HI + 1] = hi0
+            st_ref[_LF:_LF + 1] = jnp.full_like(lo0, -1)
+
+            def pass1(j, carry):
+                lo_ = st_ref[_LO:_LO + 1]
+                hi_ = st_ref[_HI:_HI + 1]
+                size, g, take_high, _, _, valid_step, new_lo, new_hi = \
+                    walk_step(j, lo_, hi_)
+                idx_c = jnp.minimum(removed + j, M - 1)
+                crit_j = jnp.where(crit_rows == idx_c, crit_bc, 0.0).sum(
+                    axis=0, keepdims=True)
+                flagged = (g > crit_j) & (size > 2) & valid_step
+                st_ref[_LF:_LF + 1] = jnp.where(
+                    flagged, j, st_ref[_LF:_LF + 1])
+                st_ref[_LO:_LO + 1] = new_lo
+                st_ref[_HI:_HI + 1] = new_hi
+                return carry
+
+            lax.fori_loop(0, M, pass1, 0)
+            i_conf = jnp.maximum(st_ref[_LF:_LF + 1],
+                                 jnp.minimum(1, M - 1))
+
+            aux_ref[:] = (rows < nvalid).astype(jnp.int32)
+            st_ref[_LO:_LO + 1] = lo0
+            st_ref[_HI:_HI + 1] = hi0
+            st_ref[_RL:_RL + 1] = zero
+            st_ref[_RH:_RH + 1] = zero
+
+            def pass2(j, carry):
+                lo_ = st_ref[_LO:_LO + 1]
+                hi_ = st_ref[_HI:_HI + 1]
+                size, _, take_high, first, last, valid_step, new_lo, \
+                    new_hi = walk_step(j, lo_, hi_)
+                conf = (j <= i_conf) & valid_step & budget_ok
+                x_rm = jnp.where(take_high, last, first)
+                # low removals reject the true sorted index (lo); high
+                # removals the recorded SHRUNK-array index size−1
+                # (rejection_float.c:332 quirk)
+                rec = jnp.where(take_high, size - 1, lo_)
+                is_high_val = x_rm >= median0
+                st_ref[_RL:_RL + 1] = st_ref[_RL:_RL + 1] + \
+                    (conf & ~is_high_val).astype(jnp.int32)
+                st_ref[_RH:_RH + 1] = st_ref[_RH:_RH + 1] + \
+                    (conf & is_high_val).astype(jnp.int32)
+                aux_ref[:] = jnp.where((rows == rec) & conf, 0, aux_ref[:])
+                st_ref[_LO:_LO + 1] = new_lo
+                st_ref[_HI:_HI + 1] = new_hi
+                return carry
+
+            lax.fori_loop(0, M, pass2, 0)
+            rejl = st_ref[_RL:_RL + 1]
+            rejh = st_ref[_RH:_RH + 1]
+            lo, hi = None, None                  # mask-based keep
         else:  # pragma: no cover
             raise ValueError(f"pallas kernel does not support rtype {rtype}")
 
+        rows = lax.broadcasted_iota(jnp.int32, xs.shape, 0)
         # trivial guard: kept<=1 before rejection → keep as-is
         trivial = nvalid <= 1
-        lo = jnp.where(trivial, 0, lo)
-        hi = jnp.where(trivial, nvalid, hi)
+        if lo is None:
+            # int32 select: a select between two i1 vectors hits a Mosaic
+            # legalization gap (trunci i8→i1), so blend as integers
+            keep = jnp.where(trivial,
+                             (rows < nvalid).astype(jnp.int32),
+                             aux_ref[:]) > 0
+        else:
+            lo = jnp.where(trivial, 0, lo)
+            hi = jnp.where(trivial, nvalid, hi)
+            keep = (rows >= lo) & (rows < hi)
         rejl = jnp.where(trivial, 0, rejl)
         rejh = jnp.where(trivial, 0, rejh)
-
-        rows = lax.broadcasted_iota(jnp.int32, xs.shape, 0)
-        keep = (rows >= lo) & (rows < hi)
         nkept = keep.sum(axis=0, keepdims=True).astype(jnp.float32)
         sum_kept = jnp.where(keep, s1, 0.0).sum(axis=0, keepdims=True)
         mean = sum_kept / jnp.maximum(nkept, 1.0)
@@ -428,10 +659,10 @@ def _build_kernel(rtype: int, mode: int, siglow: float, sighigh: float,
 
 
 def _pick_tile(n: int, dtype) -> int:
-    """Pixel-tile width: keep ~6 live (N, TILE) f32 planes under ~8 MB of
+    """Pixel-tile width: keep ~7 live (N, TILE) f32 planes under ~8 MB of
     VMEM, lane-aligned."""
     budget = 8 * 1024 * 1024
-    per_col = max(n, 8) * 4 * 6
+    per_col = max(n, 8) * 4 * 7
     t = budget // per_col
     t = max(512, min(4096, (t // 512) * 512))
     return t
@@ -445,14 +676,18 @@ def _interpret() -> bool:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("rtype", "mode", "siglow", "sighigh", "with_weights"))
-def pallas_reject_mean(stack, scale, offset, mul, weights=None, *,
+    static_argnames=("rtype", "mode", "siglow", "sighigh", "with_weights",
+                     "n_full", "max_outliers"))
+def pallas_reject_mean(stack, scale, offset, mul, weights=None,
+                       critical=None, *,
                        rtype: int, mode: int, siglow: float, sighigh: float,
-                       with_weights: bool = False):
+                       with_weights: bool = False, n_full: int = 0,
+                       max_outliers: int = 0):
     """Fused normalize+reject+mean over an (N, P) stack.
 
     ``stack``: (N, P) int16 (raw FITS, BZERO 32768) or float32 in [0,1].
     ``scale``/``offset``/``mul``: (N,) float32 per-frame normalization.
+    ``critical``: (max_outliers,) float32 GESDT λ table (GESDT only).
     Returns (mean, rej_low, rej_high), each (P,).
     """
     n, p = stack.shape
@@ -471,9 +706,15 @@ def pallas_reject_mean(stack, scale, offset, mul, weights=None, *,
     else:
         w_spec = pl.BlockSpec((n, tile), lambda i: (0, i),
                               memory_space=pltpu.VMEM)
+    n_crit = max(int(max_outliers), 1) if rtype == GESDT else 1
+    if critical is None or rtype != GESDT:
+        critical = jnp.zeros(n_crit, jnp.float32)
+    critical = jnp.asarray(critical, jnp.float32)[:n_crit].reshape(n_crit, 1)
+    crit_spec = pl.BlockSpec((n_crit, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
 
     kernel = _build_kernel(rtype, mode, siglow, sighigh, n, npad,
-                           with_weights, stack.dtype)
+                           with_weights, stack.dtype, n_full, max_outliers)
     coef_spec = pl.BlockSpec((n, 1), lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, tile), lambda i: (0, i),
@@ -484,7 +725,7 @@ def pallas_reject_mean(stack, scale, offset, mul, weights=None, *,
         in_specs=[
             pl.BlockSpec((n, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            coef_spec, coef_spec, coef_spec, w_spec,
+            coef_spec, coef_spec, coef_spec, w_spec, crit_spec,
         ],
         out_specs=[out_spec, out_spec, out_spec],
         out_shape=[
@@ -497,10 +738,11 @@ def pallas_reject_mean(stack, scale, offset, mul, weights=None, *,
             pltpu.VMEM((n, tile), jnp.float32),      # normalized x
             pltpu.VMEM((8, tile), jnp.int32),        # int loop state
             pltpu.VMEM((8, tile), jnp.float32),      # float loop state
+            pltpu.VMEM((npad, tile), jnp.int32),     # keep mask (aux)
         ],
         interpret=_interpret(),
     )(stack, scale.reshape(n, 1), offset.reshape(n, 1), mul.reshape(n, 1),
-      weights)
+      weights, critical)
     return mean[0, :p], rejl[0, :p], rejh[0, :p]
 
 

@@ -48,11 +48,21 @@ def test_parity_f32(rng, rtype, mode):
     scale, offset, mul = _coeffs(rng, n)
     normed = _norm_apply(jnp.asarray(stack), jnp.asarray(scale),
                          jnp.asarray(offset), jnp.asarray(mul), mode)
+    siglow, sighigh = 3.0, 3.0
+    critical, max_outliers = None, 0
+    if rtype == rj.GESDT:
+        siglow, sighigh = 0.3, 0.05          # outlier fraction, significance
+        max_outliers = int(np.floor(n * siglow))
+        critical = jnp.asarray(
+            rj.gesdt_critical_values(n, sighigh, max_outliers))
     ref_mean, ref_rl, ref_rh = rj.rejection_mean(
-        normed, rtype, 3.0, 3.0, n_full=n)
+        normed, rtype, siglow, sighigh, critical=critical, n_full=n,
+        max_outliers=max_outliers)
     got_mean, got_rl, got_rh = pallas_reject_mean(
         jnp.asarray(stack), jnp.asarray(scale), jnp.asarray(offset),
-        jnp.asarray(mul), rtype=rtype, mode=mode, siglow=3.0, sighigh=3.0)
+        jnp.asarray(mul), critical=critical, rtype=rtype, mode=mode,
+        siglow=siglow, sighigh=sighigh, n_full=n,
+        max_outliers=max_outliers)
     np.testing.assert_allclose(np.asarray(got_mean), np.asarray(ref_mean),
                                rtol=0, atol=2e-6)
     np.testing.assert_array_equal(np.asarray(got_rl), np.asarray(ref_rl))
