@@ -1,0 +1,98 @@
+"""Measure the CPU baseline record used by bench.py (vs_baseline).
+
+The reference siril-cli CANNOT be built in this environment (no meson, no
+cfitsio/glib/gsl/wcslib dev packages, zero network egress), so per
+BASELINE.md the strongest AVAILABLE CPU implementations are measured:
+
+1. **e2e JAX-CPU twin** — the identical fused calibrate+register+
+   winsorized-stack pipeline on the JAX CPU backend (the number
+   vs_baseline is computed against, like rounds 1–2).
+2. **native C++ OpenMP winsorized stack** — the hot-loop twin
+   (native/sirilio.cpp stack_winsorized, mean_and_reject semantics) —
+   an upper bound on how fast the reference's C stacking inner loop
+   could run on THIS host.  Reported alongside for honesty: the
+   reference's own stack stage would run at about this rate here.
+
+Writes scripts/cpu_baseline.json.  Re-run after hardware changes:
+    python scripts/measure_cpu_baseline.py
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+OUT = os.path.join(REPO, "scripts", "cpu_baseline.json")
+S = 4096
+
+
+def measure_native_stack(n=50, p=2_000_000):
+    from siril_tpu import native
+
+    if not native.available():
+        return None
+    rng = np.random.default_rng(0)
+    stack = np.abs(rng.normal(0.3, 0.05, (n, p))).astype(np.float32)
+    stack[rng.random((n, p)) < 0.02] = 0.9
+    scale = np.ones(n, np.float32)
+    off = np.zeros(n, np.float32)
+    native.stack_winsorized(stack[:, :1000], scale, off, 3.0, 3.0)  # warm
+    t0 = time.perf_counter()
+    native.stack_winsorized(stack, scale, off, 3.0, 3.0)
+    t = time.perf_counter() - t0
+    return n * p / 1e6 / t
+
+
+def measure_e2e_jaxcpu(n=4):
+    import bench
+
+    data_dir = bench.DATA_DIR
+    have = bench.ensure_dataset(n)
+    if have < n:
+        n = have
+    code = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "import sys; sys.path.insert(0, %r); import bench; "
+            "print('RES', bench.run_pipeline(%r, %d))"
+            % (REPO, data_dir, n))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, env=env, timeout=3600)
+    for line in out.stdout.splitlines():
+        if line.startswith("RES"):
+            t = float(line.split()[1])
+            return n * S * S / 1e6 / t, n
+    raise RuntimeError(out.stdout[-1000:] + out.stderr[-1000:])
+
+
+def main():
+    ncpu = os.cpu_count()
+    print(f"host: {ncpu} CPU(s)")
+    native_tput = measure_native_stack()
+    print(f"native C++ winsorized stack: {native_tput:.2f} frame-Mpix/s")
+    e2e_tput, n_used = measure_e2e_jaxcpu()
+    print(f"e2e JAX-CPU twin ({n_used}×16 Mpix): {e2e_tput:.3f} Mpix/s")
+    rec = {
+        "tput_mpix_s": round(e2e_tput, 3),
+        "source": f"e2e JAX-CPU twin, {n_used}x16Mpix, {ncpu}-core host "
+                  "(reference siril-cli unbuildable here: no meson/cfitsio)",
+        "native_stack_stage_mpix_s": round(native_tput, 2)
+        if native_tput else None,
+        "native_stack_note": "C++ OpenMP winsorized hot-loop twin "
+                             "(mean_and_reject equivalent) — the rate the "
+                             "reference's stack INNER LOOP would reach on "
+                             "this host; e2e reference would be slower "
+                             "(adds I/O, star detect, PSF fit, warp)",
+        "host_cpus": ncpu,
+    }
+    with open(OUT, "w") as f:
+        json.dump(rec, f, indent=1)
+    print(f"wrote {OUT}")
+
+
+if __name__ == "__main__":
+    main()

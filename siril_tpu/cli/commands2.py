@@ -900,3 +900,47 @@ def cmd_seqexport(ctx, args):
         ea.resample = (int(w), int(h))
     n = export_sequence(seq, ea, directory=ctx.cwd)
     log_message(f"seqexport: wrote {n} frames as {ea.output}")
+
+
+@command("precompile",
+         "precompile nb_frames [-width=] [-height=] [-channels=] "
+         "[-rej=type[,type...]] [-sig=lo,hi] [-pipeline]",
+         min_args=1)
+def cmd_precompile(ctx, args):
+    """AOT-compile the stacking kernel set for a given sequence shape into
+    the persistent compilation cache — the FFTW-wisdom analog
+    (settings.h:310-316).  After one run, cold-process stack/fusedstack
+    commands on that shape start hot."""
+    from siril_tpu.ops import rejection as rj
+    from siril_tpu.utils.jaxcache import enable_compilation_cache
+    from siril_tpu.utils.precompile import (
+        precompile_pipeline_kernels,
+        precompile_stack_kernels,
+    )
+
+    pos, flags = parse_flags(args)
+    n = int(pos[0])
+    width = int(_f(flags.get("width"), 4096))
+    height = int(_f(flags.get("height"), 4096))
+    channels = int(_f(flags.get("channels"), 1))
+    siglow, sighigh = 3.0, 3.0
+    if isinstance(flags.get("sig"), str):
+        siglow, sighigh = (float(v) for v in flags["sig"].split(","))
+    rejs = None
+    if isinstance(flags.get("rej"), str):
+        try:
+            rejs = [rj.REJECTION_NAMES[r.strip().lower()]
+                    for r in flags["rej"].split(",")]
+        except KeyError as e:
+            raise CommandError(f"unknown rejection type {e}")
+    path = enable_compilation_cache()
+    log_message(f"precompile: cache at {path}")
+    t0 = __import__("time").perf_counter()
+    done = precompile_stack_kernels(n, width, height, channels, rejs,
+                                    siglow=siglow, sighigh=sighigh,
+                                    log=log_message)
+    if "pipeline" in flags:
+        done += precompile_pipeline_kernels(n, width, height, channels,
+                                            log=log_message)
+    log_message(f"precompile: {len(done)} kernels in "
+                f"{__import__('time').perf_counter() - t0:.1f}s")
