@@ -11,6 +11,8 @@
 // siril_tpu/native/__init__.py, which compiles on demand and caches the
 // .so). Exposed via ctypes — no pybind11 dependency.
 
+#include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <cstdio>
@@ -107,6 +109,85 @@ void assemble_block_i16(const uint8_t** srcs, float* dst, int64_t nframes,
                 int16_t v = (int16_t)((srow[2 * sx] << 8) | srow[2 * sx + 1]);
                 drow[x] = ((float)v * fs + fz) * inv;
             }
+        }
+    }
+}
+
+// Winsorized sigma-clip rejection + mean over an (N, P) stack — the
+// CPU-baseline twin of the reference's hottest loop (mean_and_reject,
+// median_and_mean.c:956 + rejection_float.c:222-257).  Used by
+// scripts/measure_cpu_baseline.py to give bench.py an HONEST strongest-
+// available-CPU number (the reference itself cannot be built in this
+// environment: no meson/cfitsio/glib).  Same semantics as the JAX path:
+// sort ascending (zeros removed), iterate winsorized-sigma clipping on
+// the contiguous kept window, mean of survivors.
+void stack_winsorized(const float* stack, int64_t n, int64_t p,
+                      const float* scale, const float* offset,
+                      float siglow, float sighigh, float* out) {
+#pragma omp parallel
+    {
+        std::vector<float> v((size_t)n);
+#pragma omp for schedule(static)
+        for (int64_t px = 0; px < p; px++) {
+            int64_t m = 0;
+            for (int64_t f = 0; f < n; f++) {
+                float x = stack[f * p + px];
+                if (x != 0.0f) v[m++] = x * scale[f] - offset[f];
+            }
+            if (m == 0) { out[px] = 0.0f; continue; }
+            if (m == 1) { out[px] = v[0]; continue; }
+            std::sort(v.begin(), v.begin() + m);
+            int64_t lo = 0, hi = m, r = 0;
+            for (;;) {
+                // median of window
+                int64_t w = hi - lo;
+                float med = 0.5f * (v[lo + (w - 1) / 2] + v[lo + w / 2]);
+                // winsorized sigma
+                double s1 = 0, s2 = 0;
+                for (int64_t i = lo; i < hi; i++) { s1 += v[i]; }
+                double mean = s1 / w;
+                for (int64_t i = lo; i < hi; i++) {
+                    double d = v[i] - mean; s2 += d * d;
+                }
+                float sig = w > 1 ? (float)sqrt(s2 / (w - 1)) : 0.0f;
+                float sig0 = sig + 1.0f;
+                sig *= 1.134f;
+                int it = 0;
+                while (fabsf(sig - sig0) > sig0 * 5e-4f && it++ < 50) {
+                    sig0 = sig;
+                    double t1 = 0;
+                    float m0 = med - 1.5f * sig, m1 = med + 1.5f * sig;
+                    for (int64_t i = lo; i < hi; i++) {
+                        float x = v[i] < m0 ? m0 : (v[i] > m1 ? m1 : v[i]);
+                        t1 += x;
+                    }
+                    double mn = t1 / w;
+                    double var = 0;
+                    for (int64_t i = lo; i < hi; i++) {
+                        float x = v[i] < m0 ? m0 : (v[i] > m1 ? m1 : v[i]);
+                        double d = x - mn; var += d * d;
+                    }
+                    sig = 1.134f * (float)sqrt(var / (w > 1 ? w - 1 : 1));
+                }
+                // clip window with cumulative N-r<=4 guard
+                int64_t ncl = 0, nch = 0;
+                for (int64_t i = lo; i < hi; i++) {
+                    if (med - v[i] > sig * siglow) ncl++;
+                    else break;
+                }
+                for (int64_t i = hi - 1; i >= lo; i--) {
+                    if (v[i] - med > sig * sighigh) nch++;
+                    else break;
+                }
+                int64_t max_acc = w - r - 4; if (max_acc < 0) max_acc = 0;
+                if (ncl > max_acc) ncl = max_acc;
+                if (nch > max_acc - ncl) nch = max_acc - ncl;
+                lo += ncl; hi -= nch; r += ncl + nch;
+                if (ncl + nch == 0 || hi - lo <= 3) break;
+            }
+            double s = 0;
+            for (int64_t i = lo; i < hi; i++) s += v[i];
+            out[px] = hi > lo ? (float)(s / (hi - lo)) : 0.0f;
         }
     }
 }

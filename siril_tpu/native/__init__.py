@@ -72,6 +72,8 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     u16p = ctypes.POINTER(ctypes.c_uint16)
     lib.decode_ljpeg.argtypes = [u8p, i64, u16p, i64, i32p, i32p, i32p]
     lib.decode_ljpeg.restype = ctypes.c_int
+    lib.stack_winsorized.argtypes = [f32p, i64, i64, f32p, f32p,
+                                     ctypes.c_float, ctypes.c_float, f32p]
     return lib
 
 
@@ -181,6 +183,25 @@ def rice_decode_tiles_i16(heap: bytes, offsets: np.ndarray,
             ctypes.POINTER(ctypes.c_int64)),
         ntiles, tile_pix,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+    return out
+
+
+def stack_winsorized(stack: np.ndarray, scale: np.ndarray,
+                     offset: np.ndarray, siglow: float, sighigh: float):
+    """Native OpenMP winsorized rejection + mean over an (N, P) f32
+    stack — the CPU-baseline twin of the reference's hottest loop
+    (mean_and_reject, median_and_mean.c:956).  Returns (P,) f32 or None
+    when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    s = np.ascontiguousarray(stack, np.float32)
+    n, p = s.shape
+    out = np.empty(p, np.float32)
+    lib.stack_winsorized(_f32ptr(s), n, p,
+                         _f32ptr(np.ascontiguousarray(scale, np.float32)),
+                         _f32ptr(np.ascontiguousarray(offset, np.float32)),
+                         float(siglow), float(sighigh), _f32ptr(out))
     return out
 
 
