@@ -119,7 +119,7 @@ def sharded_rejection_kernel(mesh: Mesh, rtype: int, siglow: float,
 def fused_pipeline_step(mesh: Mesh, rtype: int, mode: int,
                         siglow: float, sighigh: float,
                         n_frames: int, height: int, width: int,
-                        interp_method: int = 1):
+                        interp_method: int = 1, shift_warp: bool = False):
     """Multi-chip fused calibrate→warp→stack step (the sharded variant of
     siril_tpu/pipeline.py):
 
@@ -146,16 +146,37 @@ def fused_pipeline_step(mesh: Mesh, rtype: int, mode: int,
     pix_sh = NamedSharding(mesh, P(None, "pix"))
     out_sh = NamedSharding(mesh, P("pix"))
 
+    MARGIN = 8        # |shift| bound for the separable fast path
+
+    def _shift_one(p, d):
+        """Separable bilinear pure-translation warp (the real pipeline's
+        fast path, ops/interp._shift_batch_fn): out(x) = in(x − d)."""
+        sx, sy = -d[0], -d[1]
+        ix = jnp.clip(jnp.floor(sx).astype(jnp.int32), -MARGIN, MARGIN)
+        iy = jnp.clip(jnp.floor(sy).astype(jnp.int32), -MARGIN, MARGIN)
+        fx = sx - ix
+        fy = sy - iy
+        pad = MARGIN + 2
+        big = jnp.pad(p, ((pad, pad), (pad, pad)))
+        base = jax.lax.dynamic_slice(big, (pad + iy, pad + ix),
+                                     (height + 1, width + 1))
+        gy = (1.0 - fy) * base[:height] + fy * base[1:height + 1]
+        return (1.0 - fx) * gy[:, :width] + fx * gy[:, 1:width + 1]
+
     def step(raw_i16, Hinvs, dark, flat, ref_pos):
         x = (raw_i16.astype(jnp.float32) + 32768.0) * (1.0 / 65535.0)
         x = x - dark[None]
         fl = jnp.where(flat == 0.0, 1.0, flat)[None]
         x = jnp.where(flat[None] == 0.0, 0.0, x / fl)
         # per-frame warp: frame-parallel, no cross-chip traffic
-        warped = jax.vmap(
-            lambda p, hi: _warp_body(p[None], hi, height, width,
-                                     interp_method, False)[0]
-        )(x, Hinvs)
+        if shift_warp:
+            # Hinvs carries (N, 2) translations on the fast path
+            warped = jax.vmap(_shift_one)(x, Hinvs)
+        else:
+            warped = jax.vmap(
+                lambda p, hi: _warp_body(p[None], hi, height, width,
+                                         interp_method, False)[0]
+            )(x, Hinvs)
         flat_px = warped.reshape(n_frames, height * width)
         flat_px = jax.lax.with_sharding_constraint(flat_px, pix_sh)
 
