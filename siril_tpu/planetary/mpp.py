@@ -52,6 +52,9 @@ class MPPArgs:
     frame_batch: int = 64
     max_frames: int = 0               # 0 = all
     scale: float = 1.0                # drizzle-like output scale (1–3)
+    search_width: int = 14            # alignment_points_search_width
+    gauss_width: int = 7              # frames_gauss_width
+    penalty_factor: float = 0.00025   # alignment_points_penalty_factor
 
 
 @dataclass
@@ -179,10 +182,23 @@ def mpp_analyze(seq, args: Optional[MPPArgs] = None) -> MPPState:
         acc += shifted.sum(axis=0)
     reference = (acc / n_best).astype(np.float32)
 
-    # 4. AP grid where structure is significant.  Threshold against a
-    # PERCENTILE of the patch energies, not the global max — a sharp
-    # planet limb concentrates the max into a thin arc and a
-    # fraction-of-max rule then rejects every interior box
+    # 4. AP grid where structure is significant
+    aps = _place_aps(reference, args)
+    step = max(int(args.ap_size * (1.0 - args.ap_overlap)), 8)
+    log_message(f"MPP analyze: {len(aps)} alignment points "
+                f"(box {args.ap_size}, step {step})")
+    return MPPState(quality=qual, global_shifts=gshifts,
+                    reference=reference, ap_xy=np.asarray(aps, float),
+                    args=args)
+
+
+def _place_aps(reference: np.ndarray, args: MPPArgs) -> np.ndarray:
+    """AP grid auto-placement (mpp_ap.cpp): keep grid cells whose local
+    gradient energy is significant.  Threshold against a PERCENTILE of
+    the patch energies, not the global max — a sharp planet limb
+    concentrates the max into a thin arc and a fraction-of-max rule then
+    rejects every interior box."""
+    H, W = reference.shape
     gy, gx = np.gradient(reference)
     energy = gx * gx + gy * gy
     step = max(int(args.ap_size * (1.0 - args.ap_overlap)), 8)
@@ -202,11 +218,7 @@ def mpp_analyze(seq, args: Optional[MPPArgs] = None) -> MPPState:
         aps = []
     if not aps:
         aps = [(W // 2, H // 2)]
-    log_message(f"MPP analyze: {len(aps)} alignment points "
-                f"(box {args.ap_size}, step {step})")
-    return MPPState(quality=qual, global_shifts=gshifts,
-                    reference=reference, ap_xy=np.array(aps, float),
-                    args=args)
+    return np.array(aps, float)
 
 
 # ---------------------------------------------------------------------------
@@ -254,7 +266,18 @@ def _ap_corr_fn(S: int):
 
 def mpp_compute_shifts(seq, state: MPPState,
                        args: Optional[MPPArgs] = None) -> MPPState:
+    """Stage B — the TRUE MultiLevelCorrelation shift solve
+    (mpp_shift.cpp + multilevel_correlation, mpp_align.cpp:308): per
+    (frame, AP) two-phase penalty-weighted template-match search, batched
+    as ONE device call per frame chunk (round 2's phase-correlation +
+    neighbor-smoothing approximation is replaced)."""
     import jax.numpy as jnp
+
+    from siril_tpu.planetary.mlc import (
+        blur_gauss,
+        mlc_window_extent,
+        multilevel_correlation_batch,
+    )
 
     args = args or state.args or MPPArgs()
     layer = args.layer
@@ -264,65 +287,63 @@ def mpp_compute_shifts(seq, state: MPPState,
     S = args.ap_size
     half = S // 2
     H, W = state.reference.shape
+    E = mlc_window_extent(args.search_width)
 
-    # reference patches once
-    ref_patches = np.stack([
-        state.reference[int(y) - half:int(y) + half,
-                        int(x) - half:int(x) + half]
-        for x, y in state.ap_xy])
-    ref_patches -= ref_patches.mean(axis=(1, 2), keepdims=True)
-    import jax.numpy as jnp
-
-    ref_dev = jnp.asarray(ref_patches, jnp.float32)   # uploaded ONCE
-
-    ap_shifts = np.zeros((n, A, 2))
-    ap_qual = np.zeros((n, A))
-    corr = _ap_corr_fn(S)
-    # neighbor weight matrix for shift-field smoothing
-    d2 = ((state.ap_xy[:, None, :] - state.ap_xy[None, :, :]) ** 2).sum(-1)
-    sigma = (args.ap_size * (1.0 - args.ap_overlap)) * 1.5
-    _ap_neighbor_w = np.exp(-d2 / (2.0 * sigma * sigma))
-    # patch slice origins on the reference grid (fixed for all frames)
+    # blurred reference boxes, cut once (mpp_shift.cpp:93-95: boxes come
+    # from the post-blur mean frame; first_phase = stride-2 of the box)
+    refb = np.asarray(blur_gauss(jnp.asarray(state.reference,
+                                             jnp.float32)[None],
+                                 args.gauss_width))[0]
     origins = [(int(np.clip(int(y) - half, 0, H - S)),
                 int(np.clip(int(x) - half, 0, W - S)))
                for x, y in state.ap_xy]
+    ref_boxes = np.stack([refb[y0:y0 + S, x0:x0 + S]
+                          for (y0, x0) in origins]).astype(np.float32)
+
+    ap_shifts = np.zeros((n, A, 2))
+    ap_qual = np.zeros((n, A))
     for chunk, frames in _read_frames(seq, indices, layer, args.frame_batch):
         pos = [int(np.nonzero(indices == i)[0][0]) for i in chunk]
-        # globally align the whole frame (one FFT shift) so patches are
+        # globally align the whole frame (one FFT shift) so boxes are
         # extracted on the exact reference grid; only LOCAL shifts remain
+        # (the reference folds the global shift into the box bounds,
+        # mpp_shift.cpp:37-42 — same effect)
         aligned = _subpixel_shift_batch(frames, state.global_shifts[pos])
         B = len(pos)
-        # ONE device call per chunk (not per frame): B×A patches batched
-        # — per-frame round trips through the tunnel dominated at 500
-        # frames × 147 APs
+        # frame_mono_blurred prep + big windows around every AP box
+        blurred = np.asarray(blur_gauss(jnp.asarray(aligned, jnp.float32),
+                                        args.gauss_width))
+        padded = np.pad(blurred, ((0, 0), (E, E), (E, E)), mode="edge")
+        big = np.empty((B, A, S + 2 * E, S + 2 * E), np.float32)
+        for k in range(B):
+            for a, (y0, x0) in enumerate(origins):
+                big[k, a] = padded[k, y0:y0 + S + 2 * E,
+                                   x0:x0 + S + 2 * E]
+        refs_rep = np.broadcast_to(ref_boxes, (B, A, S, S)).reshape(
+            B * A, S, S)
+        dy, dx, ok = multilevel_correlation_batch(
+            big.reshape(B * A, S + 2 * E, S + 2 * E), refs_rep,
+            search_width=args.search_width, gauss_width=args.gauss_width,
+            penalty_factor=args.penalty_factor, subpixel=True)
+        dy = dy.reshape(B, A)
+        dx = dx.reshape(B, A)
+        ok = ok.reshape(B, A)
+        # AP-local quality on the unblurred patches (best-N selection)
         patches_all = np.stack([
             np.stack([aligned[k][y0:y0 + S, x0:x0 + S]
                       for (y0, x0) in origins]) for k in range(B)])
-        pm = patches_all - patches_all.mean(axis=(2, 3), keepdims=True)
-        sh_all, pv_all = corr(
-            jnp.tile(ref_dev, (B, 1, 1)),    # tiled on DEVICE — re-
-            # uploading ~90 MB of identical reference bytes per chunk
-            # would cost more than the correlation itself
-            jnp.asarray(pm.reshape(B * A, S, S)))
-        sh_all = np.asarray(sh_all).reshape(B, A, 2)
-        pv_all = np.asarray(pv_all).reshape(B, A)
         q_all = quality_batch(
             patches_all.reshape(B * A, S, S)).reshape(B, A)
         for k, p in enumerate(pos):
-            # regularize (penalty-matrix equivalent): smooth the shift
-            # field over neighboring APs weighted by correlation peak —
-            # rim/background APs suffer the aperture problem and must
-            # follow their well-constrained neighbors
-            sh = np.clip(sh_all[k], -S / 4, S / 4)
-            w = np.maximum(pv_all[k], 0.0) ** 2
-            num = _ap_neighbor_w @ (sh * w[:, None])
-            den = _ap_neighbor_w @ w
-            sh_smooth = num / np.maximum(den[:, None], 1e-9)
-            ap_shifts[p] = np.clip(sh_smooth, -S / 8, S / 8)
+            # content at ref position x sits at x − dx in the aligned
+            # frame; failed solves fall back to global-only (zero local)
+            ap_shifts[p, :, 0] = np.where(ok[k], dx[k], 0.0)
+            ap_shifts[p, :, 1] = np.where(ok[k], dy[k], 0.0)
             ap_qual[p] = q_all[k]
     state.ap_shifts = ap_shifts
     state.ap_quality = ap_qual
-    log_message(f"MPP shifts: {n} frames × {A} APs")
+    log_message(f"MPP shifts: {n} frames × {A} APs (multilevel "
+                f"correlation, sw={args.search_width})")
     return state
 
 
