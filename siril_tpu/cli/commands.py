@@ -1140,11 +1140,26 @@ def _stack_args_from_flags(pos, flags):
             sa.rejection = rj.REJECTION_NAMES.get(rest[0].lower(),
                                                   rj.WINSORIZED)
             rest = rest[1:]
+        if sa.rejection == rj.GESDT:
+            sa.siglow, sa.sighigh = 0.3, 0.05
+        elif sa.rejection == rj.PERCENTILE:
+            sa.siglow, sa.sighigh = 0.2, 0.1
         if len(rest) >= 2:
             sa.siglow = float(rest[0])
             sa.sighigh = float(rest[1])
-        if sa.rejection == rj.NO_REJEC:
-            pass
+        if sa.siglow < 0 or sa.sighigh < 0:
+            raise CommandError("The average stacking with rejection requires "
+                               "two extra arguments: sigma low and high")
+        # command.c:11909-11917: GESDT takes (max outlier fraction,
+        # significance), PERCENTILE takes quantile bounds — both in [0,1]
+        if sa.rejection == rj.GESDT and (sa.siglow > 1 or sa.sighigh > 1):
+            raise CommandError("Extra parameters of GESDT rejection "
+                               "algorithm must be between 0 and 1, default "
+                               "is 0.3 and 0.05")
+        if sa.rejection == rj.PERCENTILE and (sa.siglow > 1 or sa.sighigh > 1):
+            raise CommandError("Extra parameters of percentile rejection "
+                               "algorithm must be between 0 and 1, default "
+                               "is 0.2 and 0.1")
     if isinstance(flags.get("norm"), str):
         sa.normalize = NORM_NAMES.get(flags["norm"].lower(), 0)
     sa.lite_norm = "fastnorm" in flags

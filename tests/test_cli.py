@@ -95,6 +95,24 @@ class TestBasicCommands:
         assert process_command_line(ctx, "fmul 2") == 0
         np.testing.assert_allclose(ctx.image.host(), 0.6, atol=1e-6)
 
+    def test_stack_rejection_param_validation(self):
+        """command.c:11909-11917: GESDT/percentile params must be in [0,1],
+        with defaults 0.3/0.05 and 0.2/0.1."""
+        from siril_tpu.cli.commands import CommandError, _stack_args_from_flags
+        from siril_tpu.ops import rejection as rj
+
+        sa = _stack_args_from_flags(["s", "rej", "g"], {})
+        assert sa.rejection == rj.GESDT
+        assert (sa.siglow, sa.sighigh) == (0.3, 0.05)
+        sa = _stack_args_from_flags(["s", "rej", "p"], {})
+        assert (sa.siglow, sa.sighigh) == (0.2, 0.1)
+        with pytest.raises(CommandError):
+            _stack_args_from_flags(["s", "rej", "g", "3", "3"], {})
+        with pytest.raises(CommandError):
+            _stack_args_from_flags(["s", "rej", "p", "2", "0.1"], {})
+        sa = _stack_args_from_flags(["s", "rej", "w", "3", "3"], {})
+        assert sa.rejection == rj.WINSORIZED and sa.siglow == 3.0
+
     def test_stretch_commands(self, ctx, rng):
         put_image(ctx, "a.fit", 0.01 + 0.02 * rng.random((1, 32, 32)))
         process_command_line(ctx, "load a.fit")
