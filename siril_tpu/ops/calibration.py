@@ -150,6 +150,29 @@ def make_calibrate_kernel(has_bias: bool, has_dark: bool, has_flat: bool,
     return kernel
 
 
+def make_calibrate_batch_kernel(has_bias: bool, has_dark: bool,
+                                has_flat: bool, has_cc: bool, is_cfa: bool):
+    """Whole-chunk calibrate: ONE program per [chunk, L, H, W] batch with
+    an internal ``lax.map`` over frames.  Per-frame ``chunk[j]`` slicing
+    through the axon tunnel costs ~0.65 s/slice (each slice is its own
+    program execution); the sequential map keeps one frame's cosmetic
+    median intermediate live at a time, same pattern as
+    starfinder chunk_detect."""
+    import jax
+    from jax import lax
+
+    single = make_calibrate_kernel(has_bias, has_dark, has_flat,
+                                   has_cc, is_cfa)
+
+    @jax.jit
+    def kernel(raws, bias, dark, k, flat, inv_flat_mu, cold, hot):
+        return lax.map(
+            lambda f: single(f, bias, dark, k, flat, inv_flat_mu,
+                             cold, hot), raws)
+
+    return kernel
+
+
 def equalize_cfa_flat(flat: np.ndarray) -> np.ndarray:
     """grey_flat: scale the 4 CFA subchannels of a flat to equal means
     (compensate_grey_flat semantics)."""
@@ -244,7 +267,12 @@ def prepare_calibration(args: CalibArgs, sample: SirilImage) -> dict:
         has_cc = ncold + nhot > 0
     st["cold"] = jnp.asarray(cold)
     st["hot"] = jnp.asarray(hot)
+    st["has_cc"] = has_cc
+    st["is_cfa"] = args.is_cfa
     st["kernel"] = make_calibrate_kernel(
+        st["bias"] is not None, st["dark"] is not None,
+        st["flat"] is not None, has_cc, args.is_cfa)
+    st["batch_kernel"] = make_calibrate_batch_kernel(
         st["bias"] is not None, st["dark"] is not None,
         st["flat"] is not None, has_cc, args.is_cfa)
     return st

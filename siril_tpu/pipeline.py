@@ -133,20 +133,22 @@ def fused_preprocess_stack(seq: Sequence, args: Optional[FusedArgs] = None
             dev = jax.device_put(raw)
             if sync_trace:
                 dev.block_until_ready()
-        xf = _decode_fn()(dev) if raw.dtype == np.int16 else jnp.asarray(dev)
-        if cal_state is not None:
-            xf = _calibrate_batch(xf, cal_state)
+        # ONE fused program per chunk: decode + calibrate + detection
+        # stats/candidates.  Splitting these into separate dispatches
+        # (and per-frame slices) costs ~0.5 s per intermediate program
+        # execution through the axon tunnel — fusing them took the
+        # 40×16 Mpix upload+detect phase from ~120 s to ~15 s
+        want_detect = args.register and n > 1
+        prog = _chunk_program(
+            raw.dtype == np.int16, cal_state,
+            want_detect, H, W, args.starfinder, args.max_stars, layer)
+        out = prog(dev, *_calib_operands(cal_state))
+        xf = out[0]
         if sync_trace:
             xf.block_until_ready()
         decoded.append(xf)
-        if args.register and n > 1:
-            # dispatch detection stats+candidates for this chunk now —
-            # async, so it executes while the next chunk DMAs in
-            from siril_tpu.registration.starfinder import chunk_detect
-
-            detect_parts.append(chunk_detect(
-                xf[:, layer], H, W, args.starfinder,
-                max_stars=args.max_stars))
+        if want_detect:
+            detect_parts.append(tuple(out[1:]))
     ahead.shutdown(wait=False)
     # frames stay a LIST of chunk arrays end-to-end: one [N,...] array
     # plus its warped copy would double the HBM footprint (OOM at
@@ -382,19 +384,82 @@ def _decode_fn():
     return run
 
 
-def _calibrate_batch(xf, st):
-    """Apply the fused calibrate kernel to a [chunk, L, H, W] batch."""
+def _calib_operands(st):
+    """Uniform operand tuple for the fused chunk program."""
+    import jax.numpy as jnp
+
+    if st is None:
+        return ()
+    bias = st["bias"] if st["bias"] is not None else jnp.zeros((1, 1, 1))
+    dark = st["dark"] if st["dark"] is not None else jnp.zeros((1, 1, 1))
+    flat = st["flat"] if st["flat"] is not None else jnp.ones((1, 1, 1))
+    return (bias, dark, np.float32(1.0), flat,
+            np.float32(st["inv_flat_mu"]), st["cold"], st["hot"])
+
+
+@functools.lru_cache(maxsize=16)
+def _chunk_program_builder(is_i16, calib_key, want_detect, R, K, sigma,
+                           layer):
     import jax
+    import jax.numpy as jnp
+
+    kern = None
+    if calib_key is not None:
+        from siril_tpu.ops.calibration import make_calibrate_batch_kernel
+
+        kern = make_calibrate_batch_kernel(*calib_key)
+    stats_cand = None
+    if want_detect:
+        from siril_tpu.registration.starfinder import _stats_cand_fn
+
+        stats_cand = _stats_cand_fn(R, K, sigma)
+
+    @jax.jit
+    def run(raw, *cal):
+        xf = (raw.astype(jnp.float32) + 32768.0) * (1.0 / 65535.0) \
+            if is_i16 else raw
+        if kern is not None:
+            xf = kern(xf, *cal)
+        if stats_cand is None:
+            return (xf,)
+        stats, vals, idx = stats_cand(xf[:, layer])
+        return (xf, stats, vals, idx)
+
+    return run
+
+
+def _chunk_program(is_i16, cal_state, want_detect, H, W, p, max_stars,
+                   layer):
+    """ONE jitted program per chunk config: decode + fused calibrate +
+    detection stats/candidates (see the call-site comment on why)."""
+    from siril_tpu.registration.starfinder import detection_radius
+
+    calib_key = None
+    if cal_state is not None:
+        calib_key = (cal_state["bias"] is not None,
+                     cal_state["dark"] is not None,
+                     cal_state["flat"] is not None,
+                     cal_state["has_cc"], cal_state["is_cfa"])
+    R = detection_radius(H, W, p) if want_detect else 0
+    return _chunk_program_builder(is_i16, calib_key, want_detect, R,
+                                  int(max_stars),
+                                  float(p.sigma) if want_detect else 0.0,
+                                  layer)
+
+
+def _calibrate_batch(xf, st):
+    """Apply the fused calibrate kernel to a [chunk, L, H, W] batch in
+    ONE program (per-frame ``xf[j]`` slices each execute as a separate
+    ~0.65 s program through the axon tunnel — 16 of them cost more than
+    the calibration itself)."""
     import jax.numpy as jnp
 
     bias = st["bias"] if st["bias"] is not None else jnp.zeros((1, 1, 1))
     dark = st["dark"] if st["dark"] is not None else jnp.zeros((1, 1, 1))
     flat = st["flat"] if st["flat"] is not None else jnp.ones((1, 1, 1))
-    kern = st["kernel"]
-    outs = [kern(xf[j], bias, dark, np.float32(1.0), flat,
-                 np.float32(st["inv_flat_mu"]), st["cold"], st["hot"])
-            for j in range(xf.shape[0])]
-    return jnp.stack(outs)
+    return st["batch_kernel"](xf, bias, dark, np.float32(1.0), flat,
+                              np.float32(st["inv_flat_mu"]),
+                              st["cold"], st["hot"])
 
 
 @functools.lru_cache(maxsize=4)
