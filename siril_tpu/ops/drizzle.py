@@ -48,13 +48,10 @@ class DrizzleArgs:
     pattern: str = "RGGB"
 
 
-@lru_cache(maxsize=8)
-def _drizzle_fn(out_h: int, out_w: int, kernel: int, taps: int,
+def _frame_core(out_h: int, out_w: int, kernel: int, taps: int,
                 nplanes: int = 1):
-    import jax
     import jax.numpy as jnp
 
-    @jax.jit
     def run(frame, wplane, pid, Hinv, pixfrac, inv_scale):
         """One frame → ([nplanes] out, wht) contributions.
 
@@ -132,6 +129,60 @@ def _drizzle_fn(out_h: int, out_w: int, kernel: int, taps: int,
                         acc[c] = acc[c] + wc * v
                         wht[c] = wht[c] + wc
         return jnp.stack(acc), jnp.stack(wht)
+
+    return run
+
+
+@lru_cache(maxsize=8)
+def _drizzle_fn(out_h: int, out_w: int, kernel: int, taps: int,
+                nplanes: int = 1):
+    import jax
+
+    return jax.jit(_frame_core(out_h, out_w, kernel, taps, nplanes))
+
+
+@lru_cache(maxsize=8)
+def _drizzle_batch_fn(out_h: int, out_w: int, kernel: int, taps: int,
+                      cfa: bool, in_l: int, is_i16: bool):
+    """Chunk-batched accumulate: ONE program per [K, L, H, W] frame
+    chunk — a ``lax.scan`` over frames adds each drizzled contribution
+    into the DONATED acc/wht planes.  Per-frame dispatch costs ~0.65 s
+    of program overhead through the axon tunnel and re-reads the
+    (multi-GB at 24 MP x2) accumulator from HBM per frame; the scan
+    keeps one frame's contribution live at a time and XLA updates
+    acc/wht in place.  ``cfa``: one CFA mosaic plane in → 3 color
+    planes out; otherwise each of the ``in_l`` channels drizzles to its
+    own plane."""
+    import functools as ft
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    nplanes = 3 if cfa else 1
+    core = _frame_core(out_h, out_w, kernel, taps, nplanes)
+
+    @ft.partial(jax.jit, donate_argnums=(0, 1))
+    def run(acc, wht, frames, weights, wplane, pid, Hinvs, pixfrac,
+            inv_scale):
+        def body(carry, xs):
+            a, w = carry
+            f, wt, Hi = xs                     # f: (L, H, W)
+            ff = (f.astype(jnp.float32) + 32768.0) * (1.0 / 65535.0) \
+                if is_i16 else f
+            if cfa:
+                da, dw = core(ff[0], wplane * wt, pid, Hi, pixfrac,
+                              inv_scale)
+            else:
+                parts = [core(ff[c], wplane * wt, pid, Hi, pixfrac,
+                              inv_scale) for c in range(in_l)]
+                da = jnp.concatenate([p[0] for p in parts])
+                dw = jnp.concatenate([p[1] for p in parts])
+            return (a + da, w + dw), None
+
+        (acc, wht), _ = lax.scan(body, (acc, wht),
+                                 (frames, weights, Hinvs))
+        return acc, wht
 
     return run
 
@@ -217,6 +268,45 @@ class DrizzleAccumulator:
                 self.wht = self.wht.at[c].add(wht[0])
         self.nframes += 1
 
+    def add_frames(self, frames: np.ndarray, Hs: np.ndarray,
+                   weights=None, weight_plane=None,
+                   pattern: Optional[str] = None):
+        """Chunk-batched accumulate (ONE device program): ``frames`` is
+        a [K, L, H, W] host array — i16 (u16-coded FITS fast path) or
+        f32 — and ``Hs`` [K, 3, 3] frame→reference transforms.
+        ``pattern``: effective Bayer pattern → CFA drizzle to 3 planes."""
+        import jax.numpy as jnp
+
+        a = self.args
+        K, L = frames.shape[:2]
+        cfa = pattern is not None
+        S = np.array([[a.scale, 0, 0], [0, a.scale, 0], [0, 0, 1.0]],
+                     np.float32)
+        Hinvs = np.stack([np.linalg.inv(S @ Hs[k]).astype(np.float32)
+                          for k in range(K)])
+        inv_scale = 1.0 / a.scale
+        taps = _taps_for(a.kernel, a.pixfrac, inv_scale)
+        wts = (np.ones(K, np.float32) if weights is None
+               else np.asarray(weights, np.float32))
+        wplane = (np.asarray(weight_plane, np.float32)
+                  if weight_plane is not None
+                  else np.ones((1, 1), np.float32))
+        if cfa:
+            from siril_tpu.ops.demosaic import _cfa_masks
+
+            rm, gm, bm = _cfa_masks(pattern, frames.shape[2],
+                                    frames.shape[3])
+            pid = (gm.astype(np.int32) + 2 * bm.astype(np.int32))
+        else:
+            pid = np.zeros((1, 1), np.int32)
+        fn = _drizzle_batch_fn(self.H, self.W, a.kernel, taps, cfa, L,
+                               frames.dtype == np.int16)
+        self.acc, self.wht = fn(
+            self.acc, self.wht, jnp.asarray(frames), jnp.asarray(wts),
+            jnp.asarray(wplane), jnp.asarray(pid), jnp.asarray(Hinvs),
+            np.float32(a.pixfrac), np.float32(inv_scale))
+        self.nframes += K
+
     def finalize(self, want_weight: bool = True
                  ) -> Tuple[SirilImage, Optional[SirilImage]]:
         import jax.numpy as jnp
@@ -243,22 +333,48 @@ class DrizzleAccumulator:
 
 
 def drizzle_sequence(seq, args: Optional[DrizzleArgs] = None,
-                     reglayer: int = 0):
+                     reglayer: int = 0, frame_chunk: int = 8):
     """Drizzle-stack a registered sequence (the applyreg drizzle path,
-    applyreg.c:1111 initialize_drizzle_params)."""
+    applyreg.c:1111 initialize_drizzle_params) without materializing the
+    drizzled frames: chunks of raw frames upload (u16 when the FITS
+    allows) and accumulate in one device program per chunk, with a
+    read-ahead thread hiding disk latency."""
+    import concurrent.futures as cf
+
     args = args or DrizzleArgs()
     reg = seq.reg(reglayer)
     if not reg.valid.any():
         raise ValueError("sequence has no registration data to drizzle")
-    first = seq.read_frame(int(seq.selected_indices()[0]))
-    C = 3 if (args.use_bayer and first.is_cfa()) else first.nchans
+    sel = [int(i) for i in seq.selected_indices() if reg.valid[i]]
+    first = seq.read_frame(sel[0])
+    use_cfa = args.use_bayer and first.is_cfa()
+    pattern = None
+    if use_cfa:
+        from siril_tpu.ops.demosaic import effective_pattern
+
+        pattern = effective_pattern(
+            first.keywords.bayer_pattern or args.pattern,
+            first.keywords.bayer_xoffset, first.keywords.bayer_yoffset)
+    C = 3 if use_cfa else first.nchans
+    L, H_in, W_in = first.nchans, first.height, first.width
     out_shape = (C, int(seq.ry * args.scale), int(seq.rx * args.scale))
     acc = DrizzleAccumulator(out_shape, args)
-    for i in seq.selected_indices():
-        if not reg.valid[i]:
-            continue
-        img = seq.read_frame(int(i))
-        acc.add_frame(img, reg.H[int(i)])
+    from siril_tpu.pipeline import _raw_reader
+
+    read_chunk = _raw_reader(seq, sel, L, H_in, W_in)
+    starts = list(range(0, len(sel), frame_chunk))
+    pool = cf.ThreadPoolExecutor(max_workers=1)
+    pending = pool.submit(read_chunk, 0, min(frame_chunk, len(sel)))
+    for si, start in enumerate(starts):
+        frames = pending.result()
+        if si + 1 < len(starts):
+            s2 = starts[si + 1]
+            pending = pool.submit(read_chunk, s2,
+                                  min(frame_chunk, len(sel) - s2))
+        Hs = np.stack([reg.H[i] for i in
+                       sel[start:start + frames.shape[0]]])
+        acc.add_frames(frames, Hs, pattern=pattern)
+    pool.shutdown(wait=False)
     out, wmap = acc.finalize()
     log_message(f"Drizzle: {acc.nframes} frames → "
                 f"{out.width}x{out.height}")

@@ -96,6 +96,47 @@ class TestBayerDrizzle:
         assert (wmap.host()[:, 4:-4, 4:-4] > 0.1).all()
 
 
+def test_chunked_sequence_matches_per_frame(tmp_path):
+    """drizzle_sequence (chunk-batched scan accumulate, u16 fast path)
+    equals the per-frame add_frame accumulation."""
+    from siril_tpu.cli.context import Session
+    from siril_tpu.io.fits_io import write_fits
+    from siril_tpu.ops.demosaic import _cfa_masks
+    from siril_tpu.ops.drizzle import drizzle_sequence
+
+    rng = np.random.default_rng(5)
+    h, w = 24, 32
+    rm, gm, bm = _cfa_masks("RGGB", h, w)
+    imgs = []
+    for i in range(5):
+        cfa = rng.uniform(0.1, 0.6, (h, w)).astype(np.float32)
+        img = SirilImage(data=cfa[None])
+        img.keywords.bayer_pattern = "RGGB"
+        imgs.append(img)
+        write_fits(img, str(tmp_path / f"dc_{i + 1:05d}.fit"),
+                   bitdepth=16)
+    ctx = Session(cwd=str(tmp_path))
+    seq = ctx.load_sequence("dc_")
+    seq.nb_layers = 1
+    reg = seq.reg(0)
+    Hs = [shift_H(0.3 * k, -0.2 * k) for k in range(5)]
+    for k in range(5):
+        reg.H[k] = Hs[k]
+        reg.valid[k] = True
+    seq.save()
+    args = DrizzleArgs(scale=2.0, pixfrac=0.8, use_bayer=True)
+    out, wmap = drizzle_sequence(seq, args, frame_chunk=2)
+
+    ref_acc = DrizzleAccumulator((3, 2 * h, 2 * w), args)
+    for k in range(5):
+        # round-trip through the u16 FITS quantization like the reader
+        img = seq.read_frame(k)
+        ref_acc.add_frame(img, Hs[k])
+    ref, ref_w = ref_acc.finalize()
+    np.testing.assert_allclose(out.host(), ref.host(), atol=2e-5)
+    np.testing.assert_allclose(wmap.host(), ref_w.host(), atol=2e-5)
+
+
 def test_seqapplyreg_drizzle_outputs_sequence(tmp_path):
     """seqapplyreg -drizzle writes a per-frame drizzled sequence
     (applyreg.c drizzle path), not a combined stack."""
