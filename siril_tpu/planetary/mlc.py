@@ -125,10 +125,11 @@ def _tm_ccoeff_normed(windows, templ):
     return jnp.where(denom > 1e-12, corr / jnp.maximum(denom, 1e-12), 0.0)
 
 
-@functools.lru_cache(maxsize=32)
-def _mlc_fn(box: int, sw1: int, sw2: int, gauss_width: int,
-            penalty_factor: float, subpixel: bool):
-    """Jitted batched two-phase solver for one static geometry.
+def mlc_core(box: int, sw1: int, sw2: int, gauss_width: int,
+             penalty_factor: float, subpixel: bool):
+    """Pure (un-jitted) batched two-phase solver for one static geometry
+    — composable into larger fused programs (the MPP shift stage runs
+    it inside ONE chunk program together with align/blur/window-cut).
 
     Input: big windows (B, box+2·E, box+2·E) where E = index_ext + sw2 =
     2·sw1 + sw2, cut from the BLURRED frame centred on each AP box, and
@@ -144,7 +145,6 @@ def _mlc_fn(box: int, sw1: int, sw2: int, gauss_width: int,
     pen = jnp.asarray(penalty_matrix(sw1, penalty_factor))
     design = jnp.asarray(_subpixel_design())
 
-    @jax.jit
     def run(big, ref_full, ref_p1):
         B = big.shape[0]
         # ---- phase 1: stride-2 + blur, penalty-weighted argmax --------
@@ -223,6 +223,15 @@ def _mlc_fn(box: int, sw1: int, sw2: int, gauss_width: int,
         return y_tot, x_tot, success
 
     return run
+
+
+@functools.lru_cache(maxsize=32)
+def _mlc_fn(box: int, sw1: int, sw2: int, gauss_width: int,
+            penalty_factor: float, subpixel: bool):
+    import jax
+
+    return jax.jit(mlc_core(box, sw1, sw2, gauss_width, penalty_factor,
+                            subpixel))
 
 
 def multilevel_correlation_batch(big_windows, ref_boxes, *,

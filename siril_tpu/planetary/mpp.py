@@ -114,21 +114,25 @@ def _subpixel_shift_batch(frames, shifts):
         jnp.asarray(frames, jnp.float32), jnp.asarray(shifts, jnp.float32)))
 
 
+def _shift_core(frames, shifts):
+    """Pure Fourier phase-ramp shift, (N, H, W) × (N, 2 dx,dy) —
+    composable into fused chunk programs."""
+    import jax.numpy as jnp
+
+    H, W = frames.shape[1], frames.shape[2]
+    fy = jnp.fft.fftfreq(H)[None, :, None]
+    fx = jnp.fft.rfftfreq(W)[None, None, :]
+    F = jnp.fft.rfft2(frames)
+    phase = jnp.exp(-2j * jnp.pi * (shifts[:, 0, None, None] * fx +
+                                    shifts[:, 1, None, None] * fy))
+    return jnp.fft.irfft2(F * phase, s=(H, W))
+
+
 @lru_cache(maxsize=8)
 def _cached_shift_fn(H: int, W: int):
     import jax
-    import jax.numpy as jnp
 
-    @jax.jit
-    def run(frames, shifts):
-        fy = jnp.fft.fftfreq(H)[None, :, None]
-        fx = jnp.fft.rfftfreq(W)[None, None, :]
-        F = jnp.fft.rfft2(frames)
-        phase = jnp.exp(-2j * jnp.pi * (shifts[:, 0, None, None] * fx +
-                                        shifts[:, 1, None, None] * fy))
-        return jnp.fft.irfft2(F * phase, s=(H, W))
-
-    return run
+    return jax.jit(_shift_core)
 
 
 # ---------------------------------------------------------------------------
@@ -264,20 +268,65 @@ def _ap_corr_fn(S: int):
     return run
 
 
+@lru_cache(maxsize=8)
+def _shift_stage_fn(S: int, E: int, gauss_width: int, sw1: int, sw2: int,
+                    penalty_factor: float):
+    """Stage-B fused chunk program: global FFT align → Gaussian blur →
+    per-AP window cut (vmap dynamic_slice) → MultiLevelCorrelation →
+    AP-patch quality, ALL on device.  The round-2 committed version
+    fetched blurred frames, built the 9400+ windows per chunk in Python
+    loops and re-uploaded ~300 MB/chunk — through the slow axon tunnel
+    that dominated stage B.  Only tiny (B, A) results leave the device."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from siril_tpu.planetary.mlc import blur_gauss, mlc_core
+    from siril_tpu.planetary.quality import quality_core
+
+    core = mlc_core(S, sw1, sw2, gauss_width, penalty_factor, True)
+    WN = S + 2 * E
+
+    @jax.jit
+    def run(frames, gshifts, ref_full, ref_p1, oy, ox):
+        B = frames.shape[0]
+        A = oy.shape[0]
+        aligned = _shift_core(frames, gshifts)
+        blurred = blur_gauss(aligned, gauss_width)
+        padded = jnp.pad(blurred, ((0, 0), (E, E), (E, E)), mode="edge")
+
+        def cutw(p):
+            return jax.vmap(lambda y0, x0: lax.dynamic_slice(
+                p, (y0, x0), (WN, WN)))(oy, ox)
+
+        big = jax.vmap(cutw)(padded).reshape(B * A, WN, WN)
+        refs = jnp.broadcast_to(ref_full[None], (B, A, S, S)
+                                ).reshape(B * A, S, S)
+        refs1 = jnp.broadcast_to(ref_p1[None], (B,) + ref_p1.shape
+                                 ).reshape((B * A,) + ref_p1.shape[1:])
+        dy, dx, ok = core(big, refs, refs1)
+
+        def cutp(fr):
+            return jax.vmap(lambda y0, x0: lax.dynamic_slice(
+                fr, (y0, x0), (S, S)))(oy, ox)
+
+        patches = jax.vmap(cutp)(aligned).reshape(B * A, S, S)
+        q = quality_core(patches)
+        return (dy.reshape(B, A), dx.reshape(B, A), ok.reshape(B, A),
+                q.reshape(B, A))
+
+    return run
+
+
 def mpp_compute_shifts(seq, state: MPPState,
                        args: Optional[MPPArgs] = None) -> MPPState:
     """Stage B — the TRUE MultiLevelCorrelation shift solve
     (mpp_shift.cpp + multilevel_correlation, mpp_align.cpp:308): per
-    (frame, AP) two-phase penalty-weighted template-match search, batched
-    as ONE device call per frame chunk (round 2's phase-correlation +
-    neighbor-smoothing approximation is replaced)."""
+    (frame, AP) two-phase penalty-weighted template-match search, ONE
+    fused device program per frame chunk (see _shift_stage_fn)."""
     import jax.numpy as jnp
 
-    from siril_tpu.planetary.mlc import (
-        blur_gauss,
-        mlc_window_extent,
-        multilevel_correlation_batch,
-    )
+    from siril_tpu.planetary.mlc import blur_gauss, mlc_window_extent
 
     args = args or state.args or MPPArgs()
     layer = args.layer
@@ -288,6 +337,8 @@ def mpp_compute_shifts(seq, state: MPPState,
     half = S // 2
     H, W = state.reference.shape
     E = mlc_window_extent(args.search_width)
+    sw2 = 4
+    sw1 = (args.search_width - sw2) // 2
 
     # blurred reference boxes, cut once (mpp_shift.cpp:93-95: boxes come
     # from the post-blur mean frame; first_phase = stride-2 of the box)
@@ -299,47 +350,39 @@ def mpp_compute_shifts(seq, state: MPPState,
                for x, y in state.ap_xy]
     ref_boxes = np.stack([refb[y0:y0 + S, x0:x0 + S]
                           for (y0, x0) in origins]).astype(np.float32)
+    oy = np.asarray([o[0] for o in origins], np.int32)
+    ox = np.asarray([o[1] for o in origins], np.int32)
+    ref_d = jnp.asarray(ref_boxes)
+    ref_p1_d = jnp.asarray(ref_boxes[:, ::2, ::2])
+    oy_d = jnp.asarray(oy)
+    ox_d = jnp.asarray(ox)
+    fn = _shift_stage_fn(S, E, int(args.gauss_width), sw1, sw2,
+                         float(args.penalty_factor))
 
+    B0 = args.frame_batch
     ap_shifts = np.zeros((n, A, 2))
     ap_qual = np.zeros((n, A))
-    for chunk, frames in _read_frames(seq, indices, layer, args.frame_batch):
+    for chunk, frames in _read_frames(seq, indices, layer, B0):
         pos = [int(np.nonzero(indices == i)[0][0]) for i in chunk]
-        # globally align the whole frame (one FFT shift) so boxes are
-        # extracted on the exact reference grid; only LOCAL shifts remain
-        # (the reference folds the global shift into the box bounds,
-        # mpp_shift.cpp:37-42 — same effect)
-        aligned = _subpixel_shift_batch(frames, state.global_shifts[pos])
         B = len(pos)
-        # frame_mono_blurred prep + big windows around every AP box
-        blurred = np.asarray(blur_gauss(jnp.asarray(aligned, jnp.float32),
-                                        args.gauss_width))
-        padded = np.pad(blurred, ((0, 0), (E, E), (E, E)), mode="edge")
-        big = np.empty((B, A, S + 2 * E, S + 2 * E), np.float32)
-        for k in range(B):
-            for a, (y0, x0) in enumerate(origins):
-                big[k, a] = padded[k, y0:y0 + S + 2 * E,
-                                   x0:x0 + S + 2 * E]
-        refs_rep = np.broadcast_to(ref_boxes, (B, A, S, S)).reshape(
-            B * A, S, S)
-        dy, dx, ok = multilevel_correlation_batch(
-            big.reshape(B * A, S + 2 * E, S + 2 * E), refs_rep,
-            search_width=args.search_width, gauss_width=args.gauss_width,
-            penalty_factor=args.penalty_factor, subpixel=True)
-        dy = dy.reshape(B, A)
-        dx = dx.reshape(B, A)
-        ok = ok.reshape(B, A)
-        # AP-local quality on the unblurred patches (best-N selection)
-        patches_all = np.stack([
-            np.stack([aligned[k][y0:y0 + S, x0:x0 + S]
-                      for (y0, x0) in origins]) for k in range(B)])
-        q_all = quality_batch(
-            patches_all.reshape(B * A, S, S)).reshape(B, A)
+        gsh = state.global_shifts[pos].astype(np.float32)
+        if B < B0:      # pad the tail chunk: ONE compiled shape
+            frames = np.concatenate(
+                [frames, np.zeros((B0 - B,) + frames.shape[1:],
+                                  frames.dtype)])
+            gsh = np.concatenate([gsh, np.zeros((B0 - B, 2), np.float32)])
+        dy, dx, ok, q = fn(jnp.asarray(frames, jnp.float32),
+                           jnp.asarray(gsh), ref_d, ref_p1_d, oy_d, ox_d)
+        dy = np.asarray(dy)[:B]
+        dx = np.asarray(dx)[:B]
+        ok = np.asarray(ok)[:B]
+        q = np.asarray(q)[:B]
         for k, p in enumerate(pos):
             # content at ref position x sits at x − dx in the aligned
             # frame; failed solves fall back to global-only (zero local)
             ap_shifts[p, :, 0] = np.where(ok[k], dx[k], 0.0)
             ap_shifts[p, :, 1] = np.where(ok[k], dy[k], 0.0)
-            ap_qual[p] = q_all[k]
+            ap_qual[p] = q[k]
     state.ap_shifts = ap_shifts
     state.ap_quality = ap_qual
     log_message(f"MPP shifts: {n} frames × {A} APs (multilevel "
@@ -352,8 +395,44 @@ def mpp_compute_shifts(seq, state: MPPState,
 # ---------------------------------------------------------------------------
 
 
+@lru_cache(maxsize=8)
+def _stack_stage_fn(S: int):
+    """Stage-C fused chunk program: global FFT align → per-(frame, AP)
+    patch cut at the solved integer origin → batched sub-pixel residual
+    shift → selection-masked accumulate into the DONATED per-AP sum
+    planes.  Only the (A, S, S) sums ever leave the device (once, at the
+    end) — the round-2 committed version fetched every aligned frame and
+    every shifted patch through the slow tunnel."""
+    import functools as ft
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @ft.partial(jax.jit, donate_argnums=(0,))
+    def run(acc_ap, frames, gshifts, iy, ix, resid, selmask):
+        B, A = iy.shape
+        aligned = _shift_core(frames, gshifts)
+
+        def cutp(fr, iyr, ixr):
+            return jax.vmap(lambda y0, x0: lax.dynamic_slice(
+                fr, (y0, x0), (S, S)))(iyr, ixr)
+
+        patches = jax.vmap(cutp)(aligned, iy, ix).reshape(-1, S, S)
+        # subpixel residual centering: the desired center sits at patch
+        # coord half+resid; move content by −resid
+        shifted = _shift_core(patches, -resid.reshape(-1, 2))
+        shifted = shifted.reshape(B, A, S, S) * \
+            selmask[:, :, None, None]
+        return acc_ap + shifted.sum(0)
+
+    return run
+
+
 def mpp_stack(seq, state: MPPState,
               args: Optional[MPPArgs] = None) -> SirilImage:
+    import jax.numpy as jnp
+
     args = args or state.args or MPPArgs()
     layer = args.layer
     indices = seq.selected_indices()[: len(state.quality)]
@@ -366,61 +445,54 @@ def mpp_stack(seq, state: MPPState,
     n_keep = max(int(round(n * args.stack_best_pct / 100.0)), 1)
     # per-AP frame selection by local quality
     sel = np.argsort(-state.ap_quality, axis=0)[:n_keep]     # (n_keep, A)
+    selm = np.zeros((n, A), np.float32)
+    np.put_along_axis(selm, sel, 1.0, axis=0)
 
+    xs = state.ap_xy[None, :, 0]
+    ys = state.ap_xy[None, :, 1]
+    fn = _stack_stage_fn(S)
+    acc_ap = jnp.zeros((A, S, S), jnp.float32)
+    B0 = args.frame_batch
+    for chunk, frames in _read_frames(seq, indices, layer, B0):
+        pos = [int(np.nonzero(indices == i)[0][0]) for i in chunk]
+        B = len(pos)
+        # local content at ref position x sits at x − lx in the
+        # globally-aligned frame
+        cx = xs - state.ap_shifts[pos, :, 0]
+        cy = ys - state.ap_shifts[pos, :, 1]
+        ix = np.clip(np.round(cx) - half, 0, W - S).astype(np.int32)
+        iy = np.clip(np.round(cy) - half, 0, H - S).astype(np.int32)
+        resid = np.stack([cx - (ix + half), cy - (iy + half)],
+                         -1).astype(np.float32)
+        gsh = state.global_shifts[pos].astype(np.float32)
+        smk = selm[pos]
+        if B < B0:      # pad the tail chunk: ONE compiled shape
+            pad = B0 - B
+            frames = np.concatenate(
+                [frames, np.zeros((pad,) + frames.shape[1:],
+                                  frames.dtype)])
+            gsh = np.concatenate([gsh, np.zeros((pad, 2), np.float32)])
+            iy = np.concatenate([iy, np.zeros((pad, A), np.int32)])
+            ix = np.concatenate([ix, np.zeros((pad, A), np.int32)])
+            resid = np.concatenate(
+                [resid, np.zeros((pad, A, 2), np.float32)])
+            smk = np.concatenate([smk, np.zeros((pad, A), np.float32)])
+        acc_ap = fn(acc_ap, jnp.asarray(frames, jnp.float32),
+                    jnp.asarray(gsh), jnp.asarray(iy), jnp.asarray(ix),
+                    jnp.asarray(resid), jnp.asarray(smk))
+
+    # final assembly on host: 147-odd windowed patch placements
+    ap_sums = np.asarray(acc_ap, np.float64)
     win = (np.hanning(S)[:, None] * np.hanning(S)[None, :]).astype(np.float64)
     acc = np.zeros((H, W), np.float64)
     wacc = np.zeros((H, W), np.float64)
-
-    # iterate frames (stream once), accumulate the APs that selected them
-    use_by_frame = {}
+    counts = selm.sum(0)                                     # (A,)
     for a in range(A):
-        for r in range(n_keep):
-            p = int(sel[r, a])
-            use_by_frame.setdefault(p, []).append(a)
-
-    for chunk, frames in _read_frames(seq, indices, layer, args.frame_batch):
-        pos = [int(np.nonzero(indices == i)[0][0]) for i in chunk]
-        aligned = _subpixel_shift_batch(frames, state.global_shifts[pos])
-        # gather every selected AP patch of the whole chunk, then ONE
-        # bucketed device call — a per-frame shift call meant a device
-        # round trip AND a fresh compile per distinct AP count
-        chunk_patches, chunk_resid, chunk_aps = [], [], []
-        for k, p in enumerate(pos):
-            aps = use_by_frame.get(p)
-            if not aps:
-                continue
-            fr = aligned[k]
-            for a in aps:
-                x, y = state.ap_xy[a]
-                lx, ly = state.ap_shifts[p, a]
-                # local content at ref position x sits at x − lx in the
-                # globally-aligned frame
-                cx = x - lx
-                cy = y - ly
-                ix = int(np.clip(round(cx) - half, 0, W - S))
-                iy = int(np.clip(round(cy) - half, 0, H - S))
-                chunk_patches.append(fr[iy:iy + S, ix:ix + S])
-                # subpixel residual centering: the desired center sits
-                # at patch coord half+resid; move content by −resid
-                chunk_resid.append((cx - (ix + half), cy - (iy + half)))
-                chunk_aps.append(a)
-        if not chunk_patches:
-            continue
-        allp = np.stack(chunk_patches).astype(np.float32)
-        allr = np.asarray(chunk_resid, np.float32)
-        T = len(allp)
-        T2 = 1 << max(int(np.ceil(np.log2(max(T, 1)))), 6)
-        if T2 != T:                       # bucket: one compile per size
-            allp = np.concatenate(
-                [allp, np.zeros((T2 - T, S, S), np.float32)])
-            allr = np.concatenate([allr, np.zeros((T2 - T, 2), np.float32)])
-        shifted = _subpixel_shift_batch(allp, -allr)[:T]
-        for j, a in enumerate(chunk_aps):
-            x, y = state.ap_xy[a].astype(int)
-            y0 = int(np.clip(y - half, 0, H - S))
-            x0 = int(np.clip(x - half, 0, W - S))
-            acc[y0:y0 + S, x0:x0 + S] += shifted[j] * win
-            wacc[y0:y0 + S, x0:x0 + S] += win
+        x, y = state.ap_xy[a].astype(int)
+        y0 = int(np.clip(y - half, 0, H - S))
+        x0 = int(np.clip(x - half, 0, W - S))
+        acc[y0:y0 + S, x0:x0 + S] += ap_sums[a] * win
+        wacc[y0:y0 + S, x0:x0 + S] += win * counts[a]
 
     out = np.where(wacc > 1e-6, acc / np.maximum(wacc, 1e-6),
                    state.reference).astype(np.float32)

@@ -17,32 +17,36 @@ QSUBSAMPLE_MIN = 2
 QSUBSAMPLE_MAX = 3
 
 
+def quality_core(frames):
+    """Pure (un-jitted) quality estimator, (N, H, W) → (N,) — composable
+    into fused programs (the MPP shift stage scores AP patches inside
+    its one-per-chunk program)."""
+    import jax.numpy as jnp
+
+    def one_scale(x, sub):
+        xs = x[:, ::sub, ::sub]
+        # 3×3 box smooth (the reference's _smooth_image_16)
+        p = jnp.pad(xs, ((0, 0), (1, 1), (1, 1)), mode="edge")
+        sm = sum(p[:, 1 + dy:p.shape[1] - 1 + dy,
+                   1 + dx:p.shape[2] - 1 + dx]
+                 for dy in (-1, 0, 1) for dx in (-1, 0, 1)) / 9.0
+        gx = sm[:, :, 1:] - sm[:, :, :-1]
+        gy = sm[:, 1:, :] - sm[:, :-1, :]
+        g2 = (gx[:, :-1, :] ** 2).sum(axis=(1, 2)) + \
+            (gy[:, :, :-1] ** 2).sum(axis=(1, 2))
+        n = xs.shape[1] * xs.shape[2]
+        return g2 / n
+
+    q = sum(one_scale(frames, s)
+            for s in range(QSUBSAMPLE_MIN, QSUBSAMPLE_MAX + 1))
+    return q / (QSUBSAMPLE_MAX - QSUBSAMPLE_MIN + 1)
+
+
 @lru_cache(maxsize=4)
 def _quality_fn(h: int, w: int):
     import jax
-    import jax.numpy as jnp
 
-    @jax.jit
-    def run(frames):
-        def one_scale(x, sub):
-            xs = x[:, ::sub, ::sub]
-            # 3×3 box smooth (the reference's _smooth_image_16)
-            p = jnp.pad(xs, ((0, 0), (1, 1), (1, 1)), mode="edge")
-            sm = sum(p[:, 1 + dy:p.shape[1] - 1 + dy,
-                       1 + dx:p.shape[2] - 1 + dx]
-                     for dy in (-1, 0, 1) for dx in (-1, 0, 1)) / 9.0
-            gx = sm[:, :, 1:] - sm[:, :, :-1]
-            gy = sm[:, 1:, :] - sm[:, :-1, :]
-            g2 = (gx[:, :-1, :] ** 2).sum(axis=(1, 2)) + \
-                (gy[:, :, :-1] ** 2).sum(axis=(1, 2))
-            n = xs.shape[1] * xs.shape[2]
-            return g2 / n
-
-        q = sum(one_scale(frames, s)
-                for s in range(QSUBSAMPLE_MIN, QSUBSAMPLE_MAX + 1))
-        return q / (QSUBSAMPLE_MAX - QSUBSAMPLE_MIN + 1)
-
-    return run
+    return jax.jit(quality_core)
 
 
 def quality_batch(frames: np.ndarray) -> np.ndarray:
