@@ -330,6 +330,10 @@ class SirilInterface:
         return os.path.join(os.path.dirname(siril_tpu.__file__), "data")
 
     def get_siril_config(self, group: str, key: str):
+        if (group, key) == ("core", "extension"):
+            return self.ctx.ext
+        if group == "core" and key == "wd":
+            return self.ctx.cwd
         return getattr(self.ctx.prefs, key, None)
 
     # ---- full-image / frame models ----
@@ -359,10 +363,13 @@ class SirilInterface:
                 "date_obs": seq.date_obs[frame]
                 if frame < len(seq.date_obs) else None,
                 "airmass": float(seq.airmass[frame])
-                if frame < len(seq.airmass) else 0.0}
+                if frame < len(seq.airmass) else 0.0,
+                "rx": int(seq.rx), "ry": int(seq.ry)}
 
-    def set_seq_frame_pixeldata(self, frame: int, data: np.ndarray) -> None:
-        """Overwrite one frame of a file-list sequence (sirilpy:2161)."""
+    def set_seq_frame_pixeldata(self, frame: int, data: np.ndarray,
+                                prefix: Optional[str] = None) -> None:
+        """Overwrite one frame of a file-list sequence, or save it with a
+        new ``prefix`` for a to-be-created sequence (sirilpy:2161)."""
         from siril_tpu.core.image import ensure_chw
         from siril_tpu.io.fits_io import write_fits
 
@@ -373,6 +380,9 @@ class SirilInterface:
                              "writable (SER/FITSEQ)")
         img = seq.read_frame(frame)
         out = img.copy(data=ensure_chw(np.asarray(data, np.float32)))
+        if prefix:
+            d, base = os.path.split(path)
+            path = os.path.join(d, prefix + base)
         write_fits(out, path, bitdepth=out.orig_bitdepth)
         seq.close_readers()
 
@@ -457,8 +467,12 @@ class SirilInterface:
         base = os.path.join(self.ctx.cwd,
                             f"plot_{int(_t.monotonic() * 1000) & 0xFFFFFF}")
         if isinstance(plot_data, dict):
-            xs = plot_data.get("x", [])
-            ys = plot_data.get("y", [])
+            if plot_data.get("series"):            # wire PlotData payload
+                s0 = plot_data["series"][0]
+                xs, ys = s0.get("x", []), s0.get("y", [])
+            else:
+                xs = plot_data.get("x", [])
+                ys = plot_data.get("y", [])
             title = plot_data.get("title", "plot")
         else:
             xs, ys = plot_data
@@ -486,10 +500,46 @@ class SirilInterface:
     # ---- background samples (sirilpy:1918-2048, 3862) ----
     def set_image_bgsamples(self, points, show_samples: bool = False,
                             recalculate: bool = True) -> None:
-        pts = [(float(p[0]), float(p[1])) for p in
-               (points if not hasattr(points[0], "position")
-                else [s.position for s in points])]
-        self.ctx.bg_samples = pts
+        """Store background samples; like the reference, sample stats
+        are (re)computed from the image patch around each position
+        (background_extraction.c sample semantics)."""
+        def as_dict(p):
+            if isinstance(p, dict):
+                return dict(p)
+            if hasattr(p, "position"):
+                return {"position": tuple(p.position),
+                        "median": tuple(getattr(p, "median", (0, 0, 0))),
+                        "mean": float(getattr(p, "mean", 0.0)),
+                        "min": float(getattr(p, "min", 0.0)),
+                        "max": float(getattr(p, "max", 0.0)),
+                        "size": int(getattr(p, "size", 25)),
+                        "valid": bool(getattr(p, "valid", True))}
+            return {"position": (float(p[0]), float(p[1]))}
+        samples = [as_dict(p) for p in points]
+        img = self.ctx.image
+        for s in samples:
+            s.setdefault("size", 25)
+            s.setdefault("valid", True)
+            if (recalculate or "median" not in s) and img is not None:
+                x, y = s["position"]
+                half = int(s["size"]) // 2
+                data = img.host()
+                y0 = max(int(round(y)) - half, 0)
+                x0 = max(int(round(x)) - half, 0)
+                patch = data[:, y0:y0 + s["size"], x0:x0 + s["size"]]
+                if patch.size:
+                    med = [float(np.median(patch[c]))
+                           for c in range(patch.shape[0])]
+                    med += [0.0] * (3 - len(med))
+                    s["median"] = tuple(med[:3])
+                    s["mean"] = float(patch.mean())
+                    s["min"] = float(patch.min())
+                    s["max"] = float(patch.max())
+            s.setdefault("median", (0.0, 0.0, 0.0))
+            s.setdefault("mean", 0.0)
+            s.setdefault("min", 0.0)
+            s.setdefault("max", 0.0)
+        self.ctx.bg_samples = samples
 
     def get_image_bgsamples(self):
         return getattr(self.ctx, "bg_samples", [])
@@ -504,10 +554,13 @@ class SirilInterface:
             polys = self.ctx.overlay_polygons = {}
         pid = (max(polys) + 1) if polys else 1
         polys[pid] = polygon
-        try:
-            polygon.polygon_id = pid
-        except AttributeError:
-            pass
+        if isinstance(polygon, dict):
+            polygon["polygon_id"] = pid
+        else:
+            try:
+                polygon.polygon_id = pid
+            except AttributeError:
+                pass
         return polygon
 
     def overlay_delete_polygon(self, polygon_id: int) -> None:
@@ -564,19 +617,49 @@ class SirilInterface:
                         else os.path.join(self.ctx.cwd, path))
 
     def save_image_file(self, img: SirilImage, path: str,
-                        bitdepth: Optional[int] = None) -> None:
+                        bitdepth: Optional[int] = None,
+                        header: Optional[str] = None) -> None:
         from siril_tpu.io.fits_io import write_fits
 
+        if header:
+            for line in header.splitlines():
+                if "=" not in line:
+                    continue
+                k, _, v = line.partition("=")
+                v = v.split("/")[0].strip().strip("'\" ")
+                img.keywords.extra[k.strip().upper()] = v
         p = path if os.path.isabs(path) else os.path.join(self.ctx.cwd, path)
         write_fits(img, p, bitdepth=bitdepth or img.orig_bitdepth)
 
     def analyse_image_from_file(self, path: str) -> dict:
+        """Image culling metrics (siril_pythonmodule ANALYSE_IMAGE_FILE):
+        noise + star stats + dimensions."""
         from siril_tpu.ops.statistics import STATS_MAIN, compute_stats_np
+        from siril_tpu.registration.starfinder import (
+            StarFinderParams,
+            detect_stars,
+        )
 
         img = self.load_image_from_file(path)
         s = compute_stats_np(img.host()[0], STATS_MAIN)
+        try:
+            stars = detect_stars(img.host()[0], StarFinderParams())
+        except Exception:
+            stars = []
+        fwhms = [st.fwhmx for st in stars if st.fwhmx > 0]
+        rnds = [st.fwhmy / st.fwhmx for st in stars if st.fwhmx > 0]
+        from siril_tpu.pythonmodule.wire_formats import _ts
+
         return {"shape": (img.nchans, img.height, img.width),
-                "mean": s.mean, "median": s.median, "bgnoise": s.bgnoise}
+                "mean": s.mean, "median": s.median, "bgnoise": s.bgnoise,
+                "fwhm": float(np.median(fwhms)) if fwhms else 0.0,
+                "wfwhm": float(np.median(fwhms)) if fwhms else 0.0,
+                "nbstars": len(stars),
+                "roundness": float(np.median(rnds)) if rnds else 0.0,
+                "imagetype": 0,
+                "timestamp": _ts(img.keywords.date_obs),
+                "channels": img.nchans, "height": img.height,
+                "width": img.width, "filter": img.keywords.filter}
 
     def create_new_seq(self, name: str, files: Sequence[str]):
         from siril_tpu.core.sequence import Sequence as Seq
@@ -609,7 +692,7 @@ class SirilInterface:
     # ---- display-state holders (GUI-only in the reference; kept as
     # session state so scripts round-trip: sirilpy:4942-5292) ----
     def get_siril_slider_state(self):
-        return getattr(self.ctx, "_slider_state", (0.0, 1.0, "linear"))
+        return getattr(self.ctx, "_slider_state", (0, 65535, 0))
 
     def set_siril_slider_mode(self, mode) -> None:
         lo, hi, _ = self.get_siril_slider_state()
@@ -620,7 +703,7 @@ class SirilInterface:
         self.ctx._slider_state = (lo, hi, mode)
 
     def get_siril_stf(self):
-        return getattr(self.ctx, "_stf", None)
+        return getattr(self.ctx, "_stf", 0) or 0
 
     def set_siril_stf(self, stf) -> None:
         self.ctx._stf = stf
