@@ -36,6 +36,18 @@ def load_any(path: str) -> SirilImage:
         from siril_tpu.io.dng import read_dng
 
         return read_dng(path)
+    if ext == ".cr2":
+        from siril_tpu.io.rawfile import read_cr2
+
+        return read_cr2(path)
+    if ext == ".nef":
+        from siril_tpu.io.rawfile import read_nef
+
+        return read_nef(path)
+    if ext in (".heic", ".heif"):
+        from siril_tpu.io.rawfile import read_heif
+
+        return read_heif(path)
     if ext in PIL_EXT:
         from PIL import Image
 

@@ -1,0 +1,304 @@
+"""Proprietary DSLR raw import: Canon CR2 and Nikon NEF (reference:
+libraw via ``src/io/image_formats_libraries.c`` open_raw_files; this
+module parses the two most common raw containers natively, reusing the
+DNG module's TIFF walker and the native lossless-JPEG (SOF3) decoder).
+
+CR2: TIFF container with magic "CR\\x02\\x00" at offset 8.  IFD3 holds
+the sensor data as one lossless-JPEG stream; the ``cr2_slice`` tag
+(0xC640 = [count, w1, w2]) describes the vertical slicing the decoder
+output must be re-assembled from (column slices filled in stream
+order).  Black level comes from the masked left border when present,
+else Canon's nominal per-bit-depth pedestal.
+
+NEF: TIFF container, Make = NIKON; the raw SubIFD uses compression 1
+with Nikon's LSB-first 12/14-bit packing (NOT TIFF6 MSB packing —
+2 px / 3 B at 12-bit, 4 px / 7 B at 14-bit) or plain 16-bit.
+Nikon-compressed NEFs (34713, huffman+curve) are gated with a clear
+error like the reference gates formats its libraw build lacks.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import List
+
+import numpy as np
+
+from siril_tpu.core.image import SirilImage
+from siril_tpu.io.dng import (
+    T_BITS,
+    T_COMP,
+    T_CFA_PAT,
+    T_EXPOSURE,
+    T_LENGTH,
+    T_MAKE,
+    T_MODEL,
+    T_PHOTO,
+    T_ROWS_PER_STRIP,
+    T_STRIP_CNT,
+    T_STRIP_OFF,
+    T_SUBIFD,
+    T_WIDTH,
+    _ljpeg_decode,
+    _read_ifd,
+    _values,
+)
+
+T_CR2_SLICE = 0xC640
+
+
+def _walk_ifds(data: bytes, endian: str) -> List[dict]:
+    (ifd0_off,) = struct.unpack_from(endian + "I", data, 4)
+    ifds = []
+    seen = set()
+    stack = [ifd0_off]
+    while stack:
+        off = stack.pop(0)
+        if off in seen or off == 0 or off >= len(data):
+            continue
+        seen.add(off)
+        try:
+            entries, nxt = _read_ifd(data, off, endian)
+        except struct.error:
+            continue
+        ifds.append(entries)
+        if nxt:
+            stack.append(nxt)
+        if T_SUBIFD in entries:
+            stack.extend(_values(entries[T_SUBIFD], endian))
+    return ifds
+
+
+# ---------------------------------------------------------------------------
+# Canon CR2
+# ---------------------------------------------------------------------------
+
+
+def is_cr2(path: str) -> bool:
+    try:
+        with open(path, "rb") as f:
+            head = f.read(12)
+    except OSError:
+        return False
+    return len(head) >= 12 and head[:2] == b"II" and head[8:10] == b"CR"
+
+
+def read_cr2(path: str) -> SirilImage:
+    with open(path, "rb") as f:
+        data = f.read()
+    if not (data[:2] == b"II" and data[8:10] == b"CR"):
+        raise ValueError(f"{path}: not a CR2")
+    endian = "<"
+    ifds = _walk_ifds(data, endian)
+    # the raw IFD is the (last) one with an SOF3 strip + slice tag; in
+    # practice IFD3.  Identify by compression 6/7 + StripOffsets and the
+    # largest strip.
+    raw_ifd = None
+    best = 0
+    for e in ifds:
+        if T_STRIP_OFF not in e or T_STRIP_CNT not in e:
+            continue
+        comp = _values(e[T_COMP], endian)[0] if T_COMP in e else 1
+        if comp not in (6, 7):
+            continue
+        size = sum(_values(e[T_STRIP_CNT], endian))
+        if size > best:
+            best, raw_ifd = size, e
+    if raw_ifd is None:
+        raise ValueError(f"{path}: no lossless-JPEG raw IFD found")
+    e = raw_ifd
+    off = _values(e[T_STRIP_OFF], endian)[0]
+    cnt = _values(e[T_STRIP_CNT], endian)[0]
+    res = _ljpeg_decode(data[off:off + cnt])
+    if res is None:
+        raise ValueError(f"{path}: lossless JPEG decode failed")
+    arr, ncomp = res                       # (jh, jw*ncomp) u16
+    jh, jwn = arr.shape
+    flat = arr.reshape(-1)
+
+    slices = None
+    if T_CR2_SLICE in e:
+        sl = _values(e[T_CR2_SLICE], endian)
+        if len(sl) >= 3 and sl[0] > 0:
+            slices = [int(sl[1])] * int(sl[0]) + [int(sl[2])]
+    height = jh
+    width = jwn
+    if slices:
+        width = sum(slices)
+        # sensor rows == jpeg rows; columns re-assemble slice by slice
+        img = np.empty((height, width), np.uint16)
+        pos = 0
+        x0 = 0
+        for ws in slices:
+            n = ws * height
+            img[:, x0:x0 + ws] = flat[pos:pos + n].reshape(height, ws)
+            pos += n
+            x0 += ws
+    else:
+        img = arr
+
+    bits = 14
+    precision_guess = int(img.max()).bit_length()
+    if precision_guess <= 12:
+        bits = 12
+    # Canon pedestal: ~2048 at 14-bit, ~256 at 12-bit (dcraw table);
+    # prefer the masked-border estimate when a border exists
+    black = 2048.0 if bits == 14 else 256.0
+    if img.shape[1] > 96:
+        border = img[:, :40].astype(np.float32)
+        if border.mean() < black * 2 and border.std() < black:
+            black = float(np.median(border))
+    white = float((1 << bits) - 1)
+    out_arr = np.clip((img.astype(np.float32) - black)
+                      / max(white - black, 1.0), 0.0, 1.0)
+    out = SirilImage(data=out_arr[None])
+    out.keywords.bayer_pattern = "RGGB"    # Canon CFA order
+    ifd0 = ifds[0] if ifds else {}
+    make = _values(ifd0[T_MAKE], endian)[0] if T_MAKE in ifd0 else ""
+    model = _values(ifd0[T_MODEL], endian)[0] if T_MODEL in ifd0 else ""
+    if make or model:
+        out.keywords.instrume = f"{make} {model}".strip()
+    for src in (e, ifd0):
+        if T_EXPOSURE in src:
+            out.keywords.exposure = float(
+                _values(src[T_EXPOSURE], endian)[0])
+            break
+    out.log_history("CR2 raw import")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Nikon NEF
+# ---------------------------------------------------------------------------
+
+
+def is_nef(path: str) -> bool:
+    try:
+        with open(path, "rb") as f:
+            data = f.read(512)
+    except OSError:
+        return False
+    if data[:4] not in (b"II*\x00", b"MM\x00*"):
+        return False
+    return b"NIKON" in data.upper()
+
+
+def _unpack_nikon12(raw: bytes, count: int) -> np.ndarray:
+    """Nikon packed 12-bit: LSB-first, 2 px / 3 B
+    (p0 = b0 | (b1&0xF)<<8; p1 = b1>>4 | b2<<4)."""
+    b = np.frombuffer(raw, np.uint8).astype(np.uint16)
+    n3 = (len(b) // 3) * 3
+    b = b[:n3].reshape(-1, 3)
+    p0 = b[:, 0] | ((b[:, 1] & 0x0F) << 8)
+    p1 = (b[:, 1] >> 4) | (b[:, 2] << 4)
+    return np.stack([p0, p1], -1).reshape(-1)[:count]
+
+
+def _unpack_nikon14(raw: bytes, count: int) -> np.ndarray:
+    """Nikon packed 14-bit: LSB-first, 4 px / 7 B."""
+    b = np.frombuffer(raw, np.uint8).astype(np.uint32)
+    n7 = (len(b) // 7) * 7
+    b = b[:n7].reshape(-1, 7)
+    p0 = b[:, 0] | ((b[:, 1] & 0x3F) << 8)
+    p1 = (b[:, 1] >> 6) | (b[:, 2] << 2) | ((b[:, 3] & 0x0F) << 10)
+    p2 = (b[:, 3] >> 4) | (b[:, 4] << 4) | ((b[:, 5] & 0x03) << 12)
+    p3 = (b[:, 5] >> 2) | (b[:, 6] << 6)
+    return np.stack([p0, p1, p2, p3],
+                    -1).reshape(-1).astype(np.uint16)[:count]
+
+
+def read_nef(path: str) -> SirilImage:
+    with open(path, "rb") as f:
+        data = f.read()
+    endian = "<" if data[:2] == b"II" else ">"
+    ifds = _walk_ifds(data, endian)
+    raw_ifd = None
+    best = 0
+    for e in ifds:
+        photo = _values(e[T_PHOTO], endian)[0] if T_PHOTO in e else 0
+        if photo == 32803 and T_WIDTH in e:
+            a = _values(e[T_WIDTH], endian)[0] * \
+                _values(e[T_LENGTH], endian)[0]
+            if a > best:
+                best, raw_ifd = a, e
+    if raw_ifd is None:
+        raise ValueError(f"{path}: no CFA raw IFD found")
+    e = raw_ifd
+    width = _values(e[T_WIDTH], endian)[0]
+    height = _values(e[T_LENGTH], endian)[0]
+    bits = _values(e[T_BITS], endian)[0] if T_BITS in e else 12
+    comp = _values(e[T_COMP], endian)[0] if T_COMP in e else 1
+    if comp == 34713:
+        raise ValueError(
+            f"{path}: Nikon-compressed NEF not supported — convert to "
+            "DNG, or shoot uncompressed/lossless-packed")
+    if comp != 1:
+        raise ValueError(f"{path}: unsupported NEF compression {comp}")
+    offs = _values(e[T_STRIP_OFF], endian)
+    cnts = _values(e[T_STRIP_CNT], endian)
+    rps = _values(e[T_ROWS_PER_STRIP], endian)[0] \
+        if T_ROWS_PER_STRIP in e else height
+    img = np.zeros((height, width), np.uint16)
+    y0 = 0
+    for i in range(len(offs)):
+        th = min(rps, height - y0)
+        raw = data[offs[i]: offs[i] + cnts[i]]
+        n = th * width
+        if bits == 12:
+            img[y0:y0 + th] = _unpack_nikon12(raw, n).reshape(th, width)
+        elif bits == 14:
+            img[y0:y0 + th] = _unpack_nikon14(raw, n).reshape(th, width)
+        else:
+            img[y0:y0 + th] = np.frombuffer(
+                raw, endian + "u2", count=n).reshape(th, width)
+        y0 += th
+    white = float((1 << bits) - 1)
+    black = 0.0                            # Nikon subtracts black on-camera
+    arr = np.clip((img.astype(np.float32) - black)
+                  / max(white - black, 1.0), 0.0, 1.0)
+    out = SirilImage(data=arr[None])
+    pat = "RGGB"
+    if T_CFA_PAT in e:
+        v = _values(e[T_CFA_PAT], endian)
+        vals = list(v[0]) if isinstance(v[0], (bytes, bytearray)) else \
+            [int(x) for x in v]
+        lut = {0: "R", 1: "G", 2: "B"}
+        cand = "".join(lut.get(x, "G") for x in vals[-4:])
+        if len(cand) == 4:
+            pat = cand
+    out.keywords.bayer_pattern = pat
+    ifd0 = ifds[0] if ifds else {}
+    make = _values(ifd0[T_MAKE], endian)[0] if T_MAKE in ifd0 else ""
+    model = _values(ifd0[T_MODEL], endian)[0] if T_MODEL in ifd0 else ""
+    if make or model:
+        out.keywords.instrume = f"{make} {model}".strip()
+    out.log_history("NEF raw import")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# HEIF (gated on a PIL plugin, like the reference gates on libheif)
+# ---------------------------------------------------------------------------
+
+
+def read_heif(path: str) -> SirilImage:
+    try:
+        from pillow_heif import register_heif_opener
+
+        register_heif_opener()
+    except ImportError:
+        pass
+    from PIL import Image, UnidentifiedImageError
+
+    try:
+        im = Image.open(path)
+    except UnidentifiedImageError as exc:
+        raise ValueError(
+            f"{path}: HEIF support needs a PIL HEIF plugin "
+            "(pillow-heif), which is not installed") from exc
+    arr = np.asarray(im.convert("RGB"))
+    from siril_tpu.core.image import ensure_chw
+
+    out = SirilImage(data=ensure_chw(arr.astype(np.float32) / 255.0))
+    out.log_history("HEIF import")
+    return out

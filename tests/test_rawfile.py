@@ -1,0 +1,230 @@
+"""CR2/NEF raw import: fixture files are synthesized byte-by-byte per
+the container specs (CR2 slice re-assembly over a lossless-JPEG stream;
+Nikon LSB-first 12/14-bit packing), then read back through
+io/rawfile.py and the `convert` CLI path."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from siril_tpu.io.rawfile import (
+    _unpack_nikon12,
+    _unpack_nikon14,
+    is_cr2,
+    is_nef,
+    read_cr2,
+    read_nef,
+)
+from tests.test_dng import encode_ljpeg
+
+
+def _entry(tag, typ, vals):
+    if typ == 3:
+        data = struct.pack("<" + "H" * len(vals), *vals)
+    elif typ == 4:
+        data = struct.pack("<" + "I" * len(vals), *vals)
+    elif typ == 1:
+        data = bytes(vals)
+    elif typ == 2:
+        data = vals[0].encode() + b"\0"
+    return tag, typ, len(vals) if typ != 2 else len(data), data
+
+
+def _build_ifd(entries, heap_off, next_off=0):
+    heap = bytearray()
+    out = struct.pack("<H", len(entries))
+    for tag, typ, n, data in sorted(entries):
+        if len(data) <= 4:
+            val = data.ljust(4, b"\0")
+        else:
+            val = struct.pack("<I", heap_off + len(heap))
+            heap += data
+        out += struct.pack("<HHI", tag, typ, n) + val
+    out += struct.pack("<I", next_off)
+    return out, bytes(heap)
+
+
+# ---------------------------------------------------------------------------
+# CR2
+# ---------------------------------------------------------------------------
+
+
+def write_cr2(path, sensor: np.ndarray, slices=(2, 8, 4), bits=14):
+    """Minimal CR2: II header + 'CR' magic; IFD0 (make/model) chains to
+    the raw IFD holding one SOF3 strip and the 0xC640 slice tag."""
+    h, w = sensor.shape
+    n, w1, w2 = slices
+    assert n * w1 + w2 == w
+    # slice-major stream, then encode as a single-component LJPEG
+    parts = []
+    x0 = 0
+    for ws in [w1] * n + [w2]:
+        parts.append(sensor[:, x0:x0 + ws].reshape(-1))
+        x0 += ws
+    stream = np.concatenate(parts).reshape(h, w)
+    raw = encode_ljpeg(stream, precision=bits)
+
+    ifd0_entries = [
+        _entry(271, 2, ["Canon"]), _entry(272, 2, ["EOS test"]),
+    ]
+    ifd0_size = 2 + 12 * len(ifd0_entries) + 4
+    heap_guess = 64
+    raw_ifd_off = 16 + ifd0_size + heap_guess
+    raw_entries_n = 4
+    raw_size = 2 + 12 * raw_entries_n + 4
+    pix_off = raw_ifd_off + raw_size + 64
+    raw_entries = [
+        _entry(259, 3, [6]),
+        _entry(273, 4, [pix_off]), _entry(279, 4, [len(raw)]),
+        _entry(0xC640, 3, [n, w1, w2]),
+    ]
+    assert len(raw_entries) == raw_entries_n
+    ifd0_bytes, ifd0_heap = _build_ifd(ifd0_entries, 16 + ifd0_size,
+                                       next_off=raw_ifd_off)
+    assert len(ifd0_heap) <= heap_guess
+    raw_bytes, raw_heap = _build_ifd(raw_entries, raw_ifd_off + raw_size)
+    with open(path, "wb") as f:
+        f.write(b"II*\x00" + struct.pack("<I", 16))
+        f.write(b"CR\x02\x00" + b"\0" * 4)
+        f.write(ifd0_bytes)
+        f.write(ifd0_heap.ljust(heap_guess, b"\0"))
+        f.write(raw_bytes)
+        f.write(raw_heap.ljust(64, b"\0"))
+        f.write(raw)
+
+
+def test_cr2_slice_reassembly(tmp_path, rng):
+    h, w, bits = 16, 20, 14
+    sensor = rng.integers(1800, 16384, (h, w)).astype(np.uint16)
+    p = str(tmp_path / "shot.cr2")
+    write_cr2(p, sensor)
+    assert is_cr2(p)
+    img = read_cr2(p)
+    assert img.height == h and img.width == w
+    assert img.keywords.bayer_pattern == "RGGB"
+    assert "Canon" in img.keywords.instrume
+    expect = np.clip((sensor.astype(np.float32) - 2048.0)
+                     / (16383.0 - 2048.0), 0, 1)
+    np.testing.assert_allclose(img.host()[0], expect, atol=1e-6)
+
+
+def test_cr2_via_convert_cli(tmp_path, rng):
+    from siril_tpu.cli.context import Session
+    from siril_tpu.cli.parser import process_command_line as cmd
+
+    sensor = rng.integers(2048, 16384, (16, 20)).astype(np.uint16)
+    for i in range(2):
+        write_cr2(str(tmp_path / f"img{i}.cr2"), sensor)
+    ctx = Session(cwd=str(tmp_path))
+    assert cmd(ctx, "convertraw cl") == 0
+    assert ctx.seq.number == 2
+    f = ctx.seq.read_frame(0)
+    assert f.keywords.bayer_pattern == "RGGB"
+
+
+# ---------------------------------------------------------------------------
+# NEF
+# ---------------------------------------------------------------------------
+
+
+def _pack_nikon12(vals: np.ndarray) -> bytes:
+    v = vals.astype(np.uint16)
+    assert len(v) % 2 == 0
+    pairs = v.reshape(-1, 2)
+    out = np.empty((len(pairs), 3), np.uint8)
+    out[:, 0] = pairs[:, 0] & 0xFF
+    out[:, 1] = ((pairs[:, 0] >> 8) & 0x0F) | ((pairs[:, 1] & 0x0F) << 4)
+    out[:, 2] = pairs[:, 1] >> 4
+    return out.tobytes()
+
+
+def _pack_nikon14(vals: np.ndarray) -> bytes:
+    v = vals.astype(np.uint32)
+    assert len(v) % 4 == 0
+    q = v.reshape(-1, 4)
+    out = np.empty((len(q), 7), np.uint8)
+    out[:, 0] = q[:, 0] & 0xFF
+    out[:, 1] = ((q[:, 0] >> 8) & 0x3F) | ((q[:, 1] & 0x03) << 6)
+    out[:, 2] = (q[:, 1] >> 2) & 0xFF
+    out[:, 3] = ((q[:, 1] >> 10) & 0x0F) | ((q[:, 2] & 0x0F) << 4)
+    out[:, 4] = (q[:, 2] >> 4) & 0xFF
+    out[:, 5] = ((q[:, 2] >> 12) & 0x03) | ((q[:, 3] & 0x3F) << 2)
+    out[:, 6] = q[:, 3] >> 6
+    return out.tobytes()
+
+
+@pytest.mark.parametrize("bits", [12, 14])
+def test_nikon_packing_roundtrip(rng, bits):
+    n = 64
+    vals = rng.integers(0, 1 << bits, n).astype(np.uint16)
+    if bits == 12:
+        back = _unpack_nikon12(_pack_nikon12(vals), n)
+    else:
+        back = _unpack_nikon14(_pack_nikon14(vals), n)
+    np.testing.assert_array_equal(back, vals)
+
+
+def write_nef(path, sensor: np.ndarray, bits=12):
+    h, w = sensor.shape
+    flat = sensor.reshape(-1)
+    raw = _pack_nikon12(flat) if bits == 12 else _pack_nikon14(flat)
+
+    ifd0_entries = [
+        _entry(271, 2, ["NIKON CORPORATION"]), _entry(272, 2, ["D test"]),
+        _entry(330, 4, [0]),                    # SubIFD placeholder
+    ]
+    ifd0_size = 2 + 12 * len(ifd0_entries) + 4
+    heap_guess = 64
+    raw_ifd_off = 8 + ifd0_size + heap_guess
+    raw_entries_n = 9
+    raw_size = 2 + 12 * raw_entries_n + 4
+    pix_off = raw_ifd_off + raw_size + 64
+    raw_entries = [
+        _entry(256, 3, [w]), _entry(257, 3, [h]), _entry(258, 3, [bits]),
+        _entry(259, 3, [1]), _entry(262, 3, [32803]),
+        _entry(273, 4, [pix_off]), _entry(279, 4, [len(raw)]),
+        _entry(278, 3, [h]),
+        _entry(33422, 1, [0, 1, 1, 2]),
+    ]
+    assert len(raw_entries) == raw_entries_n
+    ifd0_entries = [e if e[0] != 330 else _entry(330, 4, [raw_ifd_off])
+                    for e in ifd0_entries]
+    ifd0_bytes, ifd0_heap = _build_ifd(ifd0_entries, 8 + ifd0_size)
+    assert len(ifd0_heap) <= heap_guess
+    raw_bytes, raw_heap = _build_ifd(raw_entries, raw_ifd_off + raw_size)
+    with open(path, "wb") as f:
+        f.write(b"II*\x00" + struct.pack("<I", 8))
+        f.write(ifd0_bytes)
+        f.write(ifd0_heap.ljust(heap_guess, b"\0"))
+        f.write(raw_bytes)
+        f.write(raw_heap.ljust(64, b"\0"))
+        f.write(raw)
+
+
+@pytest.mark.parametrize("bits", [12, 14])
+def test_nef_packed(tmp_path, rng, bits):
+    h, w = 12, 16
+    sensor = rng.integers(0, 1 << bits, (h, w)).astype(np.uint16)
+    p = str(tmp_path / "shot.nef")
+    write_nef(p, sensor, bits=bits)
+    assert is_nef(p)
+    img = read_nef(p)
+    assert img.height == h and img.width == w
+    assert img.keywords.bayer_pattern == "RGGB"
+    expect = sensor.astype(np.float32) / ((1 << bits) - 1)
+    np.testing.assert_allclose(img.host()[0], expect, atol=1e-6)
+
+
+def test_nef_compressed_gated(tmp_path, rng):
+    h, w = 8, 8
+    sensor = rng.integers(0, 4096, (h, w)).astype(np.uint16)
+    p = str(tmp_path / "comp.nef")
+    write_nef(p, sensor, bits=12)
+    # flip the compression tag to Nikon-compressed (34713)
+    data = bytearray(open(p, "rb").read())
+    idx = data.find(struct.pack("<HHI", 259, 3, 1))
+    data[idx + 8:idx + 10] = struct.pack("<H", 34713)
+    open(p, "wb").write(bytes(data))
+    with pytest.raises(ValueError, match="Nikon-compressed"):
+        read_nef(p)
