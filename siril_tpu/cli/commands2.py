@@ -147,8 +147,27 @@ def cmd_setcompress(ctx, args):
 
 @command("reloadscripts", "reloadscripts")
 def cmd_reloadscripts(ctx, args):
-    # script-repository sync (io/siril_git.c) needs network — offline here
-    log_message("scripts reloaded")
+    """Sync + list the script repository (io/siril_git.c
+    auto_update_gitscripts); a no-op unless use_scripts_repository is
+    enabled (network-gated like remote catalogues)."""
+    from siril_tpu.utils.scriptrepo import (
+        SCRIPT_REPOSITORY_URL,
+        list_scripts,
+        repo_path,
+        sync_repository,
+    )
+
+    if not getattr(ctx.prefs, "use_scripts_repository", False):
+        log_message("scripts reloaded")
+        return
+    url = os.environ.get("SIRIL_TPU_SCRIPT_REPO", SCRIPT_REPOSITORY_URL)
+    path = os.environ.get("SIRIL_TPU_SCRIPT_REPO_DIR", repo_path())
+    if sync_repository(url, path):
+        scripts = list_scripts(path)
+        log_message(f"scripts reloaded: {len(scripts)} repository "
+                    "scripts available")
+    else:
+        log_message("scripts reloaded (repository sync failed)")
 
 
 @command("convertraw", "convertraw basename [-debayer] [-fitseq] [-ser] [-start=] [-out=]",

@@ -58,6 +58,9 @@ class Preferences:
     cpu_threads: int = 0                # 0 = auto
     script_check_requires: bool = True
     pipe_enabled: bool = False
+    # script repository (settings.h:447-448)
+    use_scripts_repository: bool = False
+    auto_script_update: bool = False
 
     # ---- reflection get/set (settings.c table equivalent) ----
     def get(self, key: str) -> Any:
