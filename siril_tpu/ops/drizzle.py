@@ -52,8 +52,12 @@ def _frame_core(out_h: int, out_w: int, kernel: int, taps: int,
                 nplanes: int = 1):
     import jax.numpy as jnp
 
-    def run(frame, wplane, pid, Hinv, pixfrac, inv_scale):
-        """One frame → ([nplanes] out, wht) contributions.
+    def run(frame, wplane, pid, Hinv, pixfrac, inv_scale, y_off=0):
+        """One frame → ([nplanes] out, wht) contributions for the
+        output row band [y_off, y_off+out_h).  ``y_off`` is a traced
+        scalar so every band of a tiled output reuses ONE compiled
+        program (each static-offset variant would be its own compile —
+        a real hazard on this box's flaky remote-compile service).
 
         frame: (H, W); wplane: (H, W) input weights; pid: (H, W) int32
         plane id per input pixel (Bayer CFA: one call drizzles all three
@@ -63,6 +67,7 @@ def _frame_core(out_h: int, out_w: int, kernel: int, taps: int,
         """
         H_in, W_in = frame.shape
         yy, xx = jnp.mgrid[0:out_h, 0:out_w]
+        yy = yy + y_off
         xf = xx.astype(jnp.float32)
         yf = yy.astype(jnp.float32)
         d = Hinv[2, 0] * xf + Hinv[2, 1] * yf + Hinv[2, 2]
@@ -133,7 +138,7 @@ def _frame_core(out_h: int, out_w: int, kernel: int, taps: int,
     return run
 
 
-@lru_cache(maxsize=8)
+@lru_cache(maxsize=32)
 def _drizzle_fn(out_h: int, out_w: int, kernel: int, taps: int,
                 nplanes: int = 1):
     import jax
@@ -141,7 +146,7 @@ def _drizzle_fn(out_h: int, out_w: int, kernel: int, taps: int,
     return jax.jit(_frame_core(out_h, out_w, kernel, taps, nplanes))
 
 
-@lru_cache(maxsize=8)
+@lru_cache(maxsize=32)
 def _drizzle_batch_fn(out_h: int, out_w: int, kernel: int, taps: int,
                       cfa: bool, in_l: int, is_i16: bool):
     """Chunk-batched accumulate: ONE program per [K, L, H, W] frame
@@ -164,7 +169,7 @@ def _drizzle_batch_fn(out_h: int, out_w: int, kernel: int, taps: int,
 
     @ft.partial(jax.jit, donate_argnums=(0, 1))
     def run(acc, wht, frames, weights, wplane, pid, Hinvs, pixfrac,
-            inv_scale):
+            inv_scale, y_off):
         def body(carry, xs):
             a, w = carry
             f, wt, Hi = xs                     # f: (L, H, W)
@@ -172,10 +177,10 @@ def _drizzle_batch_fn(out_h: int, out_w: int, kernel: int, taps: int,
                 if is_i16 else f
             if cfa:
                 da, dw = core(ff[0], wplane * wt, pid, Hi, pixfrac,
-                              inv_scale)
+                              inv_scale, y_off)
             else:
                 parts = [core(ff[c], wplane * wt, pid, Hi, pixfrac,
-                              inv_scale) for c in range(in_l)]
+                              inv_scale, y_off) for c in range(in_l)]
                 da = jnp.concatenate([p[0] for p in parts])
                 dw = jnp.concatenate([p[1] for p in parts])
             return (a + da, w + dw), None
@@ -205,7 +210,16 @@ def _taps_for(kernel: int, pixfrac: float, inv_scale: float) -> int:
 
 
 class DrizzleAccumulator:
-    """Accumulates drizzled frames into output + weight planes."""
+    """Accumulates drizzled frames into output + weight planes.
+
+    The output is split into ROW BANDS of ≤ ~64M elements each: one
+    (C, H, W) program at 200x24 Mpix x2 scale needs ~27 concurrent
+    output-sized gather temporaries (~10 GB) plus double-buffered scan
+    carries and reproducibly takes down the TPU worker; per-band
+    programs bound the peak at a small cost in dispatch count, and the
+    final fetch streams band by band."""
+
+    BAND_ELEMS = 64 << 20
 
     def __init__(self, out_shape: Tuple[int, int, int],
                  args: Optional[DrizzleArgs] = None):
@@ -213,10 +227,19 @@ class DrizzleAccumulator:
 
         self.args = args or DrizzleArgs()
         self.C, self.H, self.W = out_shape
+        n_bands = max(1, -(-(self.C * self.H * self.W)
+                           // self.BAND_ELEMS))
+        band_h = -(-self.H // n_bands)
+        # uniform band height (the last band may overhang past H; its
+        # extra rows are dropped at finalize) → ONE compiled program
+        # covers every band via the runtime y_off
+        self.bands = [(y0, band_h) for y0 in range(0, self.H, band_h)]
         # device-resident: per-frame host accumulation would fetch
         # 2×C×H×W through the slow device→host tunnel every frame
-        self.acc = jnp.zeros(out_shape, jnp.float32)
-        self.wht = jnp.zeros(out_shape, jnp.float32)
+        self.acc = [jnp.zeros((self.C, h, self.W), jnp.float32)
+                    for (_, h) in self.bands]
+        self.wht = [jnp.zeros((self.C, h, self.W), jnp.float32)
+                    for (_, h) in self.bands]
         self.nframes = 0
 
     def add_frame(self, img: SirilImage, H_reg: np.ndarray,
@@ -246,26 +269,30 @@ class DrizzleAccumulator:
             w = np.full(data.shape[1:], weight, np.float32)
             if wp is not None:
                 w = w * wp
-            fn = _drizzle_fn(self.H, self.W, a.kernel, taps, nplanes=3)
-            acc, wht = fn(jnp.asarray(data[0], jnp.float32),
-                          jnp.asarray(w), jnp.asarray(pid),
-                          jnp.asarray(Hinv, jnp.float32),
-                          np.float32(a.pixfrac), np.float32(inv_scale))
-            self.acc = self.acc + acc
-            self.wht = self.wht + wht
-        else:
-            fn = _drizzle_fn(self.H, self.W, a.kernel, taps)
-            pid0 = jnp.zeros((1, 1), jnp.int32)      # unused, nplanes=1
-            for c in range(min(self.C, data.shape[0])):
-                wplane = np.full(data.shape[1:], weight, np.float32)
-                if wp is not None:
-                    wplane = wplane * wp
-                acc, wht = fn(jnp.asarray(data[c], jnp.float32),
-                              jnp.asarray(wplane), pid0,
+            for bi, (y0, h) in enumerate(self.bands):
+                fn = _drizzle_fn(h, self.W, a.kernel, taps, nplanes=3)
+                acc, wht = fn(jnp.asarray(data[0], jnp.float32),
+                              jnp.asarray(w), jnp.asarray(pid),
                               jnp.asarray(Hinv, jnp.float32),
-                              np.float32(a.pixfrac), np.float32(inv_scale))
-                self.acc = self.acc.at[c].add(acc[0])
-                self.wht = self.wht.at[c].add(wht[0])
+                              np.float32(a.pixfrac),
+                              np.float32(inv_scale), np.int32(y0))
+                self.acc[bi] = self.acc[bi] + acc
+                self.wht[bi] = self.wht[bi] + wht
+        else:
+            pid0 = jnp.zeros((1, 1), jnp.int32)      # unused, nplanes=1
+            for bi, (y0, h) in enumerate(self.bands):
+                fn = _drizzle_fn(h, self.W, a.kernel, taps)
+                for c in range(min(self.C, data.shape[0])):
+                    wplane = np.full(data.shape[1:], weight, np.float32)
+                    if wp is not None:
+                        wplane = wplane * wp
+                    acc, wht = fn(jnp.asarray(data[c], jnp.float32),
+                                  jnp.asarray(wplane), pid0,
+                                  jnp.asarray(Hinv, jnp.float32),
+                                  np.float32(a.pixfrac),
+                                  np.float32(inv_scale), np.int32(y0))
+                    self.acc[bi] = self.acc[bi].at[c].add(acc[0])
+                    self.wht[bi] = self.wht[bi].at[c].add(wht[0])
         self.nframes += 1
 
     def add_frames(self, frames: np.ndarray, Hs: np.ndarray,
@@ -299,12 +326,18 @@ class DrizzleAccumulator:
             pid = (gm.astype(np.int32) + 2 * bm.astype(np.int32))
         else:
             pid = np.zeros((1, 1), np.int32)
-        fn = _drizzle_batch_fn(self.H, self.W, a.kernel, taps, cfa, L,
-                               frames.dtype == np.int16)
-        self.acc, self.wht = fn(
-            self.acc, self.wht, jnp.asarray(frames), jnp.asarray(wts),
-            jnp.asarray(wplane), jnp.asarray(pid), jnp.asarray(Hinvs),
-            np.float32(a.pixfrac), np.float32(inv_scale))
+        frames_d = jnp.asarray(frames)
+        wts_d = jnp.asarray(wts)
+        wplane_d = jnp.asarray(wplane)
+        pid_d = jnp.asarray(pid)
+        Hinvs_d = jnp.asarray(Hinvs)
+        for bi, (y0, h) in enumerate(self.bands):
+            fn = _drizzle_batch_fn(h, self.W, a.kernel, taps, cfa, L,
+                                   frames.dtype == np.int16)
+            self.acc[bi], self.wht[bi] = fn(
+                self.acc[bi], self.wht[bi], frames_d, wts_d, wplane_d,
+                pid_d, Hinvs_d, np.float32(a.pixfrac),
+                np.float32(inv_scale), np.int32(y0))
         self.nframes += K
 
     def finalize(self, want_weight: bool = True
@@ -313,16 +346,24 @@ class DrizzleAccumulator:
 
         from siril_tpu.utils.fetch import fetch_np
 
-        # normalize on device, ONE chunked fetch of the packed result
-        out_d = jnp.clip(jnp.where(self.wht > 1e-9,
-                                   self.acc / jnp.maximum(self.wht, 1e-9),
-                                   0.0), 0.0, 1.0)
-        if want_weight:
-            packed = fetch_np(jnp.stack(
-                [out_d, self.wht / np.float32(max(self.nframes, 1))]))
-            out_h, wmap_h = packed[0], packed[1]
-        else:
-            out_h, wmap_h = fetch_np(out_d), None
+        # normalize on device; stream the result band by band (one
+        # chunked fetch per band keeps the peak transfer bounded)
+        out_h = np.empty((self.C, self.H, self.W), np.float32)
+        wmap_h = np.empty((self.C, self.H, self.W), np.float32) \
+            if want_weight else None
+        inv_n = np.float32(1.0 / max(self.nframes, 1))
+        for bi, (y0, h) in enumerate(self.bands):
+            keep = min(h, self.H - y0)          # last band may overhang
+            acc_b, wht_b = self.acc[bi], self.wht[bi]
+            out_d = jnp.clip(jnp.where(wht_b > 1e-9,
+                                       acc_b / jnp.maximum(wht_b, 1e-9),
+                                       0.0), 0.0, 1.0)
+            if want_weight:
+                packed = fetch_np(jnp.stack([out_d, wht_b * inv_n]))
+                out_h[:, y0:y0 + keep] = packed[0][:, :keep]
+                wmap_h[:, y0:y0 + keep] = packed[1][:, :keep]
+            else:
+                out_h[:, y0:y0 + keep] = fetch_np(out_d)[:, :keep]
         img = SirilImage(data=np.ascontiguousarray(out_h))
         img.log_history(
             f"Drizzle stack x{self.args.scale} (pixfrac "
@@ -362,9 +403,12 @@ def drizzle_sequence(seq, args: Optional[DrizzleArgs] = None,
     from siril_tpu.pipeline import _raw_reader
 
     read_chunk = _raw_reader(seq, sel, L, H_in, W_in)
+    import time as _time
+
     starts = list(range(0, len(sel), frame_chunk))
     pool = cf.ThreadPoolExecutor(max_workers=1)
     pending = pool.submit(read_chunk, 0, min(frame_chunk, len(sel)))
+    t_start = _time.perf_counter()
     for si, start in enumerate(starts):
         frames = pending.result()
         if si + 1 < len(starts):
@@ -374,6 +418,16 @@ def drizzle_sequence(seq, args: Optional[DrizzleArgs] = None,
         Hs = np.stack([reg.H[i] for i in
                        sel[start:start + frames.shape[0]]])
         acc.add_frames(frames, Hs, pattern=pattern)
+        # backpressure: without this the loop dispatches every chunk as
+        # fast as the disk reads, piling ~10 GB of in-flight input
+        # buffers into HBM ahead of execution (crashes the worker at
+        # 200x24 Mpix); the read-ahead thread still overlaps disk I/O
+        acc.acc[-1].block_until_ready()
+        if (si + 1) % 4 == 0 or si + 1 == len(starts):
+            log_message(
+                f"drizzle: {min(start + frame_chunk, len(sel))}"
+                f"/{len(sel)} frames "
+                f"({_time.perf_counter() - t_start:.0f}s)")
     pool.shutdown(wait=False)
     out, wmap = acc.finalize()
     log_message(f"Drizzle: {acc.nframes} frames → "

@@ -338,6 +338,8 @@ def _register_batched(seq: Sequence, args: RegArgs, layer: int,
     calls (detect_stars_batch), matching on host."""
     import concurrent.futures as cf
 
+    import jax
+
     from siril_tpu.core.engine import SeqResult
     from siril_tpu.registration.starfinder import detect_stars_batch
 
@@ -345,24 +347,35 @@ def _register_batched(seq: Sequence, args: RegArgs, layer: int,
     reg = seq.reg(layer)
     nb_ref = len(ref_stars)
     chunk_size = 16
-    pool = cf.ThreadPoolExecutor(max_workers=8)
+    pool = cf.ThreadPoolExecutor(max_workers=2)
 
-    def read_chunk(idxs):
-        frames = list(pool.map(
-            lambda i: seq.read_frame(i).host()[layer], idxs))
-        return np.stack(frames)
+    # u16 fast path + ONE fused decode+stats+candidates program per
+    # chunk (the pipeline's _chunk_program): the staged path previously
+    # converted every frame to f32 on the (single-core) host and
+    # uploaded twice the bytes — at 200x24 Mpix that conversion alone
+    # dominated the register wall time
+    first = seq.read_frame(indices[0])
+    L, H, W = first.nchans, first.height, first.width
+    from siril_tpu.pipeline import _chunk_program, _raw_reader
+
+    raw_read = _raw_reader(seq, indices, L, H, W)
 
     res = SeqResult()
-    nxt = None
     chunks = [indices[i:i + chunk_size]
               for i in range(0, len(indices), chunk_size)]
-    nxt = pool.submit(read_chunk, chunks[0])
+    starts = list(range(0, len(indices), chunk_size))
+    nxt = pool.submit(raw_read, 0, len(chunks[0]))
     for ci, idxs in enumerate(chunks):
-        frames = nxt.result()
+        raw = nxt.result()
         if ci + 1 < len(chunks):
-            nxt = pool.submit(read_chunk, chunks[ci + 1])
-        stars_all = detect_stars_batch(frames, args.starfinder,
-                                       max_stars=args.max_stars)
+            nxt = pool.submit(raw_read, starts[ci + 1],
+                              len(chunks[ci + 1]))
+        prog = _chunk_program(raw.dtype == np.int16, None, True, H, W,
+                              args.starfinder, args.max_stars, layer)
+        out = prog(jax.device_put(raw))
+        stars_all = detect_stars_batch(
+            [out[0][:, layer]], args.starfinder,
+            max_stars=args.max_stars, precomputed=tuple(out[1:]))
         if args.save_starlists:
             from siril_tpu.registration.starfinder import save_star_list_csv
 
