@@ -97,10 +97,11 @@ class MPPState:
 
 
 def _read_frames(seq, indices, layer, batch):
-    for start in range(0, len(indices), batch):
-        chunk = indices[start:start + batch]
-        yield chunk, np.stack([seq.read_frame(int(i)).host()[layer]
-                               for i in chunk])
+    """Chunked frame sweep — device-resident for fitting SER videos
+    (see planetary/source.py), streamed host reads otherwise."""
+    from siril_tpu.planetary.source import frame_chunks
+
+    yield from frame_chunks(seq, indices, layer, batch)
 
 
 def _subpixel_shift_batch(frames, shifts):
@@ -135,12 +136,24 @@ def _cached_shift_fn(H: int, W: int):
     return jax.jit(_shift_core)
 
 
+@lru_cache(maxsize=8)
+def _aligned_sum_fn(H: int, W: int):
+    import jax
+
+    def run(frames, shifts):
+        return _shift_core(frames, shifts).sum(axis=0)
+
+    return jax.jit(run)
+
+
 # ---------------------------------------------------------------------------
 # Stage A
 # ---------------------------------------------------------------------------
 
 
 def mpp_analyze(seq, args: Optional[MPPArgs] = None) -> MPPState:
+    import jax.numpy as jnp
+
     from siril_tpu.registration.shift import phase_correlate
 
     args = args or MPPArgs()
@@ -176,15 +189,18 @@ def mpp_analyze(seq, args: Optional[MPPArgs] = None) -> MPPState:
     # 3. reference = mean of best R% globally aligned
     n_best = max(int(round(n * args.global_best_pct / 100.0)), 1)
     best_idx = np.argsort(-qual)[:n_best]
-    acc = np.zeros((H, W), np.float64)
+    acc = None
     for chunk, frames in _read_frames(seq, indices[best_idx], layer,
                                       args.frame_batch):
         pos = [np.nonzero(indices == i)[0][0] for i in chunk]
         # gshift is the frame→ref translation: aligned(x) = frame(x − d),
-        # i.e. shift content by +d
-        shifted = _subpixel_shift_batch(frames, gshifts[pos])
-        acc += shifted.sum(axis=0)
-    reference = (acc / n_best).astype(np.float32)
+        # i.e. shift content by +d; sum ON DEVICE — only the final
+        # (H, W) mean is fetched
+        part = _aligned_sum_fn(H, W)(
+            jnp.asarray(frames, jnp.float32),
+            jnp.asarray(gshifts[pos].astype(np.float32)))
+        acc = part if acc is None else acc + part
+    reference = (np.asarray(acc) / n_best).astype(np.float32)
 
     # 4. AP grid where structure is significant
     aps = _place_aps(reference, args)
@@ -367,9 +383,10 @@ def mpp_compute_shifts(seq, state: MPPState,
         B = len(pos)
         gsh = state.global_shifts[pos].astype(np.float32)
         if B < B0:      # pad the tail chunk: ONE compiled shape
-            frames = np.concatenate(
-                [frames, np.zeros((B0 - B,) + frames.shape[1:],
-                                  frames.dtype)])
+            frames = jnp.concatenate(
+                [jnp.asarray(frames, jnp.float32),
+                 jnp.zeros((B0 - B,) + tuple(frames.shape[1:]),
+                           jnp.float32)])
             gsh = np.concatenate([gsh, np.zeros((B0 - B, 2), np.float32)])
         dy, dx, ok, q = fn(jnp.asarray(frames, jnp.float32),
                            jnp.asarray(gsh), ref_d, ref_p1_d, oy_d, ox_d)
@@ -468,9 +485,10 @@ def mpp_stack(seq, state: MPPState,
         smk = selm[pos]
         if B < B0:      # pad the tail chunk: ONE compiled shape
             pad = B0 - B
-            frames = np.concatenate(
-                [frames, np.zeros((pad,) + frames.shape[1:],
-                                  frames.dtype)])
+            frames = jnp.concatenate(
+                [jnp.asarray(frames, jnp.float32),
+                 jnp.zeros((pad,) + tuple(frames.shape[1:]),
+                           jnp.float32)])
             gsh = np.concatenate([gsh, np.zeros((pad, 2), np.float32)])
             iy = np.concatenate([iy, np.zeros((pad, A), np.int32)])
             ix = np.concatenate([ix, np.zeros((pad, A), np.int32)])

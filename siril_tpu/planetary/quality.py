@@ -62,18 +62,19 @@ def rank_sequence_quality(seq, layer: int = 0, batch: int = 32,
     """Quality of every selected frame of a sequence (streamed in
     batches).  Results stored in regdata.quality (the reference writes
     them to the seq file the same way)."""
+    from siril_tpu.planetary.source import frame_chunks
+
     indices = seq.selected_indices()
     reg = seq.reg(layer)
-    for start in range(0, len(indices), batch):
-        chunk = indices[start:start + batch]
-        frames = np.stack([seq.read_frame(int(i)).host()[layer]
-                           for i in chunk])
+    done = 0
+    for chunk, frames in frame_chunks(seq, indices, layer, batch):
         q = quality_batch(frames)
         for k, i in enumerate(chunk):
             reg.quality[int(i)] = float(q[k])
             reg.valid[int(i)] = True
+        done += len(chunk)
         if progress:
-            progress((start + len(chunk)) / len(indices))
+            progress(done / len(indices))
     # normalize to best=1 (reference convention: relative quality)
     valid = reg.valid & seq.incl
     if valid.any():

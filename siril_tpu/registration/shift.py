@@ -41,6 +41,36 @@ def _phasecorr_fn(H: int, W: int):
     return run
 
 
+@lru_cache(maxsize=8)
+def _phasecorr_peak_fn(H: int, W: int):
+    """Phase correlation reduced ON DEVICE to the peak position and its
+    4-neighborhood values — the full (N, H, W) correlation surfaces
+    never cross the (slow) device→host wire; only 7 scalars/frame do."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(r, f):
+        R = jnp.fft.rfft2(r)
+        F = jnp.fft.rfft2(f)
+        cross = R[None] * jnp.conj(F)
+        cross = cross / jnp.maximum(jnp.abs(cross), 1e-12)
+        corr = jnp.fft.irfft2(cross, s=(H, W))
+        flat = corr.reshape(corr.shape[0], -1)
+        am = jnp.argmax(flat, axis=1)
+        py = (am // W).astype(jnp.int32)
+        px = (am % W).astype(jnp.int32)
+        idx = jnp.arange(corr.shape[0])
+
+        def at(dy, dx):
+            return corr[idx, (py + dy) % H, (px + dx) % W]
+
+        return (py, px, at(0, 0), at(-1, 0), at(1, 0), at(0, -1),
+                at(0, 1))
+
+    return run
+
+
 def phase_correlate(ref: np.ndarray, frames: np.ndarray,
                     subpixel: bool = True):
     """Phase correlation of (N, H, W) frames vs (H, W) ref.
@@ -52,19 +82,17 @@ def phase_correlate(ref: np.ndarray, frames: np.ndarray,
     import jax.numpy as jnp
 
     H, W = ref.shape
-    run = _phasecorr_fn(H, W)
-    corr = np.asarray(run(jnp.asarray(ref, jnp.float32),
-                          jnp.asarray(frames, jnp.float32)))
-    N = corr.shape[0]
+    run = _phasecorr_peak_fn(H, W)
+    py, px, c0, cmy, cpy, cmx, cpx = (
+        np.asarray(v) for v in run(jnp.asarray(ref, jnp.float32),
+                                   jnp.asarray(frames, jnp.float32)))
+    N = py.shape[0]
     out = np.zeros((N, 2))
     for i in range(N):
-        c = corr[i]
-        peak = np.unravel_index(np.argmax(c), c.shape)
-        py, px = int(peak[0]), int(peak[1])
-        dy, dx = float(py), float(px)
+        dy, dx = float(py[i]), float(px[i])
         if subpixel:
-            dy += _parabola(c[(py - 1) % H, px], c[py, px], c[(py + 1) % H, px])
-            dx += _parabola(c[py, (px - 1) % W], c[py, px], c[py, (px + 1) % W])
+            dy += _parabola(cmy[i], c0[i], cpy[i])
+            dx += _parabola(cmx[i], c0[i], cpx[i])
         # wrap to signed shifts
         if dy > H / 2:
             dy -= H
