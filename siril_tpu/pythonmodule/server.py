@@ -569,7 +569,7 @@ class PythonCommandServer:
         seq = self.iface.ctx.seq
         body = struct.pack(
             SEQ_FORMAT, int(seq.number), int(seq.selnum),
-            int(getattr(seq, "fixed", 5)), int(max(seq.nb_layers, 1)),
+            int(getattr(seq, "fixed_len", 5)), int(max(seq.nb_layers, 1)),
             int(seq.rx), int(seq.ry),
             1 if getattr(seq, "is_variable", False) else 0,
             int(getattr(seq, "bitpix", 16)),
