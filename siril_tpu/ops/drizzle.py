@@ -209,6 +209,21 @@ def _taps_for(kernel: int, pixfrac: float, inv_scale: float) -> int:
     return 2 * int(np.floor(reach + 0.5)) + 1
 
 
+@lru_cache(maxsize=16)
+def _finalize_fn(C: int, h: int, W: int):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(acc, wht, inv_n):
+        out = jnp.clip(jnp.where(wht > 1e-9,
+                                 acc / jnp.maximum(wht, 1e-9), 0.0),
+                       0.0, 1.0)
+        return jnp.stack([out, wht * inv_n])
+
+    return run
+
+
 class DrizzleAccumulator:
     """Accumulates drizzled frames into output + weight planes.
 
@@ -340,30 +355,34 @@ class DrizzleAccumulator:
                 np.float32(inv_scale), np.int32(y0))
         self.nframes += K
 
+    def prime(self) -> None:
+        """Compile the finalize program up front (on the zeroed
+        accumulator).  Without this the normalize program's first
+        compile happens AFTER the whole accumulation — the worst place
+        for this box's remote compile service to hang."""
+        if self.bands:
+            _finalize_fn(*self.acc[0].shape)(
+                self.acc[0], self.wht[0],
+                np.float32(1.0)).block_until_ready()
+
     def finalize(self, want_weight: bool = True
                  ) -> Tuple[SirilImage, Optional[SirilImage]]:
-        import jax.numpy as jnp
-
         from siril_tpu.utils.fetch import fetch_np
 
-        # normalize on device; stream the result band by band (one
-        # chunked fetch per band keeps the peak transfer bounded)
+        # normalize on device in ONE jitted program per band (eager
+        # op-by-op would pay ~0.65 s dispatch per op per band), then
+        # stream the result band by band
         out_h = np.empty((self.C, self.H, self.W), np.float32)
         wmap_h = np.empty((self.C, self.H, self.W), np.float32) \
             if want_weight else None
         inv_n = np.float32(1.0 / max(self.nframes, 1))
         for bi, (y0, h) in enumerate(self.bands):
             keep = min(h, self.H - y0)          # last band may overhang
-            acc_b, wht_b = self.acc[bi], self.wht[bi]
-            out_d = jnp.clip(jnp.where(wht_b > 1e-9,
-                                       acc_b / jnp.maximum(wht_b, 1e-9),
-                                       0.0), 0.0, 1.0)
+            packed = fetch_np(_finalize_fn(*self.acc[bi].shape)(
+                self.acc[bi], self.wht[bi], inv_n))
+            out_h[:, y0:y0 + keep] = packed[0][:, :keep]
             if want_weight:
-                packed = fetch_np(jnp.stack([out_d, wht_b * inv_n]))
-                out_h[:, y0:y0 + keep] = packed[0][:, :keep]
                 wmap_h[:, y0:y0 + keep] = packed[1][:, :keep]
-            else:
-                out_h[:, y0:y0 + keep] = fetch_np(out_d)[:, :keep]
         img = SirilImage(data=np.ascontiguousarray(out_h))
         img.log_history(
             f"Drizzle stack x{self.args.scale} (pixfrac "
@@ -400,6 +419,7 @@ def drizzle_sequence(seq, args: Optional[DrizzleArgs] = None,
     L, H_in, W_in = first.nchans, first.height, first.width
     out_shape = (C, int(seq.ry * args.scale), int(seq.rx * args.scale))
     acc = DrizzleAccumulator(out_shape, args)
+    acc.prime()
     from siril_tpu.pipeline import _raw_reader
 
     read_chunk = _raw_reader(seq, sel, L, H_in, W_in)
