@@ -172,10 +172,13 @@ def fused_preprocess_stack(seq: Sequence, args: Optional[FusedArgs] = None
         with stage("fused.star_detection"):
             # stats+candidates were dispatched chunk-by-chunk during
             # upload; fetch and finish (patch gather + PSF fit)
-            pre = (np.concatenate([np.asarray(p[0]) for p in detect_parts],
-                                  axis=1),
-                   np.concatenate([np.asarray(p[1]) for p in detect_parts]),
-                   np.concatenate([np.asarray(p[2]) for p in detect_parts]))
+            with stage("fused.fetch_pre"):
+                pre = (np.concatenate([np.asarray(p[0])
+                                       for p in detect_parts], axis=1),
+                       np.concatenate([np.asarray(p[1])
+                                       for p in detect_parts]),
+                       np.concatenate([np.asarray(p[2])
+                                       for p in detect_parts]))
             stars_all = detect_stars_batch([c[:, layer] for c in frames],
                                            args.starfinder,
                                            max_stars=args.max_stars,
