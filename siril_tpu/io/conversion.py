@@ -44,6 +44,10 @@ def load_any(path: str) -> SirilImage:
         from siril_tpu.io.rawfile import read_nef
 
         return read_nef(path)
+    if ext == ".arw":
+        from siril_tpu.io.rawfile import read_arw
+
+        return read_arw(path)
     if ext in (".heic", ".heif"):
         from siril_tpu.io.rawfile import read_heif
 

@@ -15,6 +15,11 @@ with Nikon's LSB-first 12/14-bit packing (NOT TIFF6 MSB packing —
 2 px / 3 B at 12-bit, 4 px / 7 B at 14-bit) or plain 16-bit.
 Nikon-compressed NEFs (34713, huffman+curve) are gated with a clear
 error like the reference gates formats its libraw build lacks.
+
+ARW: TIFF container, Make = SONY; uncompressed 12/14/16-bit LE strips,
+or Sony's ARW2 lossy block compression (compression 32767: 16-byte
+blocks of 16 same-color pixels — 11-bit max/min, 4-bit positions,
+seven-bit shifted deltas, tone curve; dcraw sony_arw2_load_raw).
 """
 
 from __future__ import annotations
@@ -273,6 +278,154 @@ def read_nef(path: str) -> SirilImage:
     if make or model:
         out.keywords.instrume = f"{make} {model}".strip()
     out.log_history("NEF raw import")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Sony ARW
+# ---------------------------------------------------------------------------
+
+
+def is_arw(path: str) -> bool:
+    try:
+        with open(path, "rb") as f:
+            data = f.read(512)
+    except OSError:
+        return False
+    if data[:4] not in (b"II*\x00", b"MM\x00*"):
+        return False
+    return b"SONY" in data.upper()
+
+
+def _sony_curve() -> np.ndarray:
+    """Sony ARW2 tone curve (dcraw identify(): sony_curve breakpoints
+    {0,650,1343,2736,5500} with per-segment slopes 1,2,4,8 over an
+    identity base)."""
+    bp = [0, 650, 1343, 2736, 5500]
+    curve = np.arange(5501, dtype=np.int64)
+    for i in range(4):
+        lo, hi = bp[i], bp[i + 1]
+        curve[lo + 1:hi + 1] = curve[lo] + (1 << i) * np.arange(
+            1, hi - lo + 1)
+    return curve
+
+
+def _decode_arw2(data: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Sony ARW2 lossy 8-bit/px block compression (dcraw
+    sony_arw2_load_raw): each 16-byte block codes 16 same-CFA-color
+    pixels across 32 columns — 11-bit max/min + their 4-bit positions +
+    fourteen 7-bit deltas, shifted by sh = #{s<4 : 128<<s <= max-min}.
+    Blocks alternate even / odd columns of the same 32-column span.
+    Output = curve[pix<<1] >> 2."""
+    nb = width // 16                       # 16 bytes -> 16 px, 1 B/px
+    rows = data[:height * width].reshape(height, nb, 16).astype(np.uint32)
+    val = (rows[..., 0] | (rows[..., 1] << 8) | (rows[..., 2] << 16)
+           | (rows[..., 3] << 24))
+    vmax = val & 0x7FF
+    vmin = (val >> 11) & 0x7FF
+    imax = (val >> 22) & 0x0F
+    imin = (val >> 26) & 0x0F
+    diff = vmax - vmin
+    sh = ((diff >= 0x80).astype(np.uint32) + (diff >= 0x100)
+          + (diff >= 0x200) + (diff >= 0x400))
+    # fifteen 7-bit fields at bit 30+7k (LSB-first within the block);
+    # field k spans bytes [b, b+1] with b = (30+7k)>>3 — byte 16 is
+    # never needed except for the (degenerate) imax==imin 15th delta,
+    # which dcraw reads from its +1 slack byte; pad the same way
+    padded = np.concatenate([rows, np.zeros_like(rows[..., :2])], -1)
+    deltas = np.empty(rows.shape[:2] + (15,), np.uint32)
+    for k in range(15):
+        bitpos = 30 + 7 * k
+        b, s = bitpos >> 3, bitpos & 7
+        two = padded[..., b] | (padded[..., b + 1] << 8)
+        deltas[..., k] = (two >> s) & 0x7F
+    i = np.arange(16, dtype=np.uint32)
+    i_b = i.reshape(1, 1, 16)
+    imax_b = imax[..., None]
+    imin_b = imin[..., None]
+    skip_before = (i_b > imax_b).astype(np.int64) + \
+        ((i_b > imin_b) & (imin_b != imax_b))
+    didx = np.clip(i_b - skip_before, 0, 14)
+    dval = np.take_along_axis(deltas.astype(np.int64), didx, axis=-1)
+    pix = np.minimum((dval << sh[..., None]) + vmin[..., None], 0x7FF)
+    pix = np.where(i_b == imax_b, vmax[..., None], pix)
+    pix = np.where((i_b == imin_b) & (imin_b != imax_b),
+                   vmin[..., None], pix)
+    curve = _sony_curve()
+    raw = (curve[(pix << 1).astype(np.int64)] >> 2).astype(np.uint16)
+    # interleave: block 2p -> even columns of span p, 2p+1 -> odd
+    raw = raw.reshape(height, nb // 2, 2, 16)
+    out = np.empty((height, nb // 2, 32), np.uint16)
+    out[..., 0::2] = raw[:, :, 0]
+    out[..., 1::2] = raw[:, :, 1]
+    return out.reshape(height, width)
+
+
+def read_arw(path: str) -> SirilImage:
+    """Sony ARW import: uncompressed (TIFF comp 1, 12/14/16-bit LE) and
+    ARW2 lossy-compressed (comp 32767) sensor data (reference loads
+    these through libraw, image_formats_libraries.c open_raw_files)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    endian = "<" if data[:2] == b"II" else ">"
+    ifds = _walk_ifds(data, endian)
+    raw_ifd = None
+    best = 0
+    for e in ifds:
+        photo = _values(e[T_PHOTO], endian)[0] if T_PHOTO in e else 0
+        if photo == 32803 and T_WIDTH in e:
+            a = _values(e[T_WIDTH], endian)[0] * \
+                _values(e[T_LENGTH], endian)[0]
+            if a > best:
+                best, raw_ifd = a, e
+    if raw_ifd is None:
+        raise ValueError(f"{path}: no CFA raw IFD found")
+    e = raw_ifd
+    width = _values(e[T_WIDTH], endian)[0]
+    height = _values(e[T_LENGTH], endian)[0]
+    bits = _values(e[T_BITS], endian)[0] if T_BITS in e else 14
+    comp = _values(e[T_COMP], endian)[0] if T_COMP in e else 1
+    offs = _values(e[T_STRIP_OFF], endian)
+    cnts = _values(e[T_STRIP_CNT], endian)
+    blob = b"".join(data[offs[i]: offs[i] + cnts[i]]
+                    for i in range(len(offs)))
+    if comp == 32767:
+        img = _decode_arw2(np.frombuffer(blob, np.uint8), height, width)
+        # post-curve scale: curve[0x7ff<<1] >> 2 is the achievable max
+        white = float(int(_sony_curve()[0x7FF << 1]) >> 2)
+        black = 512.0                      # Sony pedestal (dcraw)
+    elif comp == 1:
+        img = np.frombuffer(blob, "<u2", count=height * width) \
+            .reshape(height, width).astype(np.uint16)
+        white = float((1 << bits) - 1)
+        black = 512.0 if bits >= 12 else 0.0
+    else:
+        raise ValueError(f"{path}: unsupported ARW compression {comp} — "
+                         "convert to DNG")
+    arr = np.clip((img.astype(np.float32) - black)
+                  / max(white - black, 1.0), 0.0, 1.0)
+    out = SirilImage(data=arr[None])
+    pat = "RGGB"                           # Sony CFA order
+    if T_CFA_PAT in e:
+        v = _values(e[T_CFA_PAT], endian)
+        vals = list(v[0]) if isinstance(v[0], (bytes, bytearray)) else \
+            [int(x) for x in v]
+        lut = {0: "R", 1: "G", 2: "B"}
+        cand = "".join(lut.get(x, "G") for x in vals[-4:])
+        if len(cand) == 4:
+            pat = cand
+    out.keywords.bayer_pattern = pat
+    ifd0 = ifds[0] if ifds else {}
+    make = _values(ifd0[T_MAKE], endian)[0] if T_MAKE in ifd0 else ""
+    model = _values(ifd0[T_MODEL], endian)[0] if T_MODEL in ifd0 else ""
+    if make or model:
+        out.keywords.instrume = f"{make} {model}".strip()
+    for src in (e, ifd0):
+        if T_EXPOSURE in src:
+            out.keywords.exposure = float(
+                _values(src[T_EXPOSURE], endian)[0])
+            break
+    out.log_history("ARW raw import")
     return out
 
 

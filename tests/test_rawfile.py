@@ -228,3 +228,162 @@ def test_nef_compressed_gated(tmp_path, rng):
     open(p, "wb").write(bytes(data))
     with pytest.raises(ValueError, match="Nikon-compressed"):
         read_nef(p)
+
+
+# ---------------------------------------------------------------------------
+# ARW
+# ---------------------------------------------------------------------------
+
+
+def _encode_arw2_block(vmax, vmin, imax, imin, deltas):
+    """Pack one 16-byte ARW2 block (14 seven-bit deltas from bit 30)."""
+    big = ((vmax & 0x7FF) | ((vmin & 0x7FF) << 11)
+           | ((imax & 0xF) << 22) | ((imin & 0xF) << 26))
+    pos = 30
+    for d in deltas:
+        big |= (d & 0x7F) << pos
+        pos += 7
+    return big.to_bytes(16, "little")
+
+
+def _decode_arw2_block_ref(block):
+    """Independent scalar oracle: dcraw sony_arw2_load_raw inner loop."""
+    big = int.from_bytes(block, "little")
+    vmax = big & 0x7FF
+    vmin = (big >> 11) & 0x7FF
+    imax = (big >> 22) & 0xF
+    imin = (big >> 26) & 0xF
+    sh = 0
+    while sh < 4 and (0x80 << sh) <= vmax - vmin:
+        sh += 1
+    pix = [0] * 16
+    bit = 30
+    for i in range(16):
+        if i == imax:
+            pix[i] = vmax
+        elif i == imin:
+            pix[i] = vmin
+        else:
+            pix[i] = min((((big >> bit) & 0x7F) << sh) + vmin, 0x7FF)
+            bit += 7
+    from siril_tpu.io.rawfile import _sony_curve
+
+    curve = _sony_curve()
+    return [int(curve[p << 1]) >> 2 for p in pix]
+
+
+def write_arw(path, blob: bytes, h, w, comp, bits=12):
+    ifd0_entries = [
+        _entry(271, 2, ["SONY"]), _entry(272, 2, ["ILCE test"]),
+        _entry(330, 4, [0]),
+    ]
+    ifd0_size = 2 + 12 * len(ifd0_entries) + 4
+    heap_guess = 64
+    raw_ifd_off = 8 + ifd0_size + heap_guess
+    raw_entries_n = 9
+    raw_size = 2 + 12 * raw_entries_n + 4
+    pix_off = raw_ifd_off + raw_size + 64
+    raw_entries = [
+        _entry(256, 3, [w]), _entry(257, 3, [h]), _entry(258, 3, [bits]),
+        _entry(259, 3, [comp]), _entry(262, 3, [32803]),
+        _entry(273, 4, [pix_off]), _entry(279, 4, [len(blob)]),
+        _entry(278, 3, [h]),
+        _entry(33422, 1, [0, 1, 1, 2]),
+    ]
+    assert len(raw_entries) == raw_entries_n
+    ifd0_entries = [e if e[0] != 330 else _entry(330, 4, [raw_ifd_off])
+                    for e in ifd0_entries]
+    ifd0_bytes, ifd0_heap = _build_ifd(ifd0_entries, 8 + ifd0_size)
+    assert len(ifd0_heap) <= heap_guess
+    raw_bytes, raw_heap = _build_ifd(raw_entries, raw_ifd_off + raw_size)
+    with open(path, "wb") as f:
+        f.write(b"II*\x00" + struct.pack("<I", 8))
+        f.write(ifd0_bytes)
+        f.write(ifd0_heap.ljust(heap_guess, b"\0"))
+        f.write(raw_bytes)
+        f.write(raw_heap.ljust(64, b"\0"))
+        f.write(blob)
+
+
+def test_arw2_blocks_vs_oracle(tmp_path, rng):
+    from siril_tpu.io.rawfile import is_arw, read_arw, _sony_curve
+
+    h, w = 4, 64                           # 4 rows x 4 blocks (2 spans)
+    blocks = []
+    expected = np.zeros((h, w), np.uint16)
+    for row in range(h):
+        row_blocks = []
+        for b in range(w // 16):
+            vmin = int(rng.integers(0, 900))
+            vmax = min(vmin + int(rng.integers(1, 1100)), 0x7FF)
+            imax, imin = 3, 11
+            deltas = rng.integers(0, 128, 14).tolist()
+            blk = _encode_arw2_block(vmax, vmin, imax, imin, deltas)
+            row_blocks.append(blk)
+            pix = _decode_arw2_block_ref(blk)
+            span, parity = b // 2, b % 2
+            cols = np.arange(16) * 2 + span * 32 + parity
+            expected[row, cols] = pix
+        blocks.append(b"".join(row_blocks))
+    blob = b"".join(blocks)
+    white = float(int(_sony_curve()[0x7FF << 1]) >> 2)
+    p = str(tmp_path / "shot.arw")
+    write_arw(p, blob, h, w, comp=32767)
+    assert is_arw(p)
+    img = read_arw(p)
+    assert img.height == h and img.width == w
+    assert img.keywords.bayer_pattern == "RGGB"
+    want = np.clip((expected.astype(np.float32) - 512.0)
+                   / (white - 512.0), 0, 1)
+    np.testing.assert_allclose(img.host()[0], want, atol=1e-6)
+
+
+def test_arw2_degenerate_imax_eq_imin(tmp_path, rng):
+    """imax == imin consumes 15 deltas (dcraw reads its slack byte)."""
+    from siril_tpu.io.rawfile import read_arw
+
+    h, w = 2, 32
+    blocks = []
+    exp_rows = []
+    for row in range(h):
+        rb = []
+        exp = []
+        for b in range(2):
+            blk = _encode_arw2_block(700, 700, 5, 5,
+                                     rng.integers(0, 128, 14).tolist())
+            rb.append(blk)
+            exp.append(_decode_arw2_block_ref(blk))
+        blocks.append(b"".join(rb))
+        exp_rows.append(exp)
+    p = str(tmp_path / "deg.arw")
+    write_arw(p, b"".join(blocks), h, w, comp=32767)
+    img = read_arw(p)          # must not crash; imax pixel wins
+    assert np.isfinite(img.host()).all()
+
+
+def test_arw_uncompressed(tmp_path, rng):
+    from siril_tpu.io.rawfile import read_arw
+
+    h, w = 6, 8
+    sensor = rng.integers(0, 1 << 14, (h, w)).astype(np.uint16)
+    p = str(tmp_path / "un.arw")
+    write_arw(p, sensor.astype("<u2").tobytes(), h, w, comp=1, bits=14)
+    img = read_arw(p)
+    want = np.clip((sensor.astype(np.float32) - 512.0)
+                   / ((1 << 14) - 1 - 512.0), 0, 1)
+    np.testing.assert_allclose(img.host()[0], want, atol=1e-6)
+
+
+def test_arw_via_convert_cli(tmp_path, rng):
+    from siril_tpu.cli.context import Session
+    from siril_tpu.cli.parser import process_command_line as cmd
+
+    h, w = 4, 32
+    blk = _encode_arw2_block(600, 300, 0, 15, rng.integers(0, 128, 14)
+                             .tolist())
+    blob = (blk * 2) * h
+    write_arw(str(tmp_path / "a_001.arw"), blob, h, w, comp=32767)
+    ctx = Session(cwd=str(tmp_path))
+    assert cmd(ctx, "convert lights") == 0
+    import glob as g
+    assert g.glob(str(tmp_path / "lights*.fit"))
