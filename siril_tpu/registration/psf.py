@@ -105,9 +105,10 @@ def fit_psf_batch(patches: np.ndarray, profile: int = PROFILE_GAUSSIAN,
     beta_fixed = None if free_beta else (fixed_beta if moffat else None)
 
     fit = _get_fitter(S, moffat, free_beta, beta_fixed, fixed_beta, iters)
-    params, rmse = fit(jnp.asarray(patches, jnp.float32))
-    params = np.asarray(params)[:K]
-    rmse = np.asarray(rmse)[:K]
+    npar = 8 if free_beta else 7
+    packed = np.asarray(fit(jnp.asarray(patches, jnp.float32)))  # 1 fetch
+    params = packed[:K, :npar]
+    rmse = packed[:K, npar]
     out = {
         "B": params[:, 0],
         "A": params[:, 1],
@@ -116,7 +117,7 @@ def fit_psf_batch(patches: np.ndarray, profile: int = PROFILE_GAUSSIAN,
         "sx": np.exp(np.clip(params[:, 4], -20, 20)),
         "sy": np.exp(np.clip(params[:, 5], -20, 20)),
         "angle": params[:, 6],
-        "rmse": np.asarray(rmse),
+        "rmse": rmse,
     }
     if free_beta:
         out["beta"] = 1.0 + np.exp(params[:, 7])
@@ -190,7 +191,10 @@ def _get_fitter(S: int, moffat: bool, free_beta: bool, beta_fixed,
         (_, _, best_p, best_cost), _ = jax.lax.scan(body, state0,
                                                     None, length=iters)
         rmse = jnp.sqrt(best_cost / (S * S))
-        return best_p, rmse
+        # pack params+rmse into one row: the caller fetches ONE array
+        # (each device->host fetch costs ~1-2 s of latency through the
+        # axon tunnel, so two fetches per fit call doubled the bill)
+        return jnp.concatenate([best_p, rmse[None]])
 
     return jax.jit(jax.vmap(fit_one))
 
