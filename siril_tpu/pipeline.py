@@ -171,14 +171,25 @@ def fused_preprocess_stack(seq: Sequence, args: Optional[FusedArgs] = None
 
         with stage("fused.star_detection"):
             # stats+candidates were dispatched chunk-by-chunk during
-            # upload; fetch and finish (patch gather + PSF fit)
+            # upload; pack them into ONE array on device and fetch once
+            # (each separate fetch pays 1–2 s of tunnel latency), then
+            # finish (patch gather + PSF fit)
             with stage("fused.fetch_pre"):
-                pre = (np.concatenate([np.asarray(p[0])
-                                       for p in detect_parts], axis=1),
-                       np.concatenate([np.asarray(p[1])
-                                       for p in detect_parts]),
-                       np.concatenate([np.asarray(p[2])
-                                       for p in detect_parts]))
+                from siril_tpu.utils.fetch import fetch_np
+
+                K = int(detect_parts[0][1].shape[1])
+                nfit = int(detect_parts[0][3].shape[-1])
+                packed_det = _detect_pack_fn(
+                    tuple(int(p[1].shape[0]) for p in detect_parts))(
+                        detect_parts)
+                hd = fetch_np(packed_det)
+                o1, o2, o3 = 3 * n, 3 * n + n * K, 3 * n + 2 * n * K
+                stats_h = hd[:o1].reshape(3, n)
+                vals_h = hd[o1:o2].reshape(n, K)
+                idx_h = np.ascontiguousarray(
+                    hd[o2:o3]).view(np.int32).reshape(n, K)
+                fits_h = hd[o3:].reshape(n, K, nfit)
+                pre = (stats_h, vals_h, idx_h, fits_h)
             stars_all = detect_stars_batch([c[:, layer] for c in frames],
                                            args.starfinder,
                                            max_stars=args.max_stars,
@@ -272,46 +283,40 @@ def fused_preprocess_stack(seq: Sequence, args: Optional[FusedArgs] = None
     coeffs = _device_norm_coeffs(frames, n, L, sa, seq, indices) if do_norm \
         else NormCoeffs(np.zeros((L, n)), np.ones((L, n)), np.ones((L, n)))
 
-    from siril_tpu.ops.stacking import make_block_kernel, norm_to_0_1_range
-
     # stream the rejection kernel over pixel-row blocks: each block
     # gathers the same rows from every chunk into one (n, rows·W) array,
-    # so only the stack itself (chunked) + one block live in HBM
+    # so only the stack itself (chunked) + one block live in HBM.
+    # Each block is ONE fused program (slice-from-every-chunk + concat +
+    # kernel): eager per-block jnp ops each execute as a separate program
+    # through the axon tunnel (~0.65 s dispatch), which used to add
+    # ~30 s at 40×16 Mpix.  The block row offset and channel are runtime
+    # scalars so all full blocks share one executable.
     rows = max(1, min(H, (256 << 20) // max(n * W * 4, 1)))
     nblocks = -(-H // rows)
-    means = []
-    rl_tot = jnp.zeros((), jnp.float32)
-    rh_tot = jnp.zeros((), jnp.float32)
+    kernel_cfg = (sa.rejection if sa.method == "rej" else rj.NO_REJEC,
+                  sa.normalize if do_norm else NO_NORM,
+                  float(sa.siglow), float(sa.sighigh), n)
+    shapes_key = tuple(tuple(ch.shape) for ch in frames)
+    means, rls, rhs = [], [], []
     for c in range(L):
-        kernel = make_block_kernel(
-            sa.rejection if sa.method == "rej" else rj.NO_REJEC,
-            sa.normalize if do_norm else NO_NORM,
-            float(sa.siglow), float(sa.sighigh), n, 0, False,
-            want_maps=False)
         sc = jnp.asarray(coeffs.scale[c], jnp.float32)
         off = jnp.asarray(coeffs.offset[c], jnp.float32)
         mu = jnp.asarray(coeffs.mul[c], jnp.float32)
-        parts = []
         for b in range(nblocks):
             y0 = b * rows
-            y1 = min(y0 + rows, H)
-            block = jnp.concatenate(
-                [ch[:, c, y0:y1, :].reshape(ch.shape[0], -1)
-                 for ch in frames], axis=0)
+            blk_rows = min(rows, H - y0)
             # a short tail block compiles its own executable (padding
             # would push normalized pad pixels through rejection and
             # pollute the counts); the compile cache amortizes it
-            mean, rl, rh = kernel(
-                block, sc, off, mu,
-                jnp.zeros((1, 1), jnp.float32),
-                jnp.zeros(1, jnp.float32))
-            parts.append(mean)
-            rl_tot = rl_tot + rl.astype(jnp.float32)
-            rh_tot = rh_tot + rh.astype(jnp.float32)
-        means.append(jnp.concatenate(parts))
+            fn = _block_stream_fn(shapes_key, blk_rows, kernel_cfg)
+            mean, rl, rh = fn(*frames, sc, off, mu,
+                              np.int32(y0), np.int32(c))
+            means.append(mean)
+            rls.append(rl)
+            rhs.append(rh)
 
-    packed = jnp.concatenate(
-        [jnp.stack(means).ravel(), rl_tot[None], rh_tot[None]])
+    packed = _pack_fn(tuple(int(m.shape[0]) for m in means))(
+        tuple(means), tuple(rls), tuple(rhs))
     with stage("fused.stack+fetch"):
         from siril_tpu.utils.fetch import fetch_np
 
@@ -334,6 +339,83 @@ def fused_preprocess_stack(seq: Sequence, args: Optional[FusedArgs] = None
 # ---------------------------------------------------------------------------
 # helpers
 # ---------------------------------------------------------------------------
+
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _block_stream_fn(shapes_key, blk_rows, kernel_cfg):
+    """ONE fused program per pixel-row block of the streamed rejection
+    stack: dynamic-slice the same ``blk_rows`` rows (runtime offset
+    ``y0``, runtime channel ``c``) out of every resident chunk, stack
+    them into the (n, rows·W) block, and run the fused
+    normalize+reject+mean kernel — a single dispatch per block."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from siril_tpu.ops.stacking import make_block_kernel
+
+    rtype, mode, siglow, sighigh, n = kernel_cfg
+    kernel = make_block_kernel(rtype, mode, siglow, sighigh, n, 0, False,
+                               want_maps=False)
+
+    @jax.jit
+    def run(*args):
+        chunks = args[:len(shapes_key)]
+        sc, off, mu, y0, c = args[len(shapes_key):]
+        parts = []
+        for ch in chunks:
+            ni, _, Hc, Wc = ch.shape
+            sl = lax.dynamic_slice(ch, (0, c, y0, 0),
+                                   (ni, 1, blk_rows, Wc))
+            parts.append(sl.reshape(ni, blk_rows * Wc))
+        block = jnp.concatenate(parts, axis=0)
+        return kernel(block, sc, off, mu,
+                      jnp.zeros((1, 1), jnp.float32),
+                      jnp.zeros(1, jnp.float32))
+
+    return run
+
+
+@functools.lru_cache(maxsize=8)
+def _detect_pack_fn(chunk_ns):
+    """Pack per-chunk detection outputs (stats [3,nᵢ], vals [nᵢ,K],
+    idx [nᵢ,K] i32) into ONE flat f32 array for a single fetch; i32
+    candidate indices ride as bitcast f32 (exact for any value)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def run(parts):
+        stats = jnp.concatenate([p[0] for p in parts], axis=1)
+        vals = jnp.concatenate([p[1] for p in parts], axis=0)
+        idx = jnp.concatenate([p[2] for p in parts], axis=0)
+        fits = jnp.concatenate([p[3] for p in parts], axis=0)
+        return jnp.concatenate([
+            stats.ravel(), vals.ravel(),
+            lax.bitcast_convert_type(idx.astype(jnp.int32),
+                                     jnp.float32).ravel(),
+            fits.ravel()])
+
+    return run
+
+
+@functools.lru_cache(maxsize=8)
+def _pack_fn(mean_lens):
+    """Single program packing all block means + total rejection counts
+    into one flat array for the ONE result fetch."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(means, rls, rhs):
+        rl = sum(r.astype(jnp.float32) for r in rls)
+        rh = sum(r.astype(jnp.float32) for r in rhs)
+        return jnp.concatenate(list(means) + [rl[None], rh[None]])
+
+    return run
 
 
 def _raw_reader(seq: Sequence, indices, L, H, W):
@@ -372,9 +454,6 @@ def _raw_reader(seq: Sequence, indices, L, H, W):
     return read_chunk
 
 
-import functools
-
-
 @functools.lru_cache(maxsize=1)
 def _decode_fn():
     import jax
@@ -402,7 +481,7 @@ def _calib_operands(st):
 
 @functools.lru_cache(maxsize=16)
 def _chunk_program_builder(is_i16, calib_key, want_detect, R, K, sigma,
-                           layer):
+                           profile, layer):
     import jax
     import jax.numpy as jnp
 
@@ -413,9 +492,9 @@ def _chunk_program_builder(is_i16, calib_key, want_detect, R, K, sigma,
         kern = make_calibrate_batch_kernel(*calib_key)
     stats_cand = None
     if want_detect:
-        from siril_tpu.registration.starfinder import _stats_cand_fn
+        from siril_tpu.registration.starfinder import _stats_cand_fit_fn
 
-        stats_cand = _stats_cand_fn(R, K, sigma)
+        stats_cand = _stats_cand_fit_fn(R, K, sigma, profile)
 
     @jax.jit
     def run(raw, *cal):
@@ -425,8 +504,8 @@ def _chunk_program_builder(is_i16, calib_key, want_detect, R, K, sigma,
             xf = kern(xf, *cal)
         if stats_cand is None:
             return (xf,)
-        stats, vals, idx = stats_cand(xf[:, layer])
-        return (xf, stats, vals, idx)
+        stats, vals, idx, fits = stats_cand(xf[:, layer])
+        return (xf, stats, vals, idx, fits)
 
     return run
 
@@ -434,7 +513,8 @@ def _chunk_program_builder(is_i16, calib_key, want_detect, R, K, sigma,
 def _chunk_program(is_i16, cal_state, want_detect, H, W, p, max_stars,
                    layer):
     """ONE jitted program per chunk config: decode + fused calibrate +
-    detection stats/candidates (see the call-site comment on why)."""
+    detection stats/candidates + batched PSF fit (see the call-site
+    comment on why)."""
     from siril_tpu.registration.starfinder import detection_radius
 
     calib_key = None
@@ -447,6 +527,7 @@ def _chunk_program(is_i16, cal_state, want_detect, H, W, p, max_stars,
     return _chunk_program_builder(is_i16, calib_key, want_detect, R,
                                   int(max_stars),
                                   float(p.sigma) if want_detect else 0.0,
+                                  int(p.profile) if want_detect else 0,
                                   layer)
 
 

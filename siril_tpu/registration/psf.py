@@ -105,10 +105,20 @@ def fit_psf_batch(patches: np.ndarray, profile: int = PROFILE_GAUSSIAN,
     beta_fixed = None if free_beta else (fixed_beta if moffat else None)
 
     fit = _get_fitter(S, moffat, free_beta, beta_fixed, fixed_beta, iters)
-    npar = 8 if free_beta else 7
     packed = np.asarray(fit(jnp.asarray(patches, jnp.float32)))  # 1 fetch
-    params = packed[:K, :npar]
-    rmse = packed[:K, npar]
+    return fit_dict_from_packed(packed[:K], profile, fixed_beta)
+
+
+def fit_dict_from_packed(packed: np.ndarray, profile: int,
+                         fixed_beta: float = 2.0) -> dict:
+    """Decode packed [K, npar+1] LM-fit rows (params + rmse, the on-wire
+    layout of ``_get_fitter``) into the fit dict of fit_psf_batch."""
+    moffat = profile in (PROFILE_MOFFAT, PROFILE_MOFFAT_FIXED)
+    free_beta = profile == PROFILE_MOFFAT
+    npar = 8 if free_beta else 7
+    K = packed.shape[0]
+    params = packed[:, :npar]
+    rmse = packed[:, npar]
     out = {
         "B": params[:, 0],
         "A": params[:, 1],

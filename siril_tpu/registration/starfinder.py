@@ -331,6 +331,79 @@ def chunk_detect(frames_chunk, H: int, W: int,
     return _stats_cand_fn(R, int(max_stars), float(p.sigma))(frames_chunk)
 
 
+@lru_cache(maxsize=8)
+def _stats_cand_fit_fn(r: int, k: int, sigma: float, profile: int):
+    """One fused device program per frame-chunk: detection stats +
+    threshold + candidate top-k + patch gather + batched LM PSF fit —
+    the ENTIRE per-frame detection compute, dispatched while the next
+    chunk is still DMA-ing in.  The fused pipeline fetches one packed
+    array at the end instead of syncing per stage (each fetch through
+    the axon tunnel costs 1–2 s of latency, and the PSF fit used to be
+    a post-upload synchronous stage on the critical path)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from siril_tpu.registration.psf import (
+        PROFILE_MOFFAT,
+        PROFILE_MOFFAT_FIXED,
+        _get_fitter,
+    )
+
+    cand = _candidate_fn(r, k)
+    box = 2 * r + 1
+    moffat = profile in (PROFILE_MOFFAT, PROFILE_MOFFAT_FIXED)
+    free_beta = profile == PROFILE_MOFFAT
+    beta_fixed = None if free_beta else (2.0 if moffat else None)
+    fitter = _get_fitter(box, moffat, free_beta, beta_fixed, 2.0, 40)
+
+    @jax.jit
+    def run(frames):
+        from siril_tpu.ops.statistics import hist_median_jax
+
+        n = frames.shape[0]
+        H, W = int(frames.shape[1]), int(frames.shape[2])
+        flat = frames.reshape(n, -1)
+        valid = jnp.isfinite(flat)
+        med = hist_median_jax(flat, valid)
+        mad = hist_median_jax(jnp.abs(flat - med[:, None]), valid)
+        mx = flat.max(axis=1)
+        stats = jnp.stack([med, 1.4826 * mad, mx])
+        thrs = med + np.float32(sigma) * jnp.maximum(1.4826 * mad, 1e-7)
+
+        def per_frame(a):
+            x, thr = a
+            v, i = cand(x, thr)
+            # the SAME patch-origin rule as the host decode path in
+            # detect_stars_batch — divergence would shift patch coords
+            cy = i // W
+            cx = i % W
+            y0 = jnp.clip(cy - r, 0, H - box).astype(jnp.int32)
+            x0 = jnp.clip(cx - r, 0, W - box).astype(jnp.int32)
+
+            def one(yy, xx):
+                return lax.dynamic_slice(x, (yy, xx), (box, box))
+
+            patches = jax.vmap(one)(y0, x0)
+            return v, i, fitter(patches)          # fit: [k, npar+1]
+
+        vals, idx, fits = lax.map(per_frame,
+                                  (frames, thrs.astype(jnp.float32)))
+        return stats, vals, idx, fits
+
+    return run
+
+
+def chunk_detect_fit(frames_chunk, H: int, W: int,
+                     params: Optional[StarFinderParams] = None,
+                     max_stars: int = 500):
+    """Async per-chunk stats+candidates+PSF-fit (device arrays)."""
+    p = params or StarFinderParams()
+    R = detection_radius(H, W, p)
+    return _stats_cand_fit_fn(R, int(max_stars), float(p.sigma),
+                              int(p.profile))(frames_chunk)
+
+
 def detect_stars_batch(frames, params: Optional[StarFinderParams] = None,
                        max_stars: int = 500,
                        precomputed=None) -> List[List[PSFStar]]:
@@ -368,9 +441,14 @@ def detect_stars_batch(frames, params: Optional[StarFinderParams] = None,
 
     from siril_tpu.utils.trace import stage
 
+    fits_h = None
     if precomputed is not None:
         with stage("sf.fetch_pre"):
-            stats, vals, idx = precomputed
+            if len(precomputed) == 4:
+                stats, vals, idx, fits_h = precomputed
+                fits_h = np.asarray(fits_h)
+            else:
+                stats, vals, idx = precomputed
             stats = np.asarray(stats)
             vals = np.asarray(vals)
             idx = np.asarray(idx)
@@ -394,29 +472,39 @@ def detect_stars_batch(frames, params: Optional[StarFinderParams] = None,
     cx = (idx[fi, ki] % W).astype(np.int32)
     y0s = np.clip(cy - R, 0, H - box).astype(np.int32)
     x0s = np.clip(cx - R, 0, W - box).astype(np.int32)
-    with stage("sf.patches"):
-        # keep the patch stack on device — fit_psf_batch consumes it
-        # there, and the tunnel's device→host path is ~50× slower than
-        # upload, so a ~30 MB fetch would dominate detection
-        if chunks is not None:
-            # fi ascends (np.nonzero row-major), so per-chunk gathers
-            # concatenate back in candidate order
-            parts, base = [], 0
-            for ch in chunks:
-                m = (fi >= base) & (fi < base + ch.shape[0])
-                if m.any():
-                    parts.append(_batch_gather_fn(box)(
-                        ch, jnp.asarray((fi[m] - base).astype(np.int32)),
-                        jnp.asarray(y0s[m]), jnp.asarray(x0s[m])))
-                base += ch.shape[0]
-            patches = jnp.concatenate(parts, axis=0)
-        else:
-            patches = _batch_gather_fn(box)(
-                frames, jnp.asarray(fi.astype(np.int32)),
-                jnp.asarray(y0s), jnp.asarray(x0s))
+    patches = None
+    if fits_h is not None:
+        # PSF fits already computed on device inside the per-chunk
+        # upload-time program (chunk_detect_fit) — just decode the rows
+        with stage("sf.psf_decode"):
+            from siril_tpu.registration.psf import fit_dict_from_packed
 
-    with stage("sf.psf_fit"):
-        fit = fit_psf_batch(patches, profile=p.profile)  # one device call
+            fit = fit_dict_from_packed(fits_h[fi, ki], p.profile)
+    else:
+        with stage("sf.patches"):
+            # keep the patch stack on device — fit_psf_batch consumes it
+            # there, and the tunnel's device→host path is ~50× slower
+            # than upload, so a ~30 MB fetch would dominate detection
+            if chunks is not None:
+                # fi ascends (np.nonzero row-major), so per-chunk gathers
+                # concatenate back in candidate order
+                parts, base = [], 0
+                for ch in chunks:
+                    m = (fi >= base) & (fi < base + ch.shape[0])
+                    if m.any():
+                        parts.append(_batch_gather_fn(box)(
+                            ch,
+                            jnp.asarray((fi[m] - base).astype(np.int32)),
+                            jnp.asarray(y0s[m]), jnp.asarray(x0s[m])))
+                    base += ch.shape[0]
+                patches = jnp.concatenate(parts, axis=0)
+            else:
+                patches = _batch_gather_fn(box)(
+                    frames, jnp.asarray(fi.astype(np.int32)),
+                    jnp.asarray(y0s), jnp.asarray(x0s))
+
+        with stage("sf.psf_fit"):
+            fit = fit_psf_batch(patches, profile=p.profile)  # one call
     with stage("sf.mkstars"):
         stars = stars_from_fit(fit, x0s, y0s, box, p.profile)
 
@@ -436,8 +524,32 @@ def detect_stars_batch(frames, params: Optional[StarFinderParams] = None,
                 half = box // 2
                 small = (half // 2) * 2 + 1
                 off = (box - small) // 2
-                sub = patches[np.asarray(retry)][:, off:off + small,
-                               off:off + small]
+                ridx = np.asarray(retry)
+                if patches is not None:
+                    sub = patches[ridx][:, off:off + small,
+                                   off:off + small]
+                else:
+                    # fused-fit path kept no patch stack: gather the
+                    # retry crops from the resident frames (device)
+                    rfi = fi[ridx]
+                    ys = (y0s[ridx] + off).astype(np.int32)
+                    xs = (x0s[ridx] + off).astype(np.int32)
+                    if chunks is not None:
+                        parts, base = [], 0
+                        for ch in chunks:
+                            m = (rfi >= base) & (rfi < base + ch.shape[0])
+                            if m.any():
+                                parts.append(_batch_gather_fn(small)(
+                                    ch, jnp.asarray(
+                                        (rfi[m] - base).astype(np.int32)),
+                                    jnp.asarray(ys[m]),
+                                    jnp.asarray(xs[m])))
+                            base += ch.shape[0]
+                        sub = jnp.concatenate(parts, axis=0)
+                    else:
+                        sub = _batch_gather_fn(small)(
+                            frames, jnp.asarray(rfi.astype(np.int32)),
+                            jnp.asarray(ys), jnp.asarray(xs))
                 fit2 = fit_psf_batch(sub, profile=p.profile)
                 stars2 = stars_from_fit(fit2, x0s[retry] + off,
                                         y0s[retry] + off, small, p.profile)

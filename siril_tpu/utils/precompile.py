@@ -144,6 +144,56 @@ def precompile_pipeline_kernels(n: int, width: int, height: int,
     for s in sorted(subs):
         t = _compile(_est_fn(False), _sds((s, hw), jnp.float32))
         done.append((f"estimators ({s},{hw})", t))
+
+    # the fused per-chunk program (u16 decode + calibrate + detection
+    # stats/candidates + batched LM PSF fit) — the program the fused
+    # pipeline actually dispatches per chunk
+    from siril_tpu.pipeline import _block_stream_fn, _chunk_program_builder
+    from siril_tpu.registration.starfinder import (
+        StarFinderParams,
+        detection_radius,
+    )
+
+    p = StarFinderParams()
+    R = detection_radius(height, width, p)
+    calib_key = (True, True, True, True, False)
+    img = _sds((channels, height, width), jnp.float32)
+    bmask = _sds((height, width), jnp.bool_)
+    for cs in sorted(chunk_sizes):
+        prog = _chunk_program_builder(True, calib_key, True, R, 500,
+                                      float(p.sigma), int(p.profile), 0)
+        t = _compile(prog,
+                     _sds((cs, channels, height, width), jnp.int16),
+                     img, img, np.float32(1.0), img, np.float32(1.0),
+                     bmask, bmask)
+        done.append((f"fused chunk ({cs},{channels},{height},{width})", t))
+
+    # the fused block-stream rejection programs (full + tail block)
+    from siril_tpu.ops import rejection as rj
+    from siril_tpu.ops.normalization import ADDITIVE_SCALING
+
+    shapes = []
+    left = n
+    while left > 0:
+        cs = min(frame_chunk, left)
+        shapes.append((cs, channels, height, width))
+        left -= cs
+    shapes_key = tuple(shapes)
+    fused_rows = max(1, min(height, (256 << 20) // max(n * width * 4, 1)))
+    row_set = {fused_rows}
+    if height % fused_rows:
+        row_set.add(height % fused_rows)
+    coef = _sds((n,), jnp.float32)
+    for rtype in (rj.WINSORIZED, rj.SIGMA):
+        for blk_rows in sorted(row_set):
+            fn = _block_stream_fn(shapes_key, blk_rows,
+                                  (rtype, ADDITIVE_SCALING, 3.0, 3.0, n))
+            args = [_sds(s, jnp.float32) for s in shapes]
+            args += [coef, coef, coef,
+                     _sds((), jnp.int32), _sds((), jnp.int32)]
+            t = _compile(fn, *args)
+            done.append((f"block_stream[{rj_name(rtype)}] "
+                         f"rows={blk_rows} n={n}", t))
     if log:
         for name, t in done:
             log(f"precompile: {name}: {t:.1f}s")
