@@ -324,6 +324,8 @@ def fused_preprocess_stack(seq: Sequence, args: Optional[FusedArgs] = None
     result = host[:L * H * W].reshape(L, H, W).astype(np.float32)
     tot = (int(host[-2]), int(host[-1]))
     if sa.output_norm:
+        from siril_tpu.ops.stacking import norm_to_0_1_range
+
         result = norm_to_0_1_range(result)
     else:
         result = np.clip(result, 0.0, 1.0)

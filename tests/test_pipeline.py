@@ -86,6 +86,18 @@ def test_fusedstack_command(tmp_path):
     assert ctx.image is not None
 
 
+def test_fused_output_norm(tmp_path):
+    """-output_norm rescales the fused result into [0,1] (regression:
+    norm_to_0_1_range import was dropped in a refactor)."""
+    rng = np.random.default_rng(6)
+    seq, base = make_seq(tmp_path, rng, [(0, 0), (2, 1), (-1, 2)])
+    sa = StackArgs(method="rej", rejection=rj.SIGMA, output_norm=True)
+    res = fused_preprocess_stack(
+        seq, FusedArgs(stack=sa, starfinder=StarFinderParams(radius=6)))
+    out = res.image.host()
+    assert 0.0 <= out.min() and out.max() <= 1.0
+
+
 def test_fused_multichunk_matches_single_chunk(tmp_path):
     """The chunk-list path (frames kept as a list, per-chunk warp with
     donation, row-block streamed stack) must equal the one-chunk path."""
