@@ -58,7 +58,8 @@ def remaining():
 
 def emit(final=False):
     if _best.get("value"):
-        print(json.dumps(_best), flush=True)
+        print(json.dumps({k: v for k, v in _best.items()
+                          if not k.startswith("_")}), flush=True)
     elif final:
         status("no TPU result captured — nothing to emit")
 
@@ -70,9 +71,18 @@ def _on_signal(signum, frame):
 
 
 def _record(n, t):
-    """Fold a completed TPU pass (n frames in t seconds) into _best."""
+    """Fold a completed TPU pass (n frames in t seconds) into _best.
+
+    Preference order: largest n (the north star is the FULL 100-frame
+    config), then best throughput at that n.  A slower 100-frame number
+    never gets displaced by a hot 40-frame rerun."""
     tput = n * S * S / 1e6 / t
+    if _best.get("_n", 0) > n:
+        return
+    if _best.get("_n", 0) == n and _best.get("value", 0.0) >= tput:
+        return
     _best.update({
+        "_n": n,
         "metric": f"fused_calib_register_winsorized_stack_{n}x16Mpix",
         "value": round(tput, 2),
         "unit": "Mpix/s",
@@ -230,30 +240,77 @@ def run_pipeline(d, n=None):
     return res.elapsed_s
 
 
-def _child(d, n):
-    """Runs in the watchdog subprocess: warm then hot pass, streaming a
-    RESULT line after each so the parent has a number even if the next
-    pass hangs."""
-    def out(tag, val):
-        print(f"BENCH_{tag} {val}", flush=True)
+def _child(d, plan, deadline_s):
+    """Runs in the watchdog subprocess: escalate through the frame-count
+    ``plan`` (e.g. [40, 100]) in ONE process so later passes reuse the
+    warm compile cache and uploaded masters, streaming a RESULT line
+    after each pass so the parent has a number even if the next pass
+    hangs.  Escalation to plan[i+1] happens only if a linear scaling of
+    the freshest pass time (plus 15% headroom) fits the remaining
+    deadline; otherwise re-run the current n hot to tighten it."""
+    t_start = time.monotonic()
 
+    def left():
+        return deadline_s - (time.monotonic() - t_start)
+
+    def out(n, val):
+        print(f"BENCH_RESULT {n} {val}", flush=True)
+
+    # 2×16 MB upload probe (2nd reported): e2e throughput is wire-bound
+    # when the tunnel degrades (measured 20 MB/s – 1.7 GB/s across days),
+    # so the JSON records the H2D rate this number was taken at
+    try:
+        import jax
+        a = np.zeros((4 << 20,), np.int16)          # 8 MB
+        for _ in range(2):
+            tp = time.monotonic()
+            dev = jax.device_put(a)
+            _ = np.asarray(dev[0])
+            dt = time.monotonic() - tp
+        print(f"BENCH_TUNNEL {a.nbytes / dt / 1e6:.0f}", flush=True)
+    except Exception:
+        pass
+
+    plan = list(plan)
+    n = plan.pop(0)
     t1 = run_pipeline(d, n)
-    out("RESULT", t1)
-    t2 = run_pipeline(d, n)
-    out("RESULT", t2)
+    out(n, t1)
+    t_last, n_last = t1, n
+    for nxt in plan:
+        # the first pass's time includes compile + tunnel warm-up, so a
+        # linear scaling OVERestimates the escalated pass; and the
+        # smaller result is already banked, so a killed attempt loses
+        # nothing — skip only when clearly hopeless
+        est = t_last * (nxt / n_last)
+        if est > left() * 1.3:
+            print(f"BENCH_SKIP {nxt} est={est:.0f}s left={left():.0f}s",
+                  flush=True)
+            break
+        t = run_pipeline(d, nxt)
+        out(nxt, t)
+        t_last, n_last = t, nxt
+    # tighten the biggest captured n with hot passes while budget remains
+    for _ in range(3):
+        if t_last * 1.05 > left() - 10:
+            break
+        t = run_pipeline(d, n_last)
+        out(n_last, t)
+        t_last = min(t_last, t)
 
 
-def measure_tpu(d, n, cap=None):
-    """Watchdog-spawn the TPU measurement; returns best elapsed or None."""
+def measure_tpu(d, plan, cap=None):
+    """Watchdog-spawn the TPU measurement over an escalating frame-count
+    ``plan``; every completed (n, t) pass is folded into ``_best``
+    immediately.  Returns True if anything was captured."""
     deadline = remaining() - 20
     if cap is not None:
         deadline = min(deadline, cap)
     if deadline < 60:
         status("insufficient budget for TPU run")
-        return None
+        return False
     code = ("import sys; sys.path.insert(0, %r); import bench; "
-            "bench._child(%r, %d)" % (REPO, d, n))
-    status(f"TPU run: {n} frames, watchdog {deadline:.0f}s")
+            "bench._child(%r, %r, %f)" % (REPO, d, list(plan), deadline))
+    status(f"TPU run: plan {list(plan)} frames, watchdog {deadline:.0f}s")
     p = subprocess.Popen([sys.executable, "-u", "-c", code],
                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                          text=True)
@@ -265,11 +322,16 @@ def measure_tpu(d, n, cap=None):
         for line in p.stdout:
             line = line.rstrip()
             if line.startswith("BENCH_RESULT"):
-                results.append(float(line.split()[1]))
-                status(f"TPU pass {len(results)}: {results[-1]:.1f}s")
+                _, n_s, t_s = line.split()
+                results.append((int(n_s), float(t_s)))
+                status(f"TPU pass {len(results)}: {n_s} frames in "
+                       f"{float(t_s):.1f}s")
                 # record best-so-far immediately so a SIGTERM arriving
                 # mid-run still emits a parseable JSON tail
-                _record(n, min(results))
+                _record(int(n_s), float(t_s))
+            elif line.startswith("BENCH_TUNNEL"):
+                _best["tunnel_h2d_mbs"] = float(line.split()[1])
+                status(f"tunnel H2D: {_best['tunnel_h2d_mbs']:.0f} MB/s")
             else:
                 status(f"  | {line[-150:]}")
 
@@ -283,7 +345,7 @@ def measure_tpu(d, n, cap=None):
         status("watchdog: killing TPU subprocess")
         p.kill()
     th.join(timeout=5)
-    return min(results) if results else None
+    return bool(results)
 
 
 def load_cpu_record():
@@ -332,37 +394,18 @@ def main():
 
     have_record = load_cpu_record()
     n = ensure_dataset(N_FRAMES)
-    t = None
-    if n > N_FALLBACK and BUDGET_S < 1500:
-        # Modest budget: bank a fallback-size number FIRST (guaranteed
-        # capture), then upgrade to the full target only if the measured
-        # pass time proves a full pass fits in what's left.
-        t_small = measure_tpu(DATA_DIR, N_FALLBACK,
-                              cap=0.85 * remaining())
-        if t_small is not None:
-            _record(N_FALLBACK, t_small)
-            emit()
-            est_full = t_small * n / N_FALLBACK
-            if remaining() - 30 > est_full * 1.25:
-                t = measure_tpu(DATA_DIR, n)
-                if t is None:      # full pass killed; keep banked result
-                    n, t = N_FALLBACK, t_small
-            else:
-                status(f"skipping full {n}-frame pass "
-                       f"(est {est_full:.0f}s > budget)")
-                n, t = N_FALLBACK, t_small
-        else:
-            n = N_FALLBACK  # nothing captured; no budget left anyway
-    else:
-        t = measure_tpu(DATA_DIR, n)
-        if t is None and n > N_FALLBACK:
-            n = N_FALLBACK
-            t = measure_tpu(DATA_DIR, n)
-    if t is None:
+    # One escalating subprocess: bank a fallback-size number FIRST
+    # (guaranteed capture), then the SAME warm process upgrades to the
+    # full target if its measured pass time proves the full pass fits —
+    # reusing the compile cache, masters, and tunnel warm-up.
+    plan = [N_FALLBACK, n] if n > N_FALLBACK else [n]
+    ok = measure_tpu(DATA_DIR, plan)
+    if not ok and n > N_FALLBACK:
+        ok = measure_tpu(DATA_DIR, [N_FALLBACK])
+    if not ok:
         status("FAILED: no TPU measurement")
         emit(final=True)
         sys.exit(1)
-    _record(n, t)
     if not have_record:
         cpu_tput, rec = cpu_baseline(n, _best["value"])
         if cpu_tput:

@@ -179,10 +179,14 @@ def fused_preprocess_stack(seq: Sequence, args: Optional[FusedArgs] = None
 
                 K = int(detect_parts[0][1].shape[1])
                 nfit = int(detect_parts[0][3].shape[-1])
-                packed_det = _detect_pack_fn(
-                    tuple(int(p[1].shape[0]) for p in detect_parts))(
-                        detect_parts)
-                hd = fetch_np(packed_det)
+                with stage("fused.fetch_pre.pack"):
+                    packed_det = _detect_pack_fn(
+                        tuple(int(p[1].shape[0]) for p in detect_parts))(
+                            detect_parts)
+                with stage("fused.fetch_pre.wait"):
+                    _ = np.asarray(packed_det.ravel()[0])
+                with stage("fused.fetch_pre.fetch"):
+                    hd = fetch_np(packed_det)
                 o1, o2, o3 = 3 * n, 3 * n + n * K, 3 * n + 2 * n * K
                 stats_h = hd[:o1].reshape(3, n)
                 vals_h = hd[o1:o2].reshape(n, K)
