@@ -256,18 +256,27 @@ def _child(d, plan, deadline_s):
     def out(n, val):
         print(f"BENCH_RESULT {n} {val}", flush=True)
 
-    # 2×16 MB upload probe (2nd reported): e2e throughput is wire-bound
-    # when the tunnel degrades (measured 20 MB/s – 1.7 GB/s across days),
-    # so the JSON records the H2D rate this number was taken at
+    # Upload-rate probe: e2e throughput is wire-bound when the tunnel
+    # degrades (measured 7 MB/s – 1.7 GB/s across days), so the JSON
+    # records the H2D rate this number was taken at.  The sync fetch's
+    # own round-trip latency (~1-2 s) is measured with a 4-byte upload
+    # and subtracted, otherwise a fast tunnel reads ~5 MB/s.
     try:
         import jax
-        a = np.zeros((4 << 20,), np.int16)          # 8 MB
-        for _ in range(2):
+
+        def timed_put(arr):
             tp = time.monotonic()
-            dev = jax.device_put(a)
-            _ = np.asarray(dev[0])
-            dt = time.monotonic() - tp
-        print(f"BENCH_TUNNEL {a.nbytes / dt / 1e6:.0f}", flush=True)
+            dev = jax.device_put(arr)
+            _ = np.asarray(dev.ravel()[0])
+            return time.monotonic() - tp
+
+        tiny = np.zeros(2, np.int16)
+        big = np.zeros((16 << 20,), np.int16)        # 32 MB
+        timed_put(tiny)                              # warm backend
+        t_lat = timed_put(tiny)
+        t_big = timed_put(big)
+        dt = max(t_big - t_lat, 1e-3)
+        print(f"BENCH_TUNNEL {big.nbytes / dt / 1e6:.0f}", flush=True)
     except Exception:
         pass
 

@@ -73,7 +73,11 @@ def main():
     ncpu = os.cpu_count()
     print(f"host: {ncpu} CPU(s)")
     native_tput = measure_native_stack()
-    print(f"native C++ winsorized stack: {native_tput:.2f} frame-Mpix/s")
+    if native_tput is None:
+        print("native C++ winsorized stack: unavailable (no toolchain)")
+    else:
+        print(f"native C++ winsorized stack: {native_tput:.2f} "
+              "frame-Mpix/s")
     e2e_tput, n_used = measure_e2e_jaxcpu()
     print(f"e2e JAX-CPU twin ({n_used}×16 Mpix): {e2e_tput:.3f} Mpix/s")
     rec = {

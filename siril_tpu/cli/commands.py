@@ -481,7 +481,7 @@ def cmd_convert(ctx, args):
 
     exts = FITS_EXT + PIL_EXT + (".ser", ".dng", ".cr2", ".nef", ".arw",
                                  ".heic", ".heif") + FILM_EXTENSIONS
-    outpat = __import__("re").compile(__import__("re").escape(dest) + r"\\d+\\.")
+    outpat = __import__("re").compile(__import__("re").escape(dest) + r"\d+\.")
     files = [f for f in globmod.glob(os.path.join(ctx.cwd, "*"))
              if os.path.splitext(f)[1].lower() in exts
              and not outpat.match(os.path.basename(f))]
@@ -502,7 +502,7 @@ def cmd_link(ctx, args):
 
     pos, flags = parse_flags(args)
     dest = pos[0]
-    outpat = __import__("re").compile(__import__("re").escape(dest) + r"\\d+\\.")
+    outpat = __import__("re").compile(__import__("re").escape(dest) + r"\d+\.")
     files = [f for f in globmod.glob(os.path.join(ctx.cwd, "*"))
              if os.path.splitext(f)[1].lower() in FITS_EXT
              and not outpat.match(os.path.basename(f))]

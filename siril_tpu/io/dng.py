@@ -252,6 +252,29 @@ def _ljpeg_decode(data: bytes):
     return _ljpeg_decode_py(data)
 
 
+def ljpeg_precision(data: bytes) -> int:
+    """SOF3 sample precision (bits) of a lossless-JPEG stream, 0 if
+    absent.  The true bit depth of a CR2 raw lives here — guessing it
+    from the decoded pixel maximum misclassifies underexposed 14-bit
+    frames (max < 4096) as 12-bit."""
+    if data[:2] != b"\xff\xd8":
+        return 0
+    p = 2
+    while p + 4 <= len(data):
+        if data[p] != 0xFF:
+            p += 1
+            continue
+        m = data[p + 1]
+        p += 2
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            continue
+        seglen = (data[p] << 8) | data[p + 1]
+        if m == 0xC3:
+            return data[p + 2]
+        p += seglen
+    return 0
+
+
 # ---------------------------------------------------------------------------
 # DNG loader
 # ---------------------------------------------------------------------------

@@ -142,10 +142,13 @@ def read_cr2(path: str) -> SirilImage:
     else:
         img = arr
 
-    bits = 14
-    precision_guess = int(img.max()).bit_length()
-    if precision_guess <= 12:
-        bits = 12
+    from siril_tpu.io.dng import ljpeg_precision
+
+    bits = ljpeg_precision(data[off:off + cnt])
+    if bits not in (10, 12, 14, 16):
+        # stream lacks a parseable SOF3 header: fall back to the pixel-
+        # range guess (wrong only for underexposed frames)
+        bits = 12 if int(img.max()).bit_length() <= 12 else 14
     # Canon pedestal: ~2048 at 14-bit, ~256 at 12-bit (dcraw table);
     # prefer the masked-border estimate when a border exists
     black = 2048.0 if bits == 14 else 256.0

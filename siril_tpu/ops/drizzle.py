@@ -284,26 +284,33 @@ class DrizzleAccumulator:
             w = np.full(data.shape[1:], weight, np.float32)
             if wp is not None:
                 w = w * wp
+            # upload once, OUTSIDE the band loop: per-band jnp.asarray
+            # re-sent the full frame/weight/pid over the tunnel n_bands
+            # times (~3× the wire traffic at 24 Mpix ×2 scale)
+            data_d = jnp.asarray(data[0], jnp.float32)
+            w_d = jnp.asarray(w)
+            pid_d = jnp.asarray(pid)
+            hinv_d = jnp.asarray(Hinv, jnp.float32)
             for bi, (y0, h) in enumerate(self.bands):
                 fn = _drizzle_fn(h, self.W, a.kernel, taps, nplanes=3)
-                acc, wht = fn(jnp.asarray(data[0], jnp.float32),
-                              jnp.asarray(w), jnp.asarray(pid),
-                              jnp.asarray(Hinv, jnp.float32),
+                acc, wht = fn(data_d, w_d, pid_d, hinv_d,
                               np.float32(a.pixfrac),
                               np.float32(inv_scale), np.int32(y0))
                 self.acc[bi] = self.acc[bi] + acc
                 self.wht[bi] = self.wht[bi] + wht
         else:
             pid0 = jnp.zeros((1, 1), jnp.int32)      # unused, nplanes=1
+            wplane = np.full(data.shape[1:], weight, np.float32)
+            if wp is not None:
+                wplane = wplane * wp
+            w_d = jnp.asarray(wplane)
+            hinv_d = jnp.asarray(Hinv, jnp.float32)
+            planes_d = [jnp.asarray(data[c], jnp.float32)
+                        for c in range(min(self.C, data.shape[0]))]
             for bi, (y0, h) in enumerate(self.bands):
                 fn = _drizzle_fn(h, self.W, a.kernel, taps)
-                for c in range(min(self.C, data.shape[0])):
-                    wplane = np.full(data.shape[1:], weight, np.float32)
-                    if wp is not None:
-                        wplane = wplane * wp
-                    acc, wht = fn(jnp.asarray(data[c], jnp.float32),
-                                  jnp.asarray(wplane), pid0,
-                                  jnp.asarray(Hinv, jnp.float32),
+                for c, plane_d in enumerate(planes_d):
+                    acc, wht = fn(plane_d, w_d, pid0, hinv_d,
                                   np.float32(a.pixfrac),
                                   np.float32(inv_scale), np.int32(y0))
                     self.acc[bi] = self.acc[bi].at[c].add(acc[0])
@@ -361,9 +368,11 @@ class DrizzleAccumulator:
         compile happens AFTER the whole accumulation — the worst place
         for this box's remote compile service to hang."""
         if self.bands:
-            _finalize_fn(*self.acc[0].shape)(
-                self.acc[0], self.wht[0],
-                np.float32(1.0)).block_until_ready()
+            out = _finalize_fn(*self.acc[0].shape)(
+                self.acc[0], self.wht[0], np.float32(1.0))
+            # block_until_ready() is a no-op on axon; a scalar fetch
+            # actually waits for the compile + execution
+            _ = np.asarray(out.ravel()[0])
 
     def finalize(self, want_weight: bool = True
                  ) -> Tuple[SirilImage, Optional[SirilImage]]:
@@ -403,9 +412,10 @@ def drizzle_sequence(seq, args: Optional[DrizzleArgs] = None,
 
     args = args or DrizzleArgs()
     reg = seq.reg(reglayer)
-    if not reg.valid.any():
-        raise ValueError("sequence has no registration data to drizzle")
     sel = [int(i) for i in seq.selected_indices() if reg.valid[i]]
+    if not sel:
+        raise ValueError(
+            "no selected frames with registration data to drizzle")
     first = seq.read_frame(sel[0])
     use_cfa = args.use_bayer and first.is_cfa()
     pattern = None
@@ -441,8 +451,10 @@ def drizzle_sequence(seq, args: Optional[DrizzleArgs] = None,
         # backpressure: without this the loop dispatches every chunk as
         # fast as the disk reads, piling ~10 GB of in-flight input
         # buffers into HBM ahead of execution (crashes the worker at
-        # 200x24 Mpix); the read-ahead thread still overlaps disk I/O
-        acc.acc[-1].block_until_ready()
+        # 200x24 Mpix); the read-ahead thread still overlaps disk I/O.
+        # On the axon platform block_until_ready() returns immediately —
+        # only an actual fetch blocks — so sync via a 1-scalar fetch
+        _ = np.asarray(acc.acc[-1].ravel()[0])
         if (si + 1) % 4 == 0 or si + 1 == len(starts):
             log_message(
                 f"drizzle: {min(start + frame_chunk, len(sel))}"

@@ -247,44 +247,6 @@ def _place_aps(reference: np.ndarray, args: MPPArgs) -> np.ndarray:
 
 
 @lru_cache(maxsize=8)
-def _ap_corr_fn(S: int):
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def run(ref_patches, frame_patches):
-        """(A,S,S) ref & (A,S,S) frame patches → (A,2) shifts + (A,) peak."""
-        win = jnp.hanning(S)[:, None] * jnp.hanning(S)[None, :]
-        R = jnp.fft.rfft2(ref_patches * win)
-        F = jnp.fft.rfft2(frame_patches * win)
-        cross = R * jnp.conj(F)
-        cross = cross / jnp.maximum(jnp.abs(cross), 1e-12)
-        corr = jnp.fft.irfft2(cross, s=(S, S))
-        flat = corr.reshape(corr.shape[0], -1)
-        peak = jnp.argmax(flat, axis=1)
-        pv = jnp.max(flat, axis=1)
-        py = peak // S
-        px = peak % S
-
-        def parab(cm, c0, cp):
-            den = cm - 2 * c0 + cp
-            return jnp.where(jnp.abs(den) > 1e-12,
-                             jnp.clip(0.5 * (cm - cp) / den, -1, 1), 0.0)
-
-        ar = jnp.arange(corr.shape[0])
-        cy0 = corr[ar, py, px]
-        dy = py.astype(jnp.float32) + parab(corr[ar, (py - 1) % S, px], cy0,
-                                            corr[ar, (py + 1) % S, px])
-        dx = px.astype(jnp.float32) + parab(corr[ar, py, (px - 1) % S], cy0,
-                                            corr[ar, py, (px + 1) % S])
-        dy = jnp.where(dy > S / 2, dy - S, dy)
-        dx = jnp.where(dx > S / 2, dx - S, dx)
-        return jnp.stack([dx, dy], axis=1), pv
-
-    return run
-
-
-@lru_cache(maxsize=8)
 def _shift_stage_fn(S: int, E: int, gauss_width: int, sw1: int, sw2: int,
                     penalty_factor: float):
     """Stage-B fused chunk program: global FFT align → Gaussian blur →

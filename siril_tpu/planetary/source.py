@@ -22,23 +22,25 @@ import numpy as np
 
 
 @lru_cache(maxsize=8)
-def _decode_slice_fn(B: int, H: int, W: int):
+def _decode_gather_fn(B: int, H: int, W: int):
     import jax
     import jax.numpy as jnp
-    from jax import lax
 
     @jax.jit
-    def run(store, start, inv_max):
-        s = lax.dynamic_slice(store, (start, 0, 0), (B, H, W))
+    def run(store, idx, inv_max):
+        s = jnp.take(store, idx, axis=0)          # [B, H, W] gather
         return s.astype(jnp.float32) * inv_max
 
     return run
 
 
-def ser_device_store(seq, indices, layer: int = 0):
-    """(store_u16_dev, inv_max) for a mono u16 SER that fits the
-    budget, else None.  Cached on the sequence — consecutive stages
-    reuse the same upload."""
+def ser_device_store(seq, layer: int = 0):
+    """(store_u16_dev, inv_max) holding the WHOLE mono u16 SER when it
+    fits the budget, else None.  Cached on the sequence and keyed to the
+    full video — every MPP stage (quality on all frames, reference
+    build on a quality subset, per-AP shifts on all frames) gathers its
+    own frame subset from the SAME single upload.  A per-subset cache
+    key would re-upload the whole video once per stage."""
     from siril_tpu.core.sequence import SEQ_SER
 
     if getattr(seq, "seq_type", None) != SEQ_SER:
@@ -47,11 +49,11 @@ def ser_device_store(seq, indices, layer: int = 0):
     if ser is None or ser.header.planes != 1 or \
             ser._dtype.itemsize != 2:
         return None
-    idx = tuple(int(i) for i in indices)
     cached = getattr(seq, "_planetary_store", None)
-    if cached is not None and cached[0] == idx:
-        return cached[1]
-    need = len(idx) * ser.height * ser.width * 2
+    if cached is not None:
+        return cached
+    n_all = int(ser.header.frame_count)
+    need = n_all * ser.height * ser.width * 2
     from siril_tpu.utils.devmem import device_hbm_bytes, memory_budget_bytes
 
     budget = memory_budget_bytes() if device_hbm_bytes() else (6 << 30)
@@ -60,11 +62,11 @@ def ser_device_store(seq, indices, layer: int = 0):
     import jax
 
     raw = np.ascontiguousarray(
-        np.asarray(ser._mm[np.asarray(idx), :, :, 0]).astype("<u2"))
+        np.asarray(ser._mm[:, :, :, 0]).astype("<u2"))
     store = jax.device_put(raw)
     inv_max = np.float32(1.0 / ((1 << ser.header.bit_depth) - 1))
     result = (store, inv_max)
-    seq._planetary_store = (idx, result)
+    seq._planetary_store = result
     return result
 
 
@@ -72,7 +74,7 @@ def frame_chunks(seq, indices, layer: int, batch: int):
     """Yield (chunk_indices, frames) like the streamed reader, with
     ``frames`` a DEVICE f32 [B, H, W] when the resident store applies
     (host np array otherwise)."""
-    dev = ser_device_store(seq, indices, layer)
+    dev = ser_device_store(seq, layer)
     if dev is None:
         for start in range(0, len(indices), batch):
             chunk = indices[start:start + batch]
@@ -81,14 +83,17 @@ def frame_chunks(seq, indices, layer: int, batch: int):
         return
     store, inv_max = dev
     N = len(indices)
-    H, W = store.shape[1:]
     B = min(batch, N)
-    fn = _decode_slice_fn(B, int(H), int(W))
+    H, W = store.shape[1:]
+    fn = _decode_gather_fn(B, int(H), int(W))
+    idx_all = np.asarray(indices, np.int32)
     for start in range(0, N, batch):
         chunk = indices[start:start + batch]
         nb = len(chunk)
-        s = start if nb == B else max(N - B, 0)
-        frames = fn(store, np.int32(s), inv_max)
+        idx = idx_all[start:start + nb]
+        if nb < B:                      # pad to the compiled B, slice off
+            idx = np.concatenate([np.full(B - nb, idx[0], np.int32), idx])
+        frames = fn(store, idx, inv_max)
         if nb < B:
             frames = frames[B - nb:]
         yield chunk, frames

@@ -394,16 +394,6 @@ def _stats_cand_fit_fn(r: int, k: int, sigma: float, profile: int):
     return run
 
 
-def chunk_detect_fit(frames_chunk, H: int, W: int,
-                     params: Optional[StarFinderParams] = None,
-                     max_stars: int = 500):
-    """Async per-chunk stats+candidates+PSF-fit (device arrays)."""
-    p = params or StarFinderParams()
-    R = detection_radius(H, W, p)
-    return _stats_cand_fit_fn(R, int(max_stars), float(p.sigma),
-                              int(p.profile))(frames_chunk)
-
-
 def detect_stars_batch(frames, params: Optional[StarFinderParams] = None,
                        max_stars: int = 500,
                        precomputed=None) -> List[List[PSFStar]]:
@@ -475,7 +465,7 @@ def detect_stars_batch(frames, params: Optional[StarFinderParams] = None,
     patches = None
     if fits_h is not None:
         # PSF fits already computed on device inside the per-chunk
-        # upload-time program (chunk_detect_fit) — just decode the rows
+        # upload-time program (_stats_cand_fit_fn) — just decode the rows
         with stage("sf.psf_decode"):
             from siril_tpu.registration.psf import fit_dict_from_packed
 
