@@ -186,38 +186,49 @@ def detect_stars(layer: np.ndarray, params: Optional[StarFinderParams] = None,
 
 def _filter_and_dedup(stars, x0s, y0s, R, box, p, noise, sat):
     """Quality filters + min-separation dedup (minimize_candidates
-    checks, star_finder.c:569)."""
-    keep: List[PSFStar] = []
-    for i, s in enumerate(stars):
-        if not np.isfinite([s.A, s.B, s.x0, s.y0, s.fwhmx, s.fwhmy]).all():
-            continue
-        if s.A < 1e-5 or (p.min_A and s.A < p.min_A):
-            continue
-        # significance: amplitude must stand 5σ above the noise floor
-        if s.A < 5.0 * noise:
-            continue
-        if p.max_A and s.A > p.max_A:
-            continue
-        if s.fwhmx <= 0.5 or s.fwhmy <= 0.5 or s.fwhmx > box:
-            continue
+    checks, star_finder.c:569).  Filters run as ONE vectorized mask over
+    attribute arrays — the per-star Python loop (an np.isfinite array
+    per candidate) cost ~3 s per 100-frame batch on a 1-core host."""
+    if not stars:
+        return []
+    cols = np.array([(s.A, s.B, s.x0, s.y0, s.fwhmx, s.fwhmy,
+                      s.roundness, s.rmse) for s in stars], np.float64)
+    A, B, sx, sy, fx, fy, rnd, rmse = cols.T
+    with np.errstate(invalid="ignore"):
+        ok = np.isfinite(cols).all(axis=1)
+        ok &= (A >= 1e-5) & (A >= 5.0 * noise)
+        if p.min_A:
+            ok &= A >= p.min_A
+        if p.max_A:
+            ok &= A <= p.max_A
+        ok &= (fx > 0.5) & (fy > 0.5) & (fx <= box)
         if not p.relax_checks:
-            if s.roundness < p.roundness:
-                continue
-            if s.rmse > 0.1 * (s.A + 1e-9) + 0.05:
-                continue
-        if abs(s.x0 - (x0s[i] + R)) > R or abs(s.y0 - (y0s[i] + R)) > R:
-            continue
-        s.has_saturated = s.A + s.B >= 0.98 * sat
-        keep.append(s)
+            ok &= rnd >= p.roundness
+            ok &= rmse <= 0.1 * (A + 1e-9) + 0.05
+        cx = np.asarray(x0s, np.float64) + R
+        cy = np.asarray(y0s, np.float64) + R
+        ok &= (np.abs(sx - cx) <= R) & (np.abs(sy - cy) <= R)
+    idx = np.nonzero(ok)[0]
+    if idx.size == 0:
+        return []
+    for i in idx:
+        stars[i].has_saturated = A[i] + B[i] >= 0.98 * sat
 
-    # dedup: min separation R/2, keep brightest
-    keep.sort(key=lambda s: -s.A)
-    out: List[PSFStar] = []
+    # dedup: min separation R/2, keep brightest — greedy over the
+    # brightness ordering with a vectorized distance check per candidate
+    order = idx[np.argsort(-A[idx], kind="stable")]
     min_d2 = (R * 0.5) ** 2
-    for s in keep:
-        if all((s.x0 - t.x0) ** 2 + (s.y0 - t.y0) ** 2 >= min_d2
-               for t in out):
-            out.append(s)
+    out: List[PSFStar] = []
+    ax = np.empty(order.size)
+    ay = np.empty(order.size)
+    nacc = 0
+    for i in order:
+        if nacc == 0 or (((sx[i] - ax[:nacc]) ** 2
+                          + (sy[i] - ay[:nacc]) ** 2) >= min_d2).all():
+            ax[nacc] = sx[i]
+            ay[nacc] = sy[i]
+            nacc += 1
+            out.append(stars[i])
     return out
 
 
