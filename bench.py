@@ -302,26 +302,32 @@ def _child(d, plan, deadline_s):
     t1 = run_pipeline(d, n)
     out(n, t1)
     t_last, n_last = t1, n
-    for nxt in plan:
-        # the first pass's time includes compile + tunnel warm-up, so a
-        # linear scaling OVERestimates the escalated pass; and the
-        # smaller result is already banked, so a killed attempt loses
-        # nothing — skip only when clearly hopeless
-        est = t_last * (nxt / n_last)
-        if est > left() * 1.3:
-            print(f"BENCH_SKIP {nxt} est={est:.0f}s left={left():.0f}s",
-                  flush=True)
-            break
-        t = run_pipeline(d, nxt)
-        out(nxt, t)
-        t_last, n_last = t, nxt
-    # tighten the biggest captured n with hot passes while budget remains
-    for _ in range(3):
-        if t_last * 1.05 > left() - 10:
-            break
-        t = run_pipeline(d, n_last)
-        out(n_last, t)
-        t_last = min(t_last, t)
+    # Escalate / tighten until the budget runs dry.  The first pass's
+    # time includes compile + tunnel warm-up, so a linear scaling can
+    # OVERestimate an escalated pass by 30×; a hot rerun of the current
+    # tier re-proves the true rate, after which the skipped tier is
+    # RE-CONSIDERED (a cold 1069 s first pass must not permanently veto
+    # the 100-frame capture when hot passes run in 30 s).  Every pass's
+    # result is streamed immediately, so a watchdog-killed attempt loses
+    # nothing.
+    passes = 1
+    while left() > 30 and passes < 8:
+        if plan and t_last * (plan[0] / n_last) <= left() * 1.3:
+            nxt = plan.pop(0)
+            t = run_pipeline(d, nxt)
+            out(nxt, t)
+            t_last, n_last = t, nxt
+        else:
+            if plan:
+                print(f"BENCH_DEFER {plan[0]} "
+                      f"est={t_last * plan[0] / n_last:.0f}s "
+                      f"left={left():.0f}s — hot rerun first", flush=True)
+            t = run_pipeline(d, n_last)
+            out(n_last, t)
+            t_last = min(t_last, t)
+        passes += 1
+    if plan:
+        print(f"BENCH_SKIP {plan[0]} left={left():.0f}s", flush=True)
 
 
 def measure_tpu(d, plan, cap=None):

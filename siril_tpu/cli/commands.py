@@ -1216,7 +1216,6 @@ def cmd_stack(ctx, args):
         p = ctx.path(name)
         if not os.path.splitext(p)[1]:
             p += ctx.ext
-        write_fits_drizzle = True
         from siril_tpu.io.fits_io import write_fits as _wf
 
         _wf(out_img, p, bitdepth=FLOAT_IMG)

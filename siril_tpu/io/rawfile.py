@@ -88,6 +88,47 @@ def is_cr2(path: str) -> bool:
     return len(head) >= 12 and head[:2] == b"II" and head[8:10] == b"CR"
 
 
+def _find_cfa_ifd(ifds, endian):
+    """Largest IFD with PhotometricInterpretation==32803 (CFA)."""
+    raw_ifd = None
+    best = 0
+    for e in ifds:
+        photo = _values(e[T_PHOTO], endian)[0] if T_PHOTO in e else 0
+        if photo == 32803 and T_WIDTH in e:
+            a = _values(e[T_WIDTH], endian)[0] * \
+                _values(e[T_LENGTH], endian)[0]
+            if a > best:
+                best, raw_ifd = a, e
+    return raw_ifd
+
+
+def _decode_cfa_pattern(e, endian, default="RGGB"):
+    """CFAPattern tag (0/1/2 = R/G/B) -> 4-char Bayer string."""
+    if T_CFA_PAT not in e:
+        return default
+    v = _values(e[T_CFA_PAT], endian)
+    vals = list(v[0]) if isinstance(v[0], (bytes, bytearray)) else \
+        [int(x) for x in v]
+    lut = {0: "R", 1: "G", 2: "B"}
+    cand = "".join(lut.get(x, "G") for x in vals[-4:])
+    return cand if len(cand) == 4 else default
+
+
+def _apply_ifd0_metadata(out, ifds, raw_ifd, endian):
+    """Make/Model -> INSTRUME and ExposureTime -> EXPTIME from IFD0 /
+    the raw IFD."""
+    ifd0 = ifds[0] if ifds else {}
+    make = _values(ifd0[T_MAKE], endian)[0] if T_MAKE in ifd0 else ""
+    model = _values(ifd0[T_MODEL], endian)[0] if T_MODEL in ifd0 else ""
+    if make or model:
+        out.keywords.instrume = f"{make} {model}".strip()
+    for src in (raw_ifd, ifd0):
+        if T_EXPOSURE in src:
+            out.keywords.exposure = float(
+                _values(src[T_EXPOSURE], endian)[0])
+            break
+
+
 def read_cr2(path: str) -> SirilImage:
     with open(path, "rb") as f:
         data = f.read()
@@ -161,16 +202,7 @@ def read_cr2(path: str) -> SirilImage:
                       / max(white - black, 1.0), 0.0, 1.0)
     out = SirilImage(data=out_arr[None])
     out.keywords.bayer_pattern = "RGGB"    # Canon CFA order
-    ifd0 = ifds[0] if ifds else {}
-    make = _values(ifd0[T_MAKE], endian)[0] if T_MAKE in ifd0 else ""
-    model = _values(ifd0[T_MODEL], endian)[0] if T_MODEL in ifd0 else ""
-    if make or model:
-        out.keywords.instrume = f"{make} {model}".strip()
-    for src in (e, ifd0):
-        if T_EXPOSURE in src:
-            out.keywords.exposure = float(
-                _values(src[T_EXPOSURE], endian)[0])
-            break
+    _apply_ifd0_metadata(out, ifds, e, endian)
     out.log_history("CR2 raw import")
     return out
 
@@ -220,18 +252,9 @@ def read_nef(path: str) -> SirilImage:
         data = f.read()
     endian = "<" if data[:2] == b"II" else ">"
     ifds = _walk_ifds(data, endian)
-    raw_ifd = None
-    best = 0
-    for e in ifds:
-        photo = _values(e[T_PHOTO], endian)[0] if T_PHOTO in e else 0
-        if photo == 32803 and T_WIDTH in e:
-            a = _values(e[T_WIDTH], endian)[0] * \
-                _values(e[T_LENGTH], endian)[0]
-            if a > best:
-                best, raw_ifd = a, e
-    if raw_ifd is None:
+    e = _find_cfa_ifd(ifds, endian)
+    if e is None:
         raise ValueError(f"{path}: no CFA raw IFD found")
-    e = raw_ifd
     width = _values(e[T_WIDTH], endian)[0]
     height = _values(e[T_LENGTH], endian)[0]
     bits = _values(e[T_BITS], endian)[0] if T_BITS in e else 12
@@ -265,21 +288,8 @@ def read_nef(path: str) -> SirilImage:
     arr = np.clip((img.astype(np.float32) - black)
                   / max(white - black, 1.0), 0.0, 1.0)
     out = SirilImage(data=arr[None])
-    pat = "RGGB"
-    if T_CFA_PAT in e:
-        v = _values(e[T_CFA_PAT], endian)
-        vals = list(v[0]) if isinstance(v[0], (bytes, bytearray)) else \
-            [int(x) for x in v]
-        lut = {0: "R", 1: "G", 2: "B"}
-        cand = "".join(lut.get(x, "G") for x in vals[-4:])
-        if len(cand) == 4:
-            pat = cand
-    out.keywords.bayer_pattern = pat
-    ifd0 = ifds[0] if ifds else {}
-    make = _values(ifd0[T_MAKE], endian)[0] if T_MAKE in ifd0 else ""
-    model = _values(ifd0[T_MODEL], endian)[0] if T_MODEL in ifd0 else ""
-    if make or model:
-        out.keywords.instrume = f"{make} {model}".strip()
+    out.keywords.bayer_pattern = _decode_cfa_pattern(e, endian)
+    _apply_ifd0_metadata(out, ifds, e, endian)
     out.log_history("NEF raw import")
     return out
 
@@ -320,8 +330,15 @@ def _decode_arw2(data: np.ndarray, height: int, width: int) -> np.ndarray:
     fourteen 7-bit deltas, shifted by sh = #{s<4 : 128<<s <= max-min}.
     Blocks alternate even / odd columns of the same 32-column span.
     Output = curve[pix<<1] >> 2."""
-    nb = width // 16                       # 16 bytes -> 16 px, 1 B/px
-    rows = data[:height * width].reshape(height, nb, 16).astype(np.uint32)
+    # row stride is `width` bytes (1 B/px); dcraw's span loop runs while
+    # col < raw_width-30, i.e. only FULL 32-column spans decode and any
+    # tail bytes in the row are ignored (sony_arw2_load_raw)
+    spans = width // 32
+    if spans == 0:
+        raise ValueError(f"ARW2 width {width} too small to decode")
+    nb = spans * 2                         # two 16-byte blocks per span
+    rows = (data[:height * width].reshape(height, width)[:, :nb * 16]
+            .reshape(height, nb, 16).astype(np.uint32))
     val = (rows[..., 0] | (rows[..., 1] << 8) | (rows[..., 2] << 16)
            | (rows[..., 3] << 24))
     vmax = val & 0x7FF
@@ -357,11 +374,15 @@ def _decode_arw2(data: np.ndarray, height: int, width: int) -> np.ndarray:
     curve = _sony_curve()
     raw = (curve[(pix << 1).astype(np.int64)] >> 2).astype(np.uint16)
     # interleave: block 2p -> even columns of span p, 2p+1 -> odd
-    raw = raw.reshape(height, nb // 2, 2, 16)
-    out = np.empty((height, nb // 2, 32), np.uint16)
+    raw = raw.reshape(height, spans, 2, 16)
+    out = np.empty((height, spans, 32), np.uint16)
     out[..., 0::2] = raw[:, :, 0]
     out[..., 1::2] = raw[:, :, 1]
-    return out.reshape(height, width)
+    out = out.reshape(height, spans * 32)
+    if spans * 32 < width:                 # undecoded tail: edge-replicate
+        pad = np.repeat(out[:, -1:], width - spans * 32, axis=1)
+        out = np.concatenate([out, pad], axis=1)
+    return out
 
 
 def read_arw(path: str) -> SirilImage:
@@ -372,18 +393,9 @@ def read_arw(path: str) -> SirilImage:
         data = f.read()
     endian = "<" if data[:2] == b"II" else ">"
     ifds = _walk_ifds(data, endian)
-    raw_ifd = None
-    best = 0
-    for e in ifds:
-        photo = _values(e[T_PHOTO], endian)[0] if T_PHOTO in e else 0
-        if photo == 32803 and T_WIDTH in e:
-            a = _values(e[T_WIDTH], endian)[0] * \
-                _values(e[T_LENGTH], endian)[0]
-            if a > best:
-                best, raw_ifd = a, e
-    if raw_ifd is None:
+    e = _find_cfa_ifd(ifds, endian)
+    if e is None:
         raise ValueError(f"{path}: no CFA raw IFD found")
-    e = raw_ifd
     width = _values(e[T_WIDTH], endian)[0]
     height = _values(e[T_LENGTH], endian)[0]
     bits = _values(e[T_BITS], endian)[0] if T_BITS in e else 14
@@ -408,26 +420,8 @@ def read_arw(path: str) -> SirilImage:
     arr = np.clip((img.astype(np.float32) - black)
                   / max(white - black, 1.0), 0.0, 1.0)
     out = SirilImage(data=arr[None])
-    pat = "RGGB"                           # Sony CFA order
-    if T_CFA_PAT in e:
-        v = _values(e[T_CFA_PAT], endian)
-        vals = list(v[0]) if isinstance(v[0], (bytes, bytearray)) else \
-            [int(x) for x in v]
-        lut = {0: "R", 1: "G", 2: "B"}
-        cand = "".join(lut.get(x, "G") for x in vals[-4:])
-        if len(cand) == 4:
-            pat = cand
-    out.keywords.bayer_pattern = pat
-    ifd0 = ifds[0] if ifds else {}
-    make = _values(ifd0[T_MAKE], endian)[0] if T_MAKE in ifd0 else ""
-    model = _values(ifd0[T_MODEL], endian)[0] if T_MODEL in ifd0 else ""
-    if make or model:
-        out.keywords.instrume = f"{make} {model}".strip()
-    for src in (e, ifd0):
-        if T_EXPOSURE in src:
-            out.keywords.exposure = float(
-                _values(src[T_EXPOSURE], endian)[0])
-            break
+    out.keywords.bayer_pattern = _decode_cfa_pattern(e, endian)
+    _apply_ifd0_metadata(out, ifds, e, endian)
     out.log_history("ARW raw import")
     return out
 

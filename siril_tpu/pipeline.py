@@ -297,9 +297,18 @@ def fused_preprocess_stack(seq: Sequence, args: Optional[FusedArgs] = None
     # scalars so all full blocks share one executable.
     rows = max(1, min(H, (256 << 20) // max(n * W * 4, 1)))
     nblocks = -(-H // rows)
-    kernel_cfg = (sa.rejection if sa.method == "rej" else rj.NO_REJEC,
-                  sa.normalize if do_norm else NO_NORM,
-                  float(sa.siglow), float(sa.sighigh), n)
+    rtype = sa.rejection if sa.method == "rej" else rj.NO_REJEC
+    # GESDT needs its outlier budget + ESD critical-value table wired in
+    # (same wiring as the staged path, ops/stacking.py) — with
+    # max_outliers=0 the kernel would silently reject nothing
+    max_outliers = 0
+    critical = np.zeros(1, np.float32)
+    if rtype == rj.GESDT:
+        max_outliers = int(np.floor(n * sa.siglow))
+        critical = rj.gesdt_critical_values(n, sa.sighigh, max_outliers)
+    crit_dev = jnp.asarray(critical, jnp.float32)
+    kernel_cfg = (rtype, sa.normalize if do_norm else NO_NORM,
+                  float(sa.siglow), float(sa.sighigh), n, max_outliers)
     shapes_key = tuple(tuple(ch.shape) for ch in frames)
     means, rls, rhs = [], [], []
     for c in range(L):
@@ -313,7 +322,7 @@ def fused_preprocess_stack(seq: Sequence, args: Optional[FusedArgs] = None
             # would push normalized pad pixels through rejection and
             # pollute the counts); the compile cache amortizes it
             fn = _block_stream_fn(shapes_key, blk_rows, kernel_cfg)
-            mean, rl, rh = fn(*frames, sc, off, mu,
+            mean, rl, rh = fn(*frames, sc, off, mu, crit_dev,
                               np.int32(y0), np.int32(c))
             means.append(mean)
             rls.append(rl)
@@ -362,14 +371,14 @@ def _block_stream_fn(shapes_key, blk_rows, kernel_cfg):
 
     from siril_tpu.ops.stacking import make_block_kernel
 
-    rtype, mode, siglow, sighigh, n = kernel_cfg
-    kernel = make_block_kernel(rtype, mode, siglow, sighigh, n, 0, False,
-                               want_maps=False)
+    rtype, mode, siglow, sighigh, n, max_outliers = kernel_cfg
+    kernel = make_block_kernel(rtype, mode, siglow, sighigh, n,
+                               max_outliers, False, want_maps=False)
 
     @jax.jit
     def run(*args):
         chunks = args[:len(shapes_key)]
-        sc, off, mu, y0, c = args[len(shapes_key):]
+        sc, off, mu, crit, y0, c = args[len(shapes_key):]
         parts = []
         for ch in chunks:
             ni, _, Hc, Wc = ch.shape
@@ -378,8 +387,7 @@ def _block_stream_fn(shapes_key, blk_rows, kernel_cfg):
             parts.append(sl.reshape(ni, blk_rows * Wc))
         block = jnp.concatenate(parts, axis=0)
         return kernel(block, sc, off, mu,
-                      jnp.zeros((1, 1), jnp.float32),
-                      jnp.zeros(1, jnp.float32))
+                      jnp.zeros((1, 1), jnp.float32), crit)
 
     return run
 
@@ -535,21 +543,6 @@ def _chunk_program(is_i16, cal_state, want_detect, H, W, p, max_stars,
                                   float(p.sigma) if want_detect else 0.0,
                                   int(p.profile) if want_detect else 0,
                                   layer)
-
-
-def _calibrate_batch(xf, st):
-    """Apply the fused calibrate kernel to a [chunk, L, H, W] batch in
-    ONE program (per-frame ``xf[j]`` slices each execute as a separate
-    ~0.65 s program through the axon tunnel — 16 of them cost more than
-    the calibration itself)."""
-    import jax.numpy as jnp
-
-    bias = st["bias"] if st["bias"] is not None else jnp.zeros((1, 1, 1))
-    dark = st["dark"] if st["dark"] is not None else jnp.zeros((1, 1, 1))
-    flat = st["flat"] if st["flat"] is not None else jnp.ones((1, 1, 1))
-    return st["batch_kernel"](xf, bias, dark, np.float32(1.0), flat,
-                              np.float32(st["inv_flat_mu"]),
-                              st["cold"], st["hot"])
 
 
 @functools.lru_cache(maxsize=4)

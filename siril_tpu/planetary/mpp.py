@@ -104,17 +104,6 @@ def _read_frames(seq, indices, layer, batch):
     yield from frame_chunks(seq, indices, layer, batch)
 
 
-def _subpixel_shift_batch(frames, shifts):
-    """Shift (N,H,W) frames by per-frame (dx,dy) via Fourier phase ramp."""
-    import jax.numpy as jnp
-
-    from siril_tpu.utils.fetch import fetch_np
-
-    N, H, W = frames.shape
-    return fetch_np(_cached_shift_fn(H, W)(
-        jnp.asarray(frames, jnp.float32), jnp.asarray(shifts, jnp.float32)))
-
-
 def _shift_core(frames, shifts):
     """Pure Fourier phase-ramp shift, (N, H, W) × (N, 2 dx,dy) —
     composable into fused chunk programs."""
@@ -127,13 +116,6 @@ def _shift_core(frames, shifts):
     phase = jnp.exp(-2j * jnp.pi * (shifts[:, 0, None, None] * fx +
                                     shifts[:, 1, None, None] * fy))
     return jnp.fft.irfft2(F * phase, s=(H, W))
-
-
-@lru_cache(maxsize=8)
-def _cached_shift_fn(H: int, W: int):
-    import jax
-
-    return jax.jit(_shift_core)
 
 
 @lru_cache(maxsize=8)

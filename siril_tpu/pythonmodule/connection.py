@@ -517,13 +517,17 @@ class SirilInterface:
             return {"position": (float(p[0]), float(p[1]))}
         samples = [as_dict(p) for p in points]
         img = self.ctx.image
+        # one device→host fetch shared by all samples (host() inside the
+        # loop would re-fetch the full image once per sample)
+        data = None
         for s in samples:
             s.setdefault("size", 25)
             s.setdefault("valid", True)
             if (recalculate or "median" not in s) and img is not None:
+                if data is None:
+                    data = img.host()
                 x, y = s["position"]
                 half = int(s["size"]) // 2
-                data = img.host()
                 y0 = max(int(round(y)) - half, 0)
                 x0 = max(int(round(x)) - half, 0)
                 patch = data[:, y0:y0 + s["size"], x0:x0 + s["size"]]

@@ -24,24 +24,6 @@ from functools import lru_cache
 
 
 @lru_cache(maxsize=8)
-def _phasecorr_fn(H: int, W: int):
-    """Compiled phase-correlation for one frame shape (memoized — a fresh
-    jit per call would re-load the device executable every time)."""
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def run(r, f):
-        R = jnp.fft.rfft2(r)
-        F = jnp.fft.rfft2(f)
-        cross = R[None] * jnp.conj(F)
-        cross = cross / jnp.maximum(jnp.abs(cross), 1e-12)
-        return jnp.fft.irfft2(cross, s=(H, W))
-
-    return run
-
-
-@lru_cache(maxsize=8)
 def _phasecorr_peak_fn(H: int, W: int):
     """Phase correlation reduced ON DEVICE to the peak position and its
     4-neighborhood values — the full (N, H, W) correlation surfaces

@@ -98,6 +98,25 @@ def test_fused_output_norm(tmp_path):
     assert 0.0 <= out.min() and out.max() <= 1.0
 
 
+def test_fused_gesdt_rejects(tmp_path):
+    """Regression: the fused path hardcoded max_outliers=0 for GESDT,
+    silently producing a plain mean — it must wire the outlier budget
+    and the ESD critical-value table like the staged path
+    (ops/stacking.py)."""
+    rng = np.random.default_rng(13)
+    shifts = [(0, 0), (2, 1), (-1, 3), (4, -2), (1, 1), (-2, 2), (3, 3)]
+    seq, base = make_seq(tmp_path, rng, shifts)
+    sa = StackArgs(method="rej", rejection=rj.GESDT,
+                   siglow=0.3, sighigh=0.05, normalize=ADDITIVE_SCALING)
+    res = fused_preprocess_stack(
+        seq, FusedArgs(stack=sa, starfinder=StarFinderParams(radius=6)))
+    # cosmic-ray spikes (0.95) must be ESD-rejected, not averaged in
+    assert sum(res.total_rejected) > 0
+    out = res.image.host()[0]
+    interior = np.s_[20:-20, 20:-20]
+    assert out[interior].max() < 0.9
+
+
 def test_fused_multichunk_matches_single_chunk(tmp_path):
     """The chunk-list path (frames kept as a list, per-chunk warp with
     donation, row-block streamed stack) must equal the one-chunk path."""

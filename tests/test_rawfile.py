@@ -361,6 +361,41 @@ def test_arw2_degenerate_imax_eq_imin(tmp_path, rng):
     assert np.isfinite(img.host()).all()
 
 
+def test_arw2_width_not_multiple_of_32(tmp_path, rng):
+    """dcraw's span loop (col < raw_width-30) decodes only FULL
+    32-column spans; a width % 32 != 0 tail must not crash the import
+    (row stride stays `width` bytes, tail bytes ignored)."""
+    from siril_tpu.io.rawfile import read_arw, _sony_curve
+
+    h, w = 3, 48                           # 1 full span + 16-col tail
+    rows = []
+    expected = np.zeros((h, 32), np.uint16)
+    for row in range(h):
+        blks = []
+        for b in range(2):                 # the one decodable span
+            vmin = int(rng.integers(0, 900))
+            vmax = min(vmin + int(rng.integers(1, 1100)), 0x7FF)
+            blk = _encode_arw2_block(vmax, vmin, 3, 11,
+                                     rng.integers(0, 128, 14).tolist())
+            blks.append(blk)
+            pix = _decode_arw2_block_ref(blk)
+            expected[row, np.arange(16) * 2 + b] = pix
+        # tail: 16 stride-filler bytes dcraw would skip
+        rows.append(b"".join(blks) + b"\xee" * 16)
+    p = str(tmp_path / "tail.arw")
+    write_arw(p, b"".join(rows), h, w, comp=32767)
+    img = read_arw(p)                      # must not raise
+    assert img.height == h and img.width == w
+    white = float(int(_sony_curve()[0x7FF << 1]) >> 2)
+    want = np.clip((expected.astype(np.float32) - 512.0)
+                   / (white - 512.0), 0, 1)
+    np.testing.assert_allclose(img.host()[0, :, :32], want, atol=1e-6)
+    # tail columns are edge-replicated from the last decoded column
+    np.testing.assert_allclose(img.host()[0, :, 32:],
+                               np.repeat(want[:, -1:], 16, axis=1),
+                               atol=1e-6)
+
+
 def test_arw_uncompressed(tmp_path, rng):
     from siril_tpu.io.rawfile import read_arw
 
