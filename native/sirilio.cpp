@@ -609,3 +609,109 @@ extern "C" int decode_ljpeg(const uint8_t* buf, int64_t len,
     }
     return 0;
 }
+
+// ===========================================================================
+// Nikon-compressed NEF (compression 34713) — Huffman-coded row-predictor
+// deltas with a linearization curve (reference reaches this through
+// libraw; original implementation of the format: fixed per-mode Huffman
+// tables, two-predictor recurrence, optional tree switch at `split`).
+// The curve lookup happens in Python (vectorized); this decodes the
+// pre-curve 14-bit values.
+// ===========================================================================
+
+namespace nikon {
+
+// Fixed NEF Huffman tables (format constants): 16 code-length counts
+// followed by leaf values; leaf = (shl << 4) | len.
+static const uint8_t TREES[6][32] = {
+    {0, 1, 5, 1, 1, 1, 1, 1, 1, 2, 0, 0, 0, 0, 0, 0,            // 12-bit lossy
+     5, 4, 3, 6, 2, 7, 1, 0, 8, 9, 11, 10, 12},
+    {0, 1, 5, 1, 1, 1, 1, 1, 1, 2, 0, 0, 0, 0, 0, 0,            // 12-bit lossy after split
+     0x39, 0x5a, 0x38, 0x27, 0x16, 5, 4, 3, 2, 1, 0, 11, 12, 12},
+    {0, 1, 4, 2, 3, 1, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0,            // 12-bit lossless
+     5, 4, 6, 3, 7, 2, 8, 1, 9, 0, 10, 11, 12},
+    {0, 1, 4, 3, 1, 1, 1, 1, 1, 2, 0, 0, 0, 0, 0, 0,            // 14-bit lossy
+     5, 6, 4, 7, 8, 3, 9, 2, 1, 0, 10, 11, 12, 13, 14},
+    {0, 1, 5, 1, 1, 1, 1, 1, 1, 1, 2, 0, 0, 0, 0, 0,            // 14-bit lossy after split
+     8, 0x5c, 0x4b, 0x3a, 0x29, 7, 6, 5, 4, 3, 2, 1, 0, 13, 14},
+    {0, 1, 4, 2, 2, 3, 1, 2, 0, 0, 0, 0, 0, 0, 0, 0,            // 14-bit lossless
+     7, 6, 8, 5, 9, 4, 10, 3, 11, 12, 2, 0, 1, 13, 14}};
+
+struct Bits {                     // MSB-first, no marker stuffing
+    const uint8_t* d;
+    int64_t n, pos;
+    uint32_t acc;
+    int bits;
+    Bits(const uint8_t* d_, int64_t n_)
+        : d(d_), n(n_), pos(0), acc(0), bits(0) {}
+    int get1() {
+        if (bits == 0) {
+            acc = pos < n ? d[pos++] : 0;
+            bits = 8;
+        }
+        bits--;
+        return (acc >> bits) & 1;
+    }
+    int get(int nb) {
+        int v = 0;
+        for (int i = 0; i < nb; i++) v = (v << 1) | get1();
+        return v;
+    }
+};
+
+}  // namespace nikon
+
+// Decode a Nikon-compressed raw strip into pre-curve values.
+// vpred_in: 4 initial vertical predictors (row0col0,row0col1,row1col0,
+// row1col1); split: row where the tree switches to tree_id+1 (0 = never).
+extern "C" int decode_nikon(const uint8_t* buf, int64_t len,
+                            int32_t width, int32_t height,
+                            int32_t tree_id, const uint16_t* vpred_in,
+                            int32_t split, uint16_t* out) {
+    using namespace nikon;
+    if (tree_id < 0 || tree_id > 5 || width <= 0 || height <= 0)
+        return -1;
+    ljpeg::Huff huff[2];
+    huff[0].build(TREES[tree_id], TREES[tree_id] + 16, 16);
+    if (split > 0) {
+        if (tree_id + 1 > 5) return -1;
+        huff[1].build(TREES[tree_id + 1], TREES[tree_id + 1] + 16, 16);
+    }
+    const ljpeg::Huff* H = &huff[0];
+    Bits br(buf, len);
+    uint16_t vpred[2][2] = {{vpred_in[0], vpred_in[1]},
+                            {vpred_in[2], vpred_in[3]}};
+    for (int32_t row = 0; row < height; row++) {
+        if (split > 0 && row == split) H = &huff[1];
+        uint16_t hpred[2] = {0, 0};
+        for (int32_t col = 0; col < width; col++) {
+            int leaf;
+            {   // canonical-huffman decode (reuses ljpeg::Huff layout)
+                int code = 0, l;
+                leaf = -1;
+                for (l = 1; l <= 16; l++) {
+                    code = (code << 1) | br.get1();
+                    if (H->maxcode[l] >= 0 && code <= H->maxcode[l]) {
+                        leaf = H->vals[H->valptr[l] + code - H->mincode[l]];
+                        break;
+                    }
+                }
+                if (leaf < 0) return -2;
+            }
+            int lenb = leaf & 15;
+            int shl = leaf >> 4;
+            int diff = ((br.get(lenb - shl) << 1) + 1) << shl >> 1;
+            if (lenb > 0 && (diff & (1 << (lenb - 1))) == 0)
+                diff -= (1 << lenb) - (shl ? 0 : 1);
+            if (col < 2)
+                hpred[col] = vpred[row & 1][col] =
+                    (uint16_t)(vpred[row & 1][col] + diff);
+            else
+                hpred[col & 1] = (uint16_t)(hpred[col & 1] + diff);
+            int16_t v = (int16_t)hpred[col & 1];
+            int clipped = v < 0 ? 0 : (v > 0x3fff ? 0x3fff : v);
+            out[(int64_t)row * width + col] = (uint16_t)clipped;
+        }
+    }
+    return 0;
+}

@@ -12,9 +12,11 @@ else Canon's nominal per-bit-depth pedestal.
 
 NEF: TIFF container, Make = NIKON; the raw SubIFD uses compression 1
 with Nikon's LSB-first 12/14-bit packing (NOT TIFF6 MSB packing —
-2 px / 3 B at 12-bit, 4 px / 7 B at 14-bit) or plain 16-bit.
-Nikon-compressed NEFs (34713, huffman+curve) are gated with a clear
-error like the reference gates formats its libraw build lacks.
+2 px / 3 B at 12-bit, 4 px / 7 B at 14-bit), plain 16-bit, or Nikon
+compression 34713: fixed-table Huffman predictor deltas + a MakerNote
+linearization curve (lossless and lossy variants, incl. the lossy
+tree switch at `split`); decoded natively (decode_nikon) with a
+pure-python fallback.
 
 ARW: TIFF container, Make = SONY; uncompressed 12/14/16-bit LE strips,
 or Sony's ARW2 lossy block compression (compression 32767: 16-byte
@@ -247,6 +249,197 @@ def _unpack_nikon14(raw: bytes, count: int) -> np.ndarray:
                     -1).reshape(-1).astype(np.uint16)[:count]
 
 
+# Nikon-compressed NEF (compression 34713): Huffman-coded predictor
+# deltas + a linearization curve carried in MakerNote tag 0x96.  The
+# reference reaches this through libraw (image_formats_libraries.c
+# open_raw_files); this is an original implementation of the published
+# format.  Fixed Huffman tables (format constants, one per mode): 16
+# code-length counts then leaf values, leaf = (shl << 4) | len.
+
+T_EXIF_IFD = 0x8769
+T_MAKERNOTE = 0x927C
+T_NIKON_LINTABLE = 0x0096
+
+NIKON_TREES = (
+    # 12-bit lossy
+    ((0, 1, 5, 1, 1, 1, 1, 1, 1, 2, 0, 0, 0, 0, 0, 0),
+     (5, 4, 3, 6, 2, 7, 1, 0, 8, 9, 11, 10, 12, 0)),
+    # 12-bit lossy after split
+    ((0, 1, 5, 1, 1, 1, 1, 1, 1, 2, 0, 0, 0, 0, 0, 0),
+     (0x39, 0x5A, 0x38, 0x27, 0x16, 5, 4, 3, 2, 1, 0, 11, 12, 12)),
+    # 12-bit lossless
+    ((0, 1, 4, 2, 3, 1, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0),
+     (5, 4, 6, 3, 7, 2, 8, 1, 9, 0, 10, 11, 12)),
+    # 14-bit lossy
+    ((0, 1, 4, 3, 1, 1, 1, 1, 1, 2, 0, 0, 0, 0, 0, 0),
+     (5, 6, 4, 7, 8, 3, 9, 2, 1, 0, 10, 11, 12, 13, 14)),
+    # 14-bit lossy after split
+    ((0, 1, 5, 1, 1, 1, 1, 1, 1, 1, 2, 0, 0, 0, 0, 0),
+     (8, 0x5C, 0x4B, 0x3A, 0x29, 7, 6, 5, 4, 3, 2, 1, 0, 13, 14)),
+    # 14-bit lossless
+    ((0, 1, 4, 2, 2, 3, 1, 2, 0, 0, 0, 0, 0, 0, 0, 0),
+     (7, 6, 8, 5, 9, 4, 10, 3, 11, 12, 2, 0, 1, 13, 14)),
+)
+
+
+def _nikon_makernote(data: bytes, ifds, endian: str):
+    """Locate the Nikon MakerNote and return (embedded_tiff_bytes,
+    mn_endian, mn_ifd0) — MakerNote value offsets are relative to the
+    embedded TIFF header at byte 10 of the note."""
+    for e in ifds:
+        if T_EXIF_IFD not in e:
+            continue
+        off = _values(e[T_EXIF_IFD], endian)[0]
+        try:
+            exif, _ = _read_ifd(data, off, endian)
+        except (struct.error, IndexError):
+            continue
+        if T_MAKERNOTE not in exif:
+            continue
+        raw = exif[T_MAKERNOTE][2]
+        if raw[:5] != b"Nikon" or len(raw) < 20:
+            continue
+        sub = raw[10:]
+        if sub[:2] not in (b"II", b"MM"):
+            continue
+        mn_endian = "<" if sub[:2] == b"II" else ">"
+        (ifd_off,) = struct.unpack_from(mn_endian + "I", sub, 4)
+        try:
+            mn_ifd, _ = _read_ifd(sub, ifd_off, mn_endian)
+        except (struct.error, IndexError):
+            continue
+        return sub, mn_endian, mn_ifd
+    return None, None, None
+
+
+def _parse_nikon_lintable(tbl: bytes, mn_endian: str, bits: int):
+    """Linearization-table (MakerNote 0x96) → (tree, vpred[4], curve,
+    split, white).  Layout: ver0, ver1, [2110-byte gap for 0x49/0x58
+    variants], vpred 2×2 u16, curve size u16, curve points; lossy 0x44/
+    0x20 tables spread points every `step` and store the tree-switch row
+    at byte 562."""
+    ver0, ver1 = tbl[0], tbl[1]
+    pos = 2
+    if ver0 == 0x49 or ver1 == 0x58:
+        pos += 2110
+    vpred = np.frombuffer(tbl, mn_endian + "u2", 4, pos).copy()
+    pos += 8
+    (csize,) = struct.unpack_from(mn_endian + "H", tbl, pos)
+    pos += 2
+    vmax = (1 << bits) & 0x7FFF
+    step = vmax // (csize - 1) if csize > 1 else 0
+    curve = np.arange(0x8000, dtype=np.uint16)
+    split = 0
+    if ver0 == 0x44 and ver1 == 0x20 and step > 0:
+        pts = np.frombuffer(tbl, mn_endian + "u2", csize,
+                            pos).astype(np.uint32)
+        pts = np.concatenate([pts, pts[-1:]])
+        idx = np.arange(vmax)
+        lo, frac = idx // step, idx % step
+        curve[:vmax] = ((pts[lo] * (step - frac) + pts[lo + 1] * frac)
+                        // step).astype(np.uint16)
+        (split,) = struct.unpack_from(mn_endian + "H", tbl, 562)
+    elif ver0 != 0x46 and csize <= 0x4001:
+        vmax = csize
+        curve[:csize] = np.frombuffer(tbl, mn_endian + "u2", csize, pos)
+    while vmax > 2 and curve[vmax - 2] == curve[vmax - 1]:
+        vmax -= 1
+    tree = (2 if ver0 == 0x46 else 0) + (3 if bits == 14 else 0)
+    return tree, vpred, curve, int(split), int(curve[vmax - 1])
+
+
+def _nikon_huff_decoder(tree: int):
+    """Canonical-Huffman decode table for one fixed tree:
+    (maxcode, mincode, valptr, vals) per code length 1..16."""
+    counts, values = NIKON_TREES[tree]
+    mincode = [0] * 17
+    maxcode = [-1] * 17
+    valptr = [0] * 17
+    code = k = 0
+    for ln in range(1, 17):
+        valptr[ln] = k
+        mincode[ln] = code
+        k += counts[ln - 1]
+        code += counts[ln - 1]
+        maxcode[ln] = code - 1 if counts[ln - 1] else -1
+        code <<= 1
+    return mincode, maxcode, valptr, list(values)
+
+
+def _nikon_decode_py(data: bytes, width: int, height: int, tree: int,
+                     vpred: np.ndarray, split: int) -> np.ndarray:
+    """Pure-python fallback for the native decode_nikon (bit-serial —
+    fine for tests and small files)."""
+    tabs = [_nikon_huff_decoder(tree)]
+    if split > 0:
+        tabs.append(_nikon_huff_decoder(tree + 1))
+    mincode, maxcode, valptr, vals = tabs[0]
+    bits = np.unpackbits(np.frombuffer(data, np.uint8))
+    pos = 0
+    nbits = len(bits)
+
+    def getbits(n):
+        nonlocal pos
+        v = 0
+        for _ in range(n):
+            b = int(bits[pos]) if pos < nbits else 0
+            pos += 1
+            v = (v << 1) | b
+        return v
+
+    vp = [[int(vpred[0]), int(vpred[1])], [int(vpred[2]), int(vpred[3])]]
+    out = np.zeros((height, width), np.uint16)
+    for row in range(height):
+        if split > 0 and row == split:
+            mincode, maxcode, valptr, vals = tabs[1]
+        hpred = [0, 0]
+        for col in range(width):
+            code = 0
+            leaf = -1
+            for ln in range(1, 17):
+                code = (code << 1) | (int(bits[pos]) if pos < nbits else 0)
+                pos += 1
+                if maxcode[ln] >= 0 and code <= maxcode[ln]:
+                    leaf = vals[valptr[ln] + code - mincode[ln]]
+                    break
+            if leaf < 0:
+                raise ValueError("NEF huffman decode failed")
+            ln = leaf & 15
+            shl = leaf >> 4
+            diff = ((getbits(ln - shl) << 1) + 1) << shl >> 1
+            if ln > 0 and (diff & (1 << (ln - 1))) == 0:
+                diff -= (1 << ln) - (0 if shl else 1)
+            if col < 2:
+                vp[row & 1][col] = (vp[row & 1][col] + diff) & 0xFFFF
+                hpred[col] = vp[row & 1][col]
+            else:
+                hpred[col & 1] = (hpred[col & 1] + diff) & 0xFFFF
+            v = hpred[col & 1]
+            out[row, col] = 0 if v >= 0x8000 else min(v, 0x3FFF)
+    return out
+
+
+def _read_nef_compressed(data: bytes, endian: str, ifds, e,
+                         width: int, height: int, bits: int):
+    """Decode a compression-34713 strip → (u16 image, white level)."""
+    sub, mn_endian, mn_ifd = _nikon_makernote(data, ifds, endian)
+    if mn_ifd is None or T_NIKON_LINTABLE not in mn_ifd:
+        raise ValueError("compressed NEF without a Nikon MakerNote "
+                         "linearization table")
+    tbl = mn_ifd[T_NIKON_LINTABLE][2]
+    tree, vpred, curve, split, white = _parse_nikon_lintable(
+        tbl, mn_endian, bits)
+    offs = _values(e[T_STRIP_OFF], endian)
+    cnts = _values(e[T_STRIP_CNT], endian)
+    raw = data[offs[0]: offs[0] + cnts[0]]
+    from siril_tpu import native
+
+    img = native.decode_nikon(raw, width, height, tree, vpred, split)
+    if img is None:
+        img = _nikon_decode_py(raw, width, height, tree, vpred, split)
+    return curve[img], white
+
+
 def read_nef(path: str) -> SirilImage:
     with open(path, "rb") as f:
         data = f.read()
@@ -260,30 +453,31 @@ def read_nef(path: str) -> SirilImage:
     bits = _values(e[T_BITS], endian)[0] if T_BITS in e else 12
     comp = _values(e[T_COMP], endian)[0] if T_COMP in e else 1
     if comp == 34713:
-        raise ValueError(
-            f"{path}: Nikon-compressed NEF not supported — convert to "
-            "DNG, or shoot uncompressed/lossless-packed")
-    if comp != 1:
+        img, wl = _read_nef_compressed(data, endian, ifds, e,
+                                       width, height, bits)
+        white = float(wl)
+    elif comp != 1:
         raise ValueError(f"{path}: unsupported NEF compression {comp}")
-    offs = _values(e[T_STRIP_OFF], endian)
-    cnts = _values(e[T_STRIP_CNT], endian)
-    rps = _values(e[T_ROWS_PER_STRIP], endian)[0] \
-        if T_ROWS_PER_STRIP in e else height
-    img = np.zeros((height, width), np.uint16)
-    y0 = 0
-    for i in range(len(offs)):
-        th = min(rps, height - y0)
-        raw = data[offs[i]: offs[i] + cnts[i]]
-        n = th * width
-        if bits == 12:
-            img[y0:y0 + th] = _unpack_nikon12(raw, n).reshape(th, width)
-        elif bits == 14:
-            img[y0:y0 + th] = _unpack_nikon14(raw, n).reshape(th, width)
-        else:
-            img[y0:y0 + th] = np.frombuffer(
-                raw, endian + "u2", count=n).reshape(th, width)
-        y0 += th
-    white = float((1 << bits) - 1)
+    else:
+        offs = _values(e[T_STRIP_OFF], endian)
+        cnts = _values(e[T_STRIP_CNT], endian)
+        rps = _values(e[T_ROWS_PER_STRIP], endian)[0] \
+            if T_ROWS_PER_STRIP in e else height
+        img = np.zeros((height, width), np.uint16)
+        y0 = 0
+        for i in range(len(offs)):
+            th = min(rps, height - y0)
+            raw = data[offs[i]: offs[i] + cnts[i]]
+            n = th * width
+            if bits == 12:
+                img[y0:y0 + th] = _unpack_nikon12(raw, n).reshape(th, width)
+            elif bits == 14:
+                img[y0:y0 + th] = _unpack_nikon14(raw, n).reshape(th, width)
+            else:
+                img[y0:y0 + th] = np.frombuffer(
+                    raw, endian + "u2", count=n).reshape(th, width)
+            y0 += th
+        white = float((1 << bits) - 1)
     black = 0.0                            # Nikon subtracts black on-camera
     arr = np.clip((img.astype(np.float32) - black)
                   / max(white - black, 1.0), 0.0, 1.0)

@@ -72,6 +72,9 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     u16p = ctypes.POINTER(ctypes.c_uint16)
     lib.decode_ljpeg.argtypes = [u8p, i64, u16p, i64, i32p, i32p, i32p]
     lib.decode_ljpeg.restype = ctypes.c_int
+    lib.decode_nikon.argtypes = [u8p, i64, ctypes.c_int32, ctypes.c_int32,
+                                 ctypes.c_int32, u16p, ctypes.c_int32, u16p]
+    lib.decode_nikon.restype = ctypes.c_int
     lib.stack_winsorized.argtypes = [f32p, i64, i64, f32p, f32p,
                                      ctypes.c_float, ctypes.c_float, f32p]
     return lib
@@ -203,6 +206,26 @@ def stack_winsorized(stack: np.ndarray, scale: np.ndarray,
                          _f32ptr(np.ascontiguousarray(offset, np.float32)),
                          float(siglow), float(sighigh), _f32ptr(out))
     return out
+
+
+def decode_nikon(data: bytes, width: int, height: int, tree: int,
+                 vpred: np.ndarray, split: int):
+    """Nikon-compressed NEF strip → (height, width) pre-curve uint16,
+    or None when the native library is unavailable or decode fails."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    out = np.empty(height * width, np.uint16)
+    vp = np.ascontiguousarray(vpred, np.uint16)
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    rc = lib.decode_nikon(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
+        width, height, tree, vp.ctypes.data_as(u16p), split,
+        out.ctypes.data_as(u16p))
+    if rc != 0:
+        return None
+    return out.reshape(height, width)
 
 
 def decode_ljpeg(data: bytes):

@@ -216,18 +216,7 @@ def test_nef_packed(tmp_path, rng, bits):
     np.testing.assert_allclose(img.host()[0], expect, atol=1e-6)
 
 
-def test_nef_compressed_gated(tmp_path, rng):
-    h, w = 8, 8
-    sensor = rng.integers(0, 4096, (h, w)).astype(np.uint16)
-    p = str(tmp_path / "comp.nef")
-    write_nef(p, sensor, bits=12)
-    # flip the compression tag to Nikon-compressed (34713)
-    data = bytearray(open(p, "rb").read())
-    idx = data.find(struct.pack("<HHI", 259, 3, 1))
-    data[idx + 8:idx + 10] = struct.pack("<H", 34713)
-    open(p, "wb").write(bytes(data))
-    with pytest.raises(ValueError, match="Nikon-compressed"):
-        read_nef(p)
+# (compressed-NEF coverage lives in the 34713 section below)
 
 
 # ---------------------------------------------------------------------------
@@ -422,3 +411,263 @@ def test_arw_via_convert_cli(tmp_path, rng):
     assert cmd(ctx, "convert lights") == 0
     import glob as g
     assert g.glob(str(tmp_path / "lights*.fit"))
+
+
+# ---------------------------------------------------------------------------
+# Nikon-compressed NEF (compression 34713)
+# ---------------------------------------------------------------------------
+
+
+def _nikon_codes(tree):
+    """Canonical Huffman assignment for one fixed tree:
+    leaf value -> (code, nbits)."""
+    from siril_tpu.io.rawfile import NIKON_TREES
+
+    counts, values = NIKON_TREES[tree]
+    codes = {}
+    code = k = 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            codes.setdefault(values[k], (code, ln))
+            k += 1
+            code += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.bits = []
+
+    def put(self, v, n):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def tobytes(self):
+        arr = np.array(self.bits + [0] * (-len(self.bits) % 8), np.uint8)
+        return np.packbits(arr).tobytes()
+
+
+def _nikon_encode(sensor, tree, vpred, split=0):
+    """Inverse of the decoder for plain (shl=0) leaves: JPEG-style
+    category + extra bits, predictor state identical to the decoder."""
+    codes = [_nikon_codes(tree)]
+    if split:
+        codes.append(_nikon_codes(tree + 1))
+    cur = codes[0]
+    bw = _BitWriter()
+    vp = [[int(vpred[0]), int(vpred[1])], [int(vpred[2]), int(vpred[3])]]
+    h, w = sensor.shape
+    for row in range(h):
+        if split and row == split:
+            cur = codes[1]
+        hpred = [0, 0]
+        for col in range(w):
+            tgt = int(sensor[row, col])
+            pred = vp[row & 1][col] if col < 2 else hpred[col & 1]
+            diff = tgt - pred
+            cat = abs(diff).bit_length()
+            assert cat in cur, f"category {cat} not plain in tree"
+            code, nbits = cur[cat]
+            bw.put(code, nbits)
+            if cat:
+                extra = diff if diff > 0 else diff + (1 << cat) - 1
+                bw.put(extra, cat)
+            if col < 2:
+                vp[row & 1][col] = tgt
+                hpred[col] = tgt
+            else:
+                hpred[col & 1] = tgt
+    return bw.tobytes()
+
+
+def _makernote(lintable: bytes) -> bytes:
+    """Nikon MakerNote: 'Nikon' + version, embedded II TIFF whose IFD0
+    carries tag 0x96; value offsets are relative to the embedded TIFF."""
+    ifd_off = 8
+    n_entries = 1
+    heap_off = ifd_off + 2 + 12 * n_entries + 4
+    ifd = struct.pack("<H", n_entries)
+    ifd += struct.pack("<HHII", 0x0096, 7, len(lintable), heap_off)
+    ifd += struct.pack("<I", 0)
+    tiff = b"II*\x00" + struct.pack("<I", ifd_off) + ifd + lintable
+    return b"Nikon\x00\x02\x11\x00\x00" + tiff
+
+
+def write_nef_compressed(path, sensor, bits, lintable, vpred, split=0,
+                         tree=None):
+    """Minimal compressed NEF: IFD0 (Make, SubIFD, Exif), Exif IFD
+    (MakerNote), raw SubIFD with compression 34713."""
+    from siril_tpu.io.rawfile import _parse_nikon_lintable
+
+    if tree is None:
+        tree, _, _, _, _ = _parse_nikon_lintable(lintable, "<", bits)
+    raw = _nikon_encode(sensor, tree, vpred, split)
+    mn = _makernote(lintable)
+    h, w = sensor.shape
+
+    ifd0_entries = [
+        _entry(271, 2, ["NIKON CORPORATION"]), _entry(272, 2, ["D comp"]),
+        _entry(330, 4, [0]),                    # SubIFD placeholder
+        _entry(0x8769, 4, [0]),                 # Exif placeholder
+    ]
+    ifd0_size = 2 + 12 * len(ifd0_entries) + 4
+    heap_guess = 64
+    exif_off = 8 + ifd0_size + heap_guess
+    exif_size = 2 + 12 * 1 + 4
+    mn_off = exif_off + exif_size
+    raw_ifd_off = mn_off + len(mn)
+    raw_entries = [
+        _entry(256, 3, [w]), _entry(257, 3, [h]), _entry(258, 3, [bits]),
+        _entry(259, 3, [34713]), _entry(262, 3, [32803]),
+        _entry(273, 4, [0]),                    # pixel offset placeholder
+        _entry(279, 4, [len(raw)]), _entry(278, 3, [h]),
+        _entry(33422, 1, [0, 1, 1, 2]),
+    ]
+    raw_size = 2 + 12 * len(raw_entries) + 4
+    pix_off = raw_ifd_off + raw_size + 64
+    raw_entries = [e if e[0] != 273 else _entry(273, 4, [pix_off])
+                   for e in raw_entries]
+    ifd0_entries = [
+        _entry(330, 4, [raw_ifd_off]) if e[0] == 330 else
+        _entry(0x8769, 4, [exif_off]) if e[0] == 0x8769 else e
+        for e in ifd0_entries]
+    ifd0_bytes, ifd0_heap = _build_ifd(ifd0_entries, 8 + ifd0_size)
+    assert len(ifd0_heap) <= heap_guess
+    exif_bytes = struct.pack("<H", 1)
+    exif_bytes += struct.pack("<HHII", 0x927C, 7, len(mn), mn_off)
+    exif_bytes += struct.pack("<I", 0)
+    raw_bytes, raw_heap = _build_ifd(raw_entries, raw_ifd_off + raw_size)
+    with open(path, "wb") as f:
+        f.write(b"II*\x00" + struct.pack("<I", 8))
+        f.write(ifd0_bytes)
+        f.write(ifd0_heap.ljust(heap_guess, b"\0"))
+        f.write(exif_bytes)
+        f.write(mn)
+        f.write(raw_bytes)
+        f.write(raw_heap.ljust(64, b"\0"))
+        f.write(raw)
+
+
+def _smooth_sensor(rng, h, w, lo, hi, max_step):
+    """Random walk with bounded steps so every diff stays in a plain
+    Huffman category."""
+    out = np.zeros((h, w), np.int32)
+    out[:, 0] = rng.integers(lo + max_step, hi - max_step, h)
+    for col in range(1, w):
+        out[:, col] = np.clip(
+            out[:, col - 1] + rng.integers(-max_step, max_step + 1, h),
+            lo, hi)
+    return out.astype(np.uint16)
+
+
+@pytest.mark.parametrize("bits", [12, 14])
+def test_nef_compressed_lossless_roundtrip(tmp_path, rng, bits):
+    """ver0=0x46 lossless: identity curve, white = 2^bits - 1."""
+    h, w = 10, 24
+    white = (1 << bits) - 1
+    sensor = _smooth_sensor(rng, h, w, 0, white, 900)
+    vpred = [white // 4] * 4
+    lintable = bytes([0x46, 0x30]) + struct.pack("<4H", *vpred) \
+        + struct.pack("<H", 1)
+    p = str(tmp_path / "lossless.nef")
+    write_nef_compressed(p, sensor, bits, lintable, vpred)
+    assert is_nef(p)
+    img = read_nef(p)
+    assert img.height == h and img.width == w
+    np.testing.assert_allclose(img.host()[0],
+                               sensor.astype(np.float32) / white,
+                               atol=1e-6)
+
+
+def test_nef_compressed_lossy_curve_and_split(tmp_path, rng):
+    """ver0=0x44/ver1=0x20 lossy: interpolated curve, tree switch at
+    the split row (post-split diffs restricted to the plain categories
+    tree 1 retains)."""
+    bits, h, w = 12, 12, 16
+    split = 6
+    # tree 1 (after the split) keeps only categories {0..5, 11, 12} as
+    # plain leaves; horizontal prediction runs over same-parity columns
+    # (2-column stride) and col<2 predicts from the same-parity ROW two
+    # back, so per-step bounds must stay ≤ 15 for every diff (incl.
+    # across the split) to remain plainly encodable in both trees
+    row0 = 1000 + np.cumsum(rng.integers(-15, 16, w))
+    drift = np.cumsum(rng.integers(-7, 8, h))[:, None]
+    sensor = (row0[None, :] + drift).astype(np.uint16)
+    vpred = [1000, 1000, 1000, 1000]
+    csize = 17
+    step = ((1 << bits) & 0x7FFF) // (csize - 1)
+    pts = (np.linspace(0, 3000, csize) ** 1.1)
+    pts = (pts / pts.max() * 3000).astype(np.uint16)
+    tbl = bytearray(bytes([0x44, 0x20]) + struct.pack("<4H", *vpred)
+                    + struct.pack("<H", csize)
+                    + struct.pack(f"<{csize}H", *pts))
+    tbl = tbl.ljust(562, b"\0") + struct.pack("<H", split)
+    p = str(tmp_path / "lossy.nef")
+    write_nef_compressed(p, sensor, bits, bytes(tbl), vpred, split=split,
+                         tree=0)
+    img = read_nef(p)
+    # expected: curve lookup then /white, curve trimmed of its flat tail
+    from siril_tpu.io.rawfile import _parse_nikon_lintable
+
+    tree, vp, curve, sp, white = _parse_nikon_lintable(bytes(tbl), "<", bits)
+    assert tree == 0 and sp == split
+    expect = curve[sensor].astype(np.float32) / white
+    np.testing.assert_allclose(img.host()[0], np.clip(expect, 0, 1),
+                               atol=1e-6)
+    assert step > 0 and int(curve[step]) == int(pts[1])
+
+
+def test_nef_compressed_native_matches_python(tmp_path, rng):
+    """The native decoder and the pure-python fallback must agree
+    bit-for-bit on the same stream."""
+    from siril_tpu import native
+    from siril_tpu.io.rawfile import _nikon_decode_py
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    h, w = 9, 20
+    sensor = _smooth_sensor(rng, h, w, 0, 4095, 800)
+    vpred = np.array([512, 512, 512, 512], np.uint16)
+    raw = _nikon_encode(sensor, 2, vpred, 0)
+    a = native.decode_nikon(raw, w, h, 2, vpred, 0)
+    b = _nikon_decode_py(raw, w, h, 2, vpred, 0)
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a, sensor)
+
+
+def test_nef_shl_leaf_decode():
+    """Tree 1's shifted leaves (leaf = shl<<4 | len) decode via
+    diff = ((extra << 1) + 1) << shl >> 1 with the shl-aware sign rule —
+    checked against an independent computation of the same formula."""
+    from siril_tpu.io.rawfile import _nikon_decode_py
+
+    leaf, shl, ln = 0x16, 1, 6
+    codes = _nikon_codes(1)
+    code, nbits = codes[leaf]
+    for extra in (0, 5, 17, 31):           # 5 payload bits (len - shl)
+        bw = _BitWriter()
+        bw.put(codes[0][0], codes[0][1])   # col 0: diff 0
+        bw.put(code, nbits)                # col 1: the shl leaf
+        bw.put(extra, ln - shl)
+        out = _nikon_decode_py(bw.tobytes(), 2, 1, 1,
+                               np.array([800, 800, 0, 0], np.uint16), 0)
+        diff = ((extra << 1) + 1) << shl >> 1
+        if diff & (1 << (ln - 1)) == 0:
+            diff -= (1 << ln)              # shl != 0: no -1 correction
+        np.testing.assert_array_equal(out[0], [800, (800 + diff) & 0xFFFF])
+
+
+def test_nef_compressed_without_makernote(tmp_path, rng):
+    """A 34713 strip with no Nikon MakerNote must fail loudly, not
+    produce garbage."""
+    h, w = 8, 8
+    sensor = rng.integers(0, 4096, (h, w)).astype(np.uint16)
+    p = str(tmp_path / "comp.nef")
+    write_nef(p, sensor, bits=12)
+    data = bytearray(open(p, "rb").read())
+    idx = data.find(struct.pack("<HHI", 259, 3, 1))
+    data[idx + 8:idx + 10] = struct.pack("<H", 34713)
+    open(p, "wb").write(bytes(data))
+    with pytest.raises(ValueError, match="MakerNote"):
+        read_nef(p)
