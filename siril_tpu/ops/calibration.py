@@ -156,8 +156,8 @@ def make_calibrate_batch_kernel(has_bias: bool, has_dark: bool,
     an internal ``lax.map`` over frames.  Per-frame ``chunk[j]`` slicing
     through the axon tunnel costs ~0.65 s/slice (each slice is its own
     program execution); the sequential map keeps one frame's cosmetic
-    median intermediate live at a time, same pattern as
-    starfinder chunk_detect."""
+    median intermediate live at a time, same pattern as the
+    starfinder per-chunk detection program (_stats_cand_fit_fn)."""
     import jax
     from jax import lax
 

@@ -112,6 +112,23 @@ def compute_normalization(seq: Sequence, indices: np.ndarray, mode: int,
         ref_pos = int(np.nonzero(indices == ref_idx)[0][0])
     except IndexError:
         ref_pos = 0
+    offset, scale, mul = factors_from_estimators(
+        loc, sca, mode, ref_pos, equalize_rgb=equalize_rgb,
+        reglayer=reglayer)
+    return NormCoeffs(offset, mul, scale)
+
+
+def factors_from_estimators(loc: np.ndarray, sca: np.ndarray, mode: int,
+                            ref_pos: int, equalize_rgb: bool = False,
+                            reglayer: int = -1):
+    """compute_factors_from_estimators (normalization.c:146): per-frame
+    (offset, scale, mul) from (L, n) location/scale estimator arrays.
+    The ONLY implementation of the factor rules — the sharded survey
+    path reuses it so the two paths cannot drift."""
+    L, n = loc.shape
+    offset = np.zeros((L, n))
+    scale = np.ones((L, n))
+    mul = np.ones((L, n))
     rl = reglayer if reglayer > -1 else 1
     for layer in range(L):
         reflayer = (rl if equalize_rgb else layer)
@@ -120,13 +137,15 @@ def compute_normalization(seq: Sequence, indices: np.ndarray, mode: int,
         sca0 = sca[reflayer, ref_pos]
         if mode in (ADDITIVE_SCALING, MULTIPLICATIVE_SCALING):
             s = sca[layer]
-            scale[layer] = np.where(s == 0, 1.0, sca0 / np.where(s == 0, 1.0, s))
+            scale[layer] = np.where(s == 0, 1.0,
+                                    sca0 / np.where(s == 0, 1.0, s))
         if mode in (ADDITIVE, ADDITIVE_SCALING):
             offset[layer] = scale[layer] * loc[layer] - loc0
         elif mode in (MULTIPLICATIVE, MULTIPLICATIVE_SCALING):
             lv = loc[layer]
-            mul[layer] = np.where(lv == 0, 1.0, loc0 / np.where(lv == 0, 1.0, lv))
-    return NormCoeffs(offset, mul, scale)
+            mul[layer] = np.where(lv == 0, 1.0,
+                                  loc0 / np.where(lv == 0, 1.0, lv))
+    return offset, scale, mul
 
 
 def _compute_missing(seq, need, loc, sca, lite, frame_batch):

@@ -126,27 +126,16 @@ def _pad_pix(buf: np.ndarray, ndev: int) -> np.ndarray:
 
 
 def coeffs_from_estimators(loc: np.ndarray, sca: np.ndarray, mode: int,
-                           ref_pos: int):
-    """compute_factors_from_estimators semantics (normalization.c:146)."""
-    from siril_tpu.ops.normalization import (
-        ADDITIVE, ADDITIVE_SCALING, MULTIPLICATIVE, MULTIPLICATIVE_SCALING,
-    )
+                           ref_pos: int, equalize_rgb: bool = False):
+    """compute_factors_from_estimators semantics (normalization.c:146) —
+    delegates to the single implementation in ops/normalization.py so
+    the sharded path cannot drift from the single-device stack path."""
+    from siril_tpu.ops.normalization import factors_from_estimators
 
-    L, n = loc.shape
-    offset = np.zeros((L, n), np.float32)
-    scale = np.ones((L, n), np.float32)
-    mul = np.ones((L, n), np.float32)
-    for c in range(L):
-        loc0, sca0 = loc[c, ref_pos], sca[c, ref_pos]
-        if mode in (ADDITIVE_SCALING, MULTIPLICATIVE_SCALING):
-            s = sca[c]
-            scale[c] = np.where(s == 0, 1.0, sca0 / np.where(s == 0, 1, s))
-        if mode in (ADDITIVE, ADDITIVE_SCALING):
-            offset[c] = scale[c] * loc[c] - loc0
-        elif mode in (MULTIPLICATIVE, MULTIPLICATIVE_SCALING):
-            lv = loc[c]
-            mul[c] = np.where(lv == 0, 1.0, loc0 / np.where(lv == 0, 1, lv))
-    return offset, scale, mul
+    offset, scale, mul = factors_from_estimators(
+        loc, sca, mode, ref_pos, equalize_rgb=equalize_rgb)
+    return (offset.astype(np.float32), scale.astype(np.float32),
+            mul.astype(np.float32))
 
 
 @dataclass

@@ -303,46 +303,6 @@ def detection_radius(H: int, W: int,
 
 
 @lru_cache(maxsize=8)
-def _stats_cand_fn(r: int, k: int, sigma: float):
-    """One fused device program per frame-chunk: detection stats +
-    threshold + candidate top-k, no host sync — lets the fused pipeline
-    issue detection for chunk i while chunk i+1 is still DMA-ing in."""
-    import jax
-    import jax.numpy as jnp
-
-    cand = _candidate_fn(r, k)
-
-    @jax.jit
-    def run(frames):
-        from siril_tpu.ops.statistics import hist_median_jax
-
-        n = frames.shape[0]
-        flat = frames.reshape(n, -1)
-        valid = jnp.isfinite(flat)
-        med = hist_median_jax(flat, valid)
-        mad = hist_median_jax(jnp.abs(flat - med[:, None]), valid)
-        mx = flat.max(axis=1)
-        stats = jnp.stack([med, 1.4826 * mad, mx])
-        thrs = med + np.float32(sigma) * jnp.maximum(1.4826 * mad, 1e-7)
-        from jax import lax
-
-        vals, idx = lax.map(lambda a: cand(a[0], a[1]),
-                            (frames, thrs.astype(jnp.float32)))
-        return stats, vals, idx
-
-    return run
-
-
-def chunk_detect(frames_chunk, H: int, W: int,
-                 params: Optional[StarFinderParams] = None,
-                 max_stars: int = 500):
-    """Async per-chunk stats+candidates (device arrays, not fetched)."""
-    p = params or StarFinderParams()
-    R = detection_radius(H, W, p)
-    return _stats_cand_fn(R, int(max_stars), float(p.sigma))(frames_chunk)
-
-
-@lru_cache(maxsize=8)
 def _stats_cand_fit_fn(r: int, k: int, sigma: float, profile: int):
     """One fused device program per frame-chunk: detection stats +
     threshold + candidate top-k + patch gather + batched LM PSF fit —
@@ -425,7 +385,7 @@ def detect_stars_batch(frames, params: Optional[StarFinderParams] = None,
     if isinstance(frames, (list, tuple)):
         if precomputed is None:
             raise ValueError("chunked frames require precomputed "
-                             "stats/candidates (chunk_detect)")
+                             "stats/candidates/fits (_stats_cand_fit_fn)")
         chunks = list(frames)
         frames = None
         N = sum(int(c.shape[0]) for c in chunks)
@@ -434,7 +394,7 @@ def detect_stars_batch(frames, params: Optional[StarFinderParams] = None,
         chunks = None
         frames = jnp.asarray(frames, jnp.float32)
         N, H, W = frames.shape
-    # the SAME radius rule as chunk_detect — precomputed candidate
+    # the SAME radius rule as _stats_cand_fit_fn — precomputed candidate
     # indices are decoded with it, a divergent copy would shift patches
     R = detection_radius(H, W, p)
     box = 2 * R + 1
@@ -445,11 +405,8 @@ def detect_stars_batch(frames, params: Optional[StarFinderParams] = None,
     fits_h = None
     if precomputed is not None:
         with stage("sf.fetch_pre"):
-            if len(precomputed) == 4:
-                stats, vals, idx, fits_h = precomputed
-                fits_h = np.asarray(fits_h)
-            else:
-                stats, vals, idx = precomputed
+            stats, vals, idx, fits_h = precomputed
+            fits_h = np.asarray(fits_h)
             stats = np.asarray(stats)
             vals = np.asarray(vals)
             idx = np.asarray(idx)

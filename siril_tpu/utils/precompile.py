@@ -187,9 +187,9 @@ def precompile_pipeline_kernels(n: int, width: int, height: int,
     for rtype in (rj.WINSORIZED, rj.SIGMA):
         for blk_rows in sorted(row_set):
             fn = _block_stream_fn(shapes_key, blk_rows,
-                                  (rtype, ADDITIVE_SCALING, 3.0, 3.0, n))
+                                  (rtype, ADDITIVE_SCALING, 3.0, 3.0, n, 0))
             args = [_sds(s, jnp.float32) for s in shapes]
-            args += [coef, coef, coef,
+            args += [coef, coef, coef, _sds((1,), jnp.float32),
                      _sds((), jnp.int32), _sds((), jnp.int32)]
             t = _compile(fn, *args)
             done.append((f"block_stream[{rj_name(rtype)}] "

@@ -61,8 +61,9 @@ def sync_repository(url: str, local_path: str,
             os.makedirs(os.path.dirname(local_path) or ".", exist_ok=True)
             r = _git(["clone", "--depth", "1", url, local_path])
             if r.returncode != 0:
-                log_error(f"script repository clone failed: "
-                          f"{r.stderr.strip().splitlines()[-1:] or ''}")
+                lines = r.stderr.strip().splitlines()
+                log_error("script repository clone failed: "
+                          + (lines[-1] if lines else f"rc={r.returncode}"))
                 return False
             log_message(f"script repository cloned: {local_path}")
             return True
