@@ -491,3 +491,172 @@ def translations_from_Hs(Hs, atol: float = 1e-9):
     if not np.allclose(Hs[:, 2, :2], 0.0, atol=atol):
         return None
     return Hs[:, :2, 2].copy()
+
+
+def rotations_from_Hs(Hs, size, max_err_px: float = 0.15,
+                      max_deg: float = 15.0):
+    """(p, q, t) of the INVERSE maps if every H is approximable by a
+    pure rotation+translation, else None.
+
+    Gate: the nearest rotation (Procrustes snap of the 2×2 block) must
+    reproduce the FULL projective map within ``max_err_px`` at the four
+    image corners — resolution-aware, so the ~1e-4 scale/skew noise a
+    RANSAC homography carries on aligned star fields passes, while a
+    real scale/skew/perspective component is rejected at any size.
+    The inverse map is src = M·dst + t with M = [[p, q], [−q, p]],
+    p² + q² = 1 — the form the three-shear FFT warp consumes.  Field
+    rotation / meridian-flip residuals (the common deep-sky `register`
+    case) are exactly this family."""
+    Hs = np.asarray(Hs, np.float64)
+    Hs = Hs / Hs[:, 2:3, 2:3]
+    A = Hs[:, :2, :2]
+    p = (A[:, 0, 0] + A[:, 1, 1]) / 2.0
+    q = (A[:, 0, 1] - A[:, 1, 0]) / 2.0
+    nrm = np.hypot(p, q)
+    if (nrm < 0.5).any():                    # reflection / degenerate
+        return None
+    p, q = p / nrm, q / nrm
+    theta = np.arctan2(q, p)
+    # meridian flip: θ near ±180° factors as R(π)·R(θ∓π) — the exact
+    # double-flip is free (axis reversal), only the small residual is
+    # sheared; gate the RESIDUAL by max_deg
+    flip = np.abs(theta) > np.pi / 2
+    resid = np.where(flip, theta - np.sign(theta) * np.pi, theta)
+    if np.abs(resid).max() > np.deg2rad(max_deg):
+        return None
+    Hi, Wi = int(size[0]), int(size[1])
+    corners = np.array([[0.0, 0.0, 1.0], [Wi - 1.0, 0.0, 1.0],
+                        [0.0, Hi - 1.0, 1.0],
+                        [Wi - 1.0, Hi - 1.0, 1.0]])      # (4, 3)
+    full = np.einsum("nij,cj->nci", Hs, corners)          # (N, 4, 3)
+    w = full[..., 2]
+    if (np.abs(w) < 1e-6).any():
+        return None
+    full = full[..., :2] / w[..., None]
+    t = Hs[:, :2, 2]
+    M = np.stack([np.stack([p, q], -1),
+                  np.stack([-q, p], -1)], -2)             # (N, 2, 2)
+    snap = np.einsum("nij,cj->nci", M, corners[:, :2]) + t[:, None, :]
+    err = np.hypot(*(full - snap).transpose(2, 0, 1))
+    if err.max() > max_err_px:
+        return None
+    # exact rotation inverse: Mi = Mᵀ, ti = −Mᵀ·t
+    pi_, qi = p, -q
+    Mi = np.stack([np.stack([pi_, qi], -1),
+                   np.stack([-qi, pi_], -1)], -2)         # (N, 2, 2)
+    ti = -np.einsum("nij,nj->ni", Mi, t)
+    # fold the flip into the params: src = Mi·d + ti = s − (Mi′·d + s − ti)
+    # with Mi′ = −Mi and s = (W−1, H−1), so the shear program warps the
+    # double-flipped image by (−p, −q, s − t); in-bounds masks are
+    # unchanged (s − u ∈ [0, s] ⇔ u ∈ [0, s])
+    s_vec = np.array([Wi - 1.0, Hi - 1.0])
+    pe = np.where(flip, -pi_, pi_)
+    qe = np.where(flip, -qi, qi)
+    te = np.where(flip[:, None], s_vec[None] - ti, ti)
+    return (pe.astype(np.float32), qe.astype(np.float32),
+            te.astype(np.float32), flip)
+
+
+@lru_cache(maxsize=8)
+def _rot_shear_fn(H: int, W: int):
+    """Three-shear rotation+translation warp via per-line FFT phase
+    ramps (Paeth decomposition: R = Sx(α)·Sy(β)·Sx(α) with
+    α = tan(θ/2), β = −sinθ) — batched 1-D FFTs + elementwise phases,
+    no gathers, so it runs at HBM speed on TPU (~40× the gather-based
+    homography warp at 16 Mpix).  Interpolation is sinc (exact for
+    band-limited data); out-of-field pixels are masked to 0 from the
+    analytic inverse map like the gather warp."""
+    import jax
+    import jax.numpy as jnp
+
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+
+    def shift_rows(img, s):
+        # img (..., H, W), s (..., H): out[y, x] = img[y, x + s[y]]
+        k = jnp.arange(W // 2 + 1, dtype=jnp.float32)
+        ph = jnp.exp(2j * jnp.pi / W * s[..., None] * k)
+        return jnp.fft.irfft(jnp.fft.rfft(img, axis=-1) * ph, n=W,
+                             axis=-1)
+
+    def shift_cols(img, s):
+        # out[y, x] = img[y + s[x], x]
+        k = jnp.arange(H // 2 + 1, dtype=jnp.float32)
+        ph = jnp.exp(2j * jnp.pi / H * s[..., None] * k)   # (..., W, K)
+        spec = jnp.fft.rfft(img, axis=-2)                  # (..., K, W)
+        spec = spec * jnp.moveaxis(ph, -2, -1)
+        return jnp.fft.irfft(spec, n=H, axis=-2)
+
+    @jax.jit
+    def run(frames, p, q, t, flipmask):
+        # frames (N, C, H, W); inverse map src = M·dst + t,
+        # M = [[p, q], [−q, p]].  Centered form: src = M(d−c)+c+t′,
+        # t′ = t + M·c − c.  Flipped frames (meridian flip) were
+        # factored upstream: double-flip here, shear by the residual.
+        frames = jnp.where(flipmask[:, None, None, None],
+                           frames[..., ::-1, ::-1], frames)
+        txp = p * cx + q * cy - cx + t[:, 0]
+        typ = -q * cx + p * cy - cy + t[:, 1]
+        theta = jnp.arctan2(q, p)
+        alpha = jnp.tan(theta / 2.0)
+        yy = jnp.arange(H, dtype=jnp.float32) - cy          # (H,)
+        xx = jnp.arange(W, dtype=jnp.float32) - cx          # (W,)
+        # pass 1 (x per row): w(y) = α(y−cy) + tx′ − α·ty′
+        s1 = alpha[:, None] * yy[None] + (txp - alpha * typ)[:, None]
+        # pass 2 (y per column): v(x) = −q(x−cx) + ty′
+        s2 = -q[:, None] * xx[None] + typ[:, None]
+        # pass 3 (x per row): u(y) = α(y−cy)
+        s3 = alpha[:, None] * yy[None]
+        g = shift_rows(frames, s1[:, None, :])
+        g = shift_cols(g, s2[:, None, :])
+        g = shift_rows(g, s3[:, None, :])
+        # analytic validity mask of the exact inverse map
+        dx = xx[None, None, :]
+        dy = yy[None, :, None]
+        sx = (p[:, None, None] * dx + q[:, None, None] * dy
+              + (cx + txp)[:, None, None])
+        sy = (-q[:, None, None] * dx + p[:, None, None] * dy
+              + (cy + typ)[:, None, None])
+        ok = ((sx >= 0.0) & (sx <= W - 1.0)
+              & (sy >= 0.0) & (sy <= H - 1.0))
+        return g * ok[:, None, :, :]
+
+    return run
+
+
+def warp_rotation_batch(frames_dev, rot):
+    """Batched rotation+translation warp (FFT three-shear, with an
+    exact double-flip front-end for meridian-flipped frames).
+    ``frames_dev``: (N, C, H, W) device array; ``rot``: the
+    (p, q, t, flip) tuple from rotations_from_Hs.  Chunked like
+    warp_homography_batch so transients stay within the HBM budget."""
+    import jax.numpy as jnp
+
+    p, q, t, flip = rot
+    n = frames_dev.shape[0]
+    H, W = (int(d) for d in frames_dev.shape[-2:])
+    px = int(np.prod(frames_dev.shape[1:]))
+    # FFT transients are ~4× the chunk (spectrum + phase + output)
+    chunk = max(int((64 << 20) // max(px * 4, 1)), 1)
+    run = _rot_shear_fn(H, W)
+    p_d = jnp.asarray(p, jnp.float32)
+    q_d = jnp.asarray(q, jnp.float32)
+    t_d = jnp.asarray(t, jnp.float32)
+    f_d = jnp.asarray(np.asarray(flip, bool))
+    if n <= chunk:
+        return run(frames_dev, p_d, q_d, t_d, f_d)
+    outs = []
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        if e - s == chunk:
+            outs.append(run(frames_dev[s:e], p_d[s:e], q_d[s:e],
+                            t_d[s:e], f_d[s:e]))
+        else:
+            pad = chunk - (e - s)
+
+            def padded(a, axis=0):
+                return jnp.concatenate(
+                    [a[s:e], a[e - 1:e].repeat(pad, axis=axis)])
+
+            outs.append(run(padded(frames_dev), padded(p_d), padded(q_d),
+                            padded(t_d), padded(f_d))[: e - s])
+    return jnp.concatenate(outs, axis=0)

@@ -256,12 +256,15 @@ def fused_preprocess_stack(seq: Sequence, args: Optional[FusedArgs] = None
             n = len(indices)
         with stage("fused.warp"):
             from siril_tpu.ops.interp import (
+                rotations_from_Hs,
                 translations_from_Hs,
                 warp_homography_batch,
+                warp_rotation_batch,
                 warp_translation_batch,
             )
 
             shifts = translations_from_Hs(Hs)
+            rot = None if shifts is not None else rotations_from_Hs(Hs, (H, W))
             base = 0
             for ci, c in enumerate(frames):
                 ni = c.shape[0]
@@ -273,6 +276,13 @@ def fused_preprocess_stack(seq: Sequence, args: Optional[FusedArgs] = None
                     frames[ci] = warp_translation_batch(
                         c, shifts[base:base + ni], args.interpolation,
                         args.clamp, donate=True)
+                elif rot is not None:
+                    # rotation+translation (field rotation, the common
+                    # `register` case): FFT three-shear warp — batched
+                    # 1-D FFTs + phase ramps, no gathers (~40x the
+                    # gather warp at 16 Mpix)
+                    frames[ci] = warp_rotation_batch(
+                        c, tuple(a[base:base + ni] for a in rot))
                 else:
                     frames[ci] = warp_homography_batch(
                         c, Hs[base:base + ni], (H, W),

@@ -157,3 +157,64 @@ def test_fused_multichunk_excludes_bad_frame(tmp_path):
     out = res.image.host()[0]
     interior = np.s_[20:-20, 20:-20]
     assert np.abs(out[interior] - base[interior]).mean() < 0.01
+
+
+def test_fused_rotation_takes_shear_path(tmp_path, monkeypatch):
+    """Rotated frames (field rotation) must engage the FFT three-shear
+    warp fast path — not the gather-based homography warp — and still
+    align the stack to the base scene."""
+    from siril_tpu.ops import interp as interp_mod
+    from siril_tpu.registration.matching import HOMOGRAPHY_TRANSFORMATION
+
+    rng = np.random.default_rng(11)
+    h, w = 160, 192
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    stars = [(rng.uniform(30, w - 30), rng.uniform(30, h - 30))
+             for _ in range(22)]
+
+    def render(theta_deg, tx, ty):
+        th = np.deg2rad(theta_deg)
+        c, s = np.cos(th), np.sin(th)
+        cx, cy = (w - 1) / 2, (h - 1) / 2
+        img = np.full((h, w), 0.05, np.float32)
+        for x0, y0 in stars:
+            xr = c * (x0 - cx) - s * (y0 - cy) + cx + tx
+            yr = s * (x0 - cx) + c * (y0 - cy) + cy + ty
+            img += 0.5 * np.exp(-(((xx - xr) ** 2 + (yy - yr) ** 2)
+                                  / (2 * 2.0 ** 2)))
+        return np.clip(img, 0, 1)
+
+    base = render(0, 0, 0)
+    params = [(0, 0, 0), (0.6, 2, -1), (-0.8, -2, 2), (0.4, 1, 1),
+              (-0.5, 3, -2)]
+    for i, (th, tx, ty) in enumerate(params):
+        f = render(th, tx, ty) + rng.normal(0, 0.002, (h, w)).astype(
+            np.float32)
+        img = SirilImage(data=np.clip(f, 1e-4, 1)[None])
+        img.keywords.exposure = 10.0
+        write_fits(img, str(tmp_path / f"rot_{i:05d}.fit"), bitdepth=16)
+    seq = Sequence.scan("rot_", str(tmp_path))
+
+    calls = {"shear": 0, "gather": 0}
+    real_rot = interp_mod.warp_rotation_batch
+    real_hom = interp_mod.warp_homography_batch
+
+    def spy_rot(*a, **k):
+        calls["shear"] += 1
+        return real_rot(*a, **k)
+
+    def spy_hom(*a, **k):
+        calls["gather"] += 1
+        return real_hom(*a, **k)
+
+    monkeypatch.setattr(interp_mod, "warp_rotation_batch", spy_rot)
+    monkeypatch.setattr(interp_mod, "warp_homography_batch", spy_hom)
+    args = FusedArgs(ttype=HOMOGRAPHY_TRANSFORMATION,
+                     stack=StackArgs(method="rej", rejection=rj.WINSORIZED,
+                                     normalize=ADDITIVE_SCALING),
+                     starfinder=StarFinderParams(radius=6))
+    res = fused_preprocess_stack(seq, args)
+    assert calls["shear"] > 0 and calls["gather"] == 0
+    out = res.image.host()[0]
+    interior = np.s_[20:-20, 20:-20]
+    assert np.abs(out[interior] - base[interior]).mean() < 0.01

@@ -382,3 +382,100 @@ def test_translation_warp_matches_homography_warp():
     np.testing.assert_allclose(translations_from_Hs(Hs), shifts)
     Hs[0, 0, 1] = 0.01
     assert translations_from_Hs(Hs) is None
+
+
+def test_rotation_shear_warp_matches_ground_truth(rng):
+    """The FFT three-shear rotation warp (the fused pipeline's fast
+    path for field-rotation registrations) must reproduce an
+    analytically re-rendered rotated star field to sinc-interpolation
+    accuracy — far tighter than the gather warp's lanczos4 error."""
+    import jax.numpy as jnp
+
+    from siril_tpu.ops.interp import (
+        rotations_from_Hs,
+        warp_rotation_batch,
+    )
+
+    H = W = 96
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    stars = list(zip(rng.uniform(18, W - 18, 25),
+                     rng.uniform(18, H - 18, 25),
+                     rng.uniform(0.2, 0.9, 25)))
+
+    def render(pts):
+        img = np.full((H, W), 0.1, np.float32)
+        for x0, y0, a in pts:
+            img += a * np.exp(-((xx - x0) ** 2 + (yy - y0) ** 2)
+                              / (2 * 2.2 ** 2))
+        return img
+
+    def mk_H(theta_deg, tx, ty):
+        th = np.deg2rad(theta_deg)
+        c, s = np.cos(th), np.sin(th)
+        cx, cy = (W - 1) / 2, (H - 1) / 2
+        A = np.array([[c, -s], [s, c]])
+        t = np.array([tx, ty]) + np.array([cx, cy]) - A @ [cx, cy]
+        Hm = np.eye(3)
+        Hm[:2, :2] = A
+        Hm[:2, 2] = t
+        return Hm
+
+    img = render(stars)
+    frames = np.stack([img, img, img])[:, None]
+    # third frame: meridian flip (180° + small residual rotation)
+    Hs = np.stack([mk_H(0.8, 2.3, -1.7), mk_H(-1.4, -3.1, 0.9),
+                   mk_H(180.0 + 0.7, 1.5, -2.0)])
+    rot = rotations_from_Hs(Hs, (H, W))
+    assert rot is not None
+    assert list(rot[3]) == [False, False, True]
+    out = np.asarray(warp_rotation_batch(jnp.asarray(frames), rot))
+    I = np.s_[10:-10, 10:-10]
+    for k in range(3):
+        gt = render([tuple((Hs[k] @ [x0, y0, 1])[:2]) + (a,)
+                     for x0, y0, a in stars])
+        assert np.abs(out[k, 0][I] - gt[I]).max() < 1e-4
+
+    # out-of-field pixels are masked to 0 (gather-warp semantics):
+    # with tx=+2.3 the left edge's sources fall outside the frame
+    assert np.abs(out[0, 0, :, 0]).max() == 0.0
+
+
+def test_rotations_from_Hs_gates():
+    """Scale/skew/perspective/large-angle homographies must NOT take
+    the shear fast path."""
+    from siril_tpu.ops.interp import rotations_from_Hs
+
+    def rot_H(deg):
+        th = np.deg2rad(deg)
+        c, s = np.cos(th), np.sin(th)
+        Hm = np.eye(3)
+        Hm[:2, :2] = [[c, -s], [s, c]]
+        return Hm
+
+    size = (96, 96)
+    ok = rotations_from_Hs(np.stack([rot_H(0.5), rot_H(-3.0)]), size)
+    assert ok is not None
+    p, q, t, flip = ok
+    np.testing.assert_allclose(p ** 2 + q ** 2, 1.0, atol=1e-12)
+    assert not flip.any()
+
+    scaled = rot_H(0.5)
+    scaled[:2, :2] *= 1.01                 # 1% scale: ~0.7 px at corners
+    assert rotations_from_Hs(scaled[None], size) is None
+    skew = np.eye(3)
+    skew[0, 1] = 0.01                      # ~1 px skew at corners
+    assert rotations_from_Hs(skew[None], size) is None
+    persp = rot_H(0.5)
+    persp[2, 0] = 2e-4                     # ~1.8 px at the far corner
+    assert rotations_from_Hs(persp[None], size) is None
+    assert rotations_from_Hs(rot_H(25.0)[None], size) is None
+    # near-180° IS accepted (meridian flip factoring), 155° is not
+    assert rotations_from_Hs(rot_H(179.2)[None], size) is not None
+    assert rotations_from_Hs(rot_H(155.0)[None], size) is None
+    # RANSAC-level noise (~3e-4 scale at 96 px) must PASS the gate
+    noisy = rot_H(0.5)
+    noisy[:2, :2] *= 1.0003
+    assert rotations_from_Hs(noisy[None], size) is not None
+    # identity IS a rotation (caught earlier by the translation path,
+    # but must not be rejected here)
+    assert rotations_from_Hs(np.eye(3)[None], size) is not None
