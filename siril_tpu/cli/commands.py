@@ -480,7 +480,7 @@ def cmd_convert(ctx, args):
     from siril_tpu.io.films import FILM_EXTENSIONS
 
     exts = FITS_EXT + PIL_EXT + (".ser", ".dng", ".cr2", ".nef", ".arw",
-                                 ".heic", ".heif") + FILM_EXTENSIONS
+                                 ".raf", ".heic", ".heif") + FILM_EXTENSIONS
     outpat = __import__("re").compile(__import__("re").escape(dest) + r"\d+\.")
     files = [f for f in globmod.glob(os.path.join(ctx.cwd, "*"))
              if os.path.splitext(f)[1].lower() in exts

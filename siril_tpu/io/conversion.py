@@ -48,6 +48,10 @@ def load_any(path: str) -> SirilImage:
         from siril_tpu.io.rawfile import read_arw
 
         return read_arw(path)
+    if ext == ".raf":
+        from siril_tpu.io.rawfile import read_raf
+
+        return read_raf(path)
     if ext in (".heic", ".heif"):
         from siril_tpu.io.rawfile import read_heif
 

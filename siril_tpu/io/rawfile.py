@@ -22,6 +22,10 @@ ARW: TIFF container, Make = SONY; uncompressed 12/14/16-bit LE strips,
 or Sony's ARW2 lossy block compression (compression 32767: 16-byte
 blocks of 16 same-color pixels — 11-bit max/min, 4-bit positions,
 seven-bit shifted deltas, tone curve; dcraw sony_arw2_load_raw).
+
+RAF: Fujifilm container (magic + big-endian pointer header + CFA tag
+table); uncompressed 16-bit LE sensor data, X-Trans 6×6 grid from tag
+0x131 exported as the 36-char pattern string ops/xtrans.py consumes.
 """
 
 from __future__ import annotations
@@ -645,4 +649,79 @@ def read_heif(path: str) -> SirilImage:
 
     out = SirilImage(data=ensure_chw(arr.astype(np.float32) / 255.0))
     out.log_history("HEIF import")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Fujifilm RAF
+# ---------------------------------------------------------------------------
+# Proprietary container (reference reaches it through libraw): 16-byte
+# magic, big-endian u32 pointers in the fixed header (0x5C: CFA-record
+# table, 0x64: raw data), then a tag table of (tag u16be, len u16be,
+# payload) records.  Tag 0x100 = raw height/width; tag 0x131 = the 6×6
+# X-Trans CFA grid (36 bytes of 0/1/2 = R/G/B, stored REVERSED).  The
+# sensor data of modern bodies is uncompressed 16-bit LE row-major
+# (Fuji-compressed RAFs are gated with a clear error).
+
+RAF_MAGIC = b"FUJIFILMCCD-RAW "
+
+
+def is_raf(path: str) -> bool:
+    try:
+        with open(path, "rb") as f:
+            return f.read(16) == RAF_MAGIC
+    except OSError:
+        return False
+
+
+def _parse_raf_table(data: bytes, off: int):
+    """CFA-record table → {tag: payload bytes}."""
+    (count,) = struct.unpack_from(">I", data, off)
+    pos = off + 4
+    tags = {}
+    for _ in range(min(count, 256)):
+        if pos + 4 > len(data):
+            break
+        tag, ln = struct.unpack_from(">HH", data, pos)
+        tags[tag] = data[pos + 4: pos + 4 + ln]
+        pos += 4 + ln
+    return tags
+
+
+def read_raf(path: str) -> SirilImage:
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:16] != RAF_MAGIC:
+        raise ValueError(f"{path}: not a Fujifilm RAF file")
+    (tbl_off,) = struct.unpack_from(">I", data, 92)
+    (raw_off,) = struct.unpack_from(">I", data, 100)
+    tags = _parse_raf_table(data, tbl_off)
+    if 0x100 not in tags:
+        raise ValueError(f"{path}: RAF CFA table lacks the raw-size tag")
+    height, width = struct.unpack_from(">HH", tags[0x100], 0)
+    n = height * width
+    if raw_off + n * 2 > len(data):
+        raise ValueError(f"{path}: RAF raw section truncated "
+                         "(Fuji-compressed RAF is not supported — "
+                         "shoot uncompressed, or convert to DNG)")
+    img = np.frombuffer(data, "<u2", count=n,
+                        offset=raw_off).reshape(height, width)
+    # bit depth is not stored for the uncompressed path: infer from the
+    # value range (12/14/16-bit bodies), like a missing-BITPIX fallback
+    mx = int(img.max()) if n else 0
+    bits = 12 if mx <= 0xFFF else 14 if mx <= 0x3FFF else 16
+    white = float((1 << bits) - 1)
+    arr = np.clip(img.astype(np.float32) / white, 0.0, 1.0)
+    out = SirilImage(data=arr[None])
+    if 0x131 in tags and len(tags[0x131]) >= 36:
+        # stored last-cell-first: byte c is grid cell 35−c
+        lut = {0: "R", 1: "G", 2: "B"}
+        cells = [lut.get(b & 3, "G") for b in tags[0x131][:36]]
+        out.keywords.bayer_pattern = "".join(reversed(cells))
+    else:
+        out.keywords.bayer_pattern = "RGGB"   # Bayer-sensor bodies
+    model = data[0x1C:0x3C].split(b"\0")[0].decode("ascii", "replace")
+    if model:
+        out.keywords.instrume = f"FUJIFILM {model}".strip()
+    out.log_history("RAF raw import")
     return out

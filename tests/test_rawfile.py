@@ -671,3 +671,98 @@ def test_nef_compressed_without_makernote(tmp_path, rng):
     open(p, "wb").write(bytes(data))
     with pytest.raises(ValueError, match="MakerNote"):
         read_nef(p)
+
+
+# ---------------------------------------------------------------------------
+# Fujifilm RAF
+# ---------------------------------------------------------------------------
+
+
+def write_raf(path, sensor: np.ndarray, xtrans36=None, model="X-T5"):
+    """Minimal RAF: magic, model at 0x1C, u32be CFA-table pointer at 92
+    and raw-data pointer at 100; CFA table with tags 0x100 (dims) and
+    optionally 0x131 (6×6 grid, stored last-cell-first)."""
+    h, w = sensor.shape
+    hdr = bytearray(160)
+    hdr[:16] = b"FUJIFILMCCD-RAW "
+    hdr[0x10:0x14] = b"0201"
+    hdr[0x1C:0x1C + len(model)] = model.encode()
+    tbl = bytearray()
+    recs = [(0x100, struct.pack(">HH", h, w))]
+    if xtrans36 is not None:
+        lut = {"R": 0, "G": 1, "B": 2}
+        cells = bytes(lut[c] for c in reversed(xtrans36))
+        recs.append((0x131, cells))
+    tbl += struct.pack(">I", len(recs))
+    for tag, payload in recs:
+        tbl += struct.pack(">HH", tag, len(payload)) + payload
+    tbl_off = len(hdr)
+    raw_off = tbl_off + len(tbl)
+    struct.pack_into(">I", hdr, 92, tbl_off)
+    struct.pack_into(">I", hdr, 100, raw_off)
+    with open(path, "wb") as f:
+        f.write(hdr)
+        f.write(tbl)
+        f.write(sensor.astype("<u2").tobytes())
+
+
+def test_raf_xtrans_roundtrip(tmp_path, rng):
+    from siril_tpu.io.rawfile import is_raf, read_raf
+    from siril_tpu.ops.xtrans import XTRANS_PATTERNS
+
+    h, w = 12, 18
+    sensor = rng.integers(0, 1 << 14, (h, w)).astype(np.uint16)
+    sensor[0, 0] = (1 << 14) - 1           # pin the 14-bit range guess
+    pat = XTRANS_PATTERNS[0]
+    p = str(tmp_path / "shot.raf")
+    write_raf(p, sensor, xtrans36=pat)
+    assert is_raf(p)
+    img = read_raf(p)
+    assert img.height == h and img.width == w
+    assert img.keywords.bayer_pattern == pat
+    assert img.keywords.instrume == "FUJIFILM X-T5"
+    np.testing.assert_allclose(
+        img.host()[0], sensor.astype(np.float32) / ((1 << 14) - 1),
+        atol=1e-6)
+
+
+def test_raf_feeds_xtrans_demosaic(tmp_path):
+    """An imported RAF must debayer through the X-Trans path: a flat
+    gray scene (R=G=B) demosaics to a flat RGB image."""
+    from siril_tpu.io.rawfile import read_raf
+    from siril_tpu.ops.xtrans import XTRANS_PATTERNS, demosaic_xtrans_image
+
+    h, w = 24, 30
+    sensor = np.full((h, w), 8000, np.uint16)
+    sensor[0, 0] = (1 << 14) - 1
+    p = str(tmp_path / "flat.raf")
+    write_raf(p, sensor, xtrans36=XTRANS_PATTERNS[1])
+    img = read_raf(p)
+    rgb = demosaic_xtrans_image(img)
+    assert rgb.nchans == 3
+    interior = rgb.host()[:, 4:-4, 4:-4]
+    want = 8000.0 / ((1 << 14) - 1)
+    np.testing.assert_allclose(interior, want, atol=2e-4)
+
+
+def test_raf_truncated_raises(tmp_path, rng):
+    from siril_tpu.io.rawfile import read_raf
+
+    sensor = rng.integers(0, 1 << 14, (8, 10)).astype(np.uint16)
+    p = str(tmp_path / "trunc.raf")
+    write_raf(p, sensor)
+    data = open(p, "rb").read()
+    open(p, "wb").write(data[:-40])
+    with pytest.raises(ValueError, match="truncated"):
+        read_raf(p)
+
+
+def test_raf_bayer_fallback(tmp_path, rng):
+    """No 0x131 tag (Bayer-sensor Fuji bodies): RGGB default."""
+    from siril_tpu.io.rawfile import read_raf
+
+    sensor = rng.integers(0, 1 << 12, (8, 10)).astype(np.uint16)
+    p = str(tmp_path / "bayer.raf")
+    write_raf(p, sensor)
+    img = read_raf(p)
+    assert img.keywords.bayer_pattern == "RGGB"
