@@ -479,3 +479,65 @@ def test_rotations_from_Hs_gates():
     # identity IS a rotation (caught earlier by the translation path,
     # but must not be rejected here)
     assert rotations_from_Hs(np.eye(3)[None], size) is not None
+
+
+def test_rotation_shear_warp_odd_dims_multichannel(rng):
+    """Odd H/W (no clean FFT Nyquist bin) and C=3 channels through the
+    shear warp, checked against analytic re-rendering; out-of-field
+    masking must hold on the flipped (meridian) path too."""
+    import jax.numpy as jnp
+
+    from siril_tpu.ops.interp import (
+        rotations_from_Hs,
+        warp_rotation_batch,
+    )
+
+    H, W = 97, 85
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    stars = list(zip(rng.uniform(16, W - 16, 20),
+                     rng.uniform(16, H - 16, 20),
+                     rng.uniform(0.2, 0.9, 20)))
+
+    def render(pts, gain):
+        img = np.full((H, W), 0.08, np.float32)
+        for x0, y0, a in pts:
+            img += gain * a * np.exp(-((xx - x0) ** 2 + (yy - y0) ** 2)
+                                     / (2 * 2.4 ** 2))
+        return img
+
+    def mk_H(theta_deg, tx, ty):
+        th = np.deg2rad(theta_deg)
+        c, s = np.cos(th), np.sin(th)
+        cx, cy = (W - 1) / 2, (H - 1) / 2
+        A = np.array([[c, -s], [s, c]])
+        t = np.array([tx, ty]) + np.array([cx, cy]) - A @ [cx, cy]
+        Hm = np.eye(3)
+        Hm[:2, :2] = A
+        Hm[:2, 2] = t
+        return Hm
+
+    frames = np.stack([np.stack([render(stars, g) for g in (1.0, 0.6,
+                                                            0.3)])] * 2)
+    Hs = np.stack([mk_H(1.1, -2.2, 1.4), mk_H(180.0 - 0.9, 2.0, 3.0)])
+    rot = rotations_from_Hs(Hs, (H, W))
+    assert rot is not None and list(rot[3]) == [False, True]
+    out = np.asarray(warp_rotation_batch(jnp.asarray(frames), rot))
+    I = np.s_[10:-10, 10:-10]
+    for k in range(2):
+        pts = [tuple((Hs[k] @ [x0, y0, 1])[:2]) + (a,)
+               for x0, y0, a in stars]
+        for c, g in enumerate((1.0, 0.6, 0.3)):
+            gt = render(pts, g)
+            assert np.abs(out[k, c][I] - gt[I]).max() < 2e-4, (k, c)
+    # flip path: ty=+3 means the TOP rows' sources fall outside -> 0
+    # (src_y = cy - (y-cy) - ty < 0 for the largest y after flip);
+    # verify some masked pixels exist and masked pixels are exactly 0
+    inv = np.linalg.inv(Hs[1])
+    gx, gy = np.meshgrid(np.arange(W), np.arange(H))
+    src = np.einsum("ij,pj->pi", inv,
+                    np.c_[gx.ravel(), gy.ravel(), np.ones(H * W)])
+    src = src[:, :2] / src[:, 2:3]
+    outside = ((src[:, 0] < 0) | (src[:, 0] > W - 1)
+               | (src[:, 1] < 0) | (src[:, 1] > H - 1)).reshape(H, W)
+    assert outside.any()
+    assert np.abs(out[1, :, outside]).max() == 0.0
