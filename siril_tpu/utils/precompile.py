@@ -135,6 +135,21 @@ def precompile_pipeline_kernels(n: int, width: int, height: int,
         done.append((f"warp_translation ({wc},{channels},"
                      f"{height},{width})", t))
 
+    # rotation (FFT three-shear) warp — chunked to ~64 MiB per program
+    from siril_tpu.ops.interp import _rot_shear_fn
+
+    rchunk = max(1, (64 << 20) // max(px * 4, 1))
+    rchunks = {min(rchunk, n)}
+    if n % min(rchunk, n):
+        rchunks.add(n % min(rchunk, n))
+    for rc in sorted(rchunks):
+        t = _compile(_rot_shear_fn(height, width),
+                     _sds((rc, channels, height, width), jnp.float32),
+                     _sds((rc,), jnp.float32), _sds((rc,), jnp.float32),
+                     _sds((rc, 2), jnp.float32), _sds((rc,), jnp.bool_))
+        done.append((f"warp_rotation ({rc},{channels},"
+                     f"{height},{width})", t))
+
     # _device_norm_coeffs sub-chunks estimator input to ~512 MiB
     hw = height * width
     sub = max(1, (512 << 20) // max(hw * 4, 1))
