@@ -557,70 +557,94 @@ def rotations_from_Hs(Hs, size, max_err_px: float = 0.15,
             te.astype(np.float32), flip)
 
 
-@lru_cache(maxsize=8)
-def _rot_shear_fn(H: int, W: int):
+def rot_shear_core(frames, p, q, t, flipmask):
     """Three-shear rotation+translation warp via per-line FFT phase
     ramps (Paeth decomposition: R = Sx(α)·Sy(β)·Sx(α) with
     α = tan(θ/2), β = −sinθ) — batched 1-D FFTs + elementwise phases,
     no gathers, so it runs at HBM speed on TPU (~40× the gather-based
     homography warp at 16 Mpix).  Interpolation is sinc (exact for
     band-limited data); out-of-field pixels are masked to 0 from the
-    analytic inverse map like the gather warp."""
-    import jax
+    analytic inverse map like the gather warp.
+
+    Pure traced function — jitted by _rot_shear_fn for the single-chip
+    path and composed into the frame-sharded multi-chip step
+    (parallel/sharding.py) where the batch axis is the sharded one, so
+    every FFT stays device-local.
+
+    frames (N, C, H, W); inverse map src = M·dst + t,
+    M = [[p, q], [−q, p]].  Centered form: src = M(d−c)+c+t′,
+    t′ = t + M·c − c.  Flipped frames (meridian flip) were factored
+    upstream (rotations_from_Hs): double-flip here, shear the residual.
+    """
     import jax.numpy as jnp
 
+    H, W = (int(d) for d in frames.shape[-2:])
     cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+
+    def _fft_shift_last(img, ph, n):
+        # 1-D Fourier shift along the LAST axis, flattened to 2-D for
+        # the FFT: XLA's CPU fft thunk RET_CHECKs any non-dim0-major
+        # operand layout, which fused transposes / sharded batch dims
+        # otherwise produce
+        import jax
+
+        shp = img.shape
+        flat = jax.lax.optimization_barrier(img.reshape(-1, shp[-1]))
+        out = jnp.fft.irfft(jnp.fft.rfft(flat, axis=-1)
+                            * ph.reshape(-1, ph.shape[-1]), n=n, axis=-1)
+        return out.reshape(shp)
 
     def shift_rows(img, s):
         # img (..., H, W), s (..., H): out[y, x] = img[y, x + s[y]]
         k = jnp.arange(W // 2 + 1, dtype=jnp.float32)
         ph = jnp.exp(2j * jnp.pi / W * s[..., None] * k)
-        return jnp.fft.irfft(jnp.fft.rfft(img, axis=-1) * ph, n=W,
-                             axis=-1)
+        ph = jnp.broadcast_to(ph, img.shape[:-1] + (W // 2 + 1,))
+        return _fft_shift_last(img, ph, W)
 
     def shift_cols(img, s):
-        # out[y, x] = img[y + s[x], x]
+        # out[y, x] = img[y + s[x], x] — transpose, shift along the last
+        # axis, transpose back (TPU FFT transposes internally anyway)
         k = jnp.arange(H // 2 + 1, dtype=jnp.float32)
         ph = jnp.exp(2j * jnp.pi / H * s[..., None] * k)   # (..., W, K)
-        spec = jnp.fft.rfft(img, axis=-2)                  # (..., K, W)
-        spec = spec * jnp.moveaxis(ph, -2, -1)
-        return jnp.fft.irfft(spec, n=H, axis=-2)
+        imgT = jnp.swapaxes(img, -1, -2)                   # (..., W, H)
+        ph = jnp.broadcast_to(ph, imgT.shape[:-1] + (H // 2 + 1,))
+        return jnp.swapaxes(_fft_shift_last(imgT, ph, H), -1, -2)
 
-    @jax.jit
-    def run(frames, p, q, t, flipmask):
-        # frames (N, C, H, W); inverse map src = M·dst + t,
-        # M = [[p, q], [−q, p]].  Centered form: src = M(d−c)+c+t′,
-        # t′ = t + M·c − c.  Flipped frames (meridian flip) were
-        # factored upstream: double-flip here, shear by the residual.
-        frames = jnp.where(flipmask[:, None, None, None],
-                           frames[..., ::-1, ::-1], frames)
-        txp = p * cx + q * cy - cx + t[:, 0]
-        typ = -q * cx + p * cy - cy + t[:, 1]
-        theta = jnp.arctan2(q, p)
-        alpha = jnp.tan(theta / 2.0)
-        yy = jnp.arange(H, dtype=jnp.float32) - cy          # (H,)
-        xx = jnp.arange(W, dtype=jnp.float32) - cx          # (W,)
-        # pass 1 (x per row): w(y) = α(y−cy) + tx′ − α·ty′
-        s1 = alpha[:, None] * yy[None] + (txp - alpha * typ)[:, None]
-        # pass 2 (y per column): v(x) = −q(x−cx) + ty′
-        s2 = -q[:, None] * xx[None] + typ[:, None]
-        # pass 3 (x per row): u(y) = α(y−cy)
-        s3 = alpha[:, None] * yy[None]
-        g = shift_rows(frames, s1[:, None, :])
-        g = shift_cols(g, s2[:, None, :])
-        g = shift_rows(g, s3[:, None, :])
-        # analytic validity mask of the exact inverse map
-        dx = xx[None, None, :]
-        dy = yy[None, :, None]
-        sx = (p[:, None, None] * dx + q[:, None, None] * dy
-              + (cx + txp)[:, None, None])
-        sy = (-q[:, None, None] * dx + p[:, None, None] * dy
-              + (cy + typ)[:, None, None])
-        ok = ((sx >= 0.0) & (sx <= W - 1.0)
-              & (sy >= 0.0) & (sy <= H - 1.0))
-        return g * ok[:, None, :, :]
+    frames = jnp.where(flipmask[:, None, None, None],
+                       frames[..., ::-1, ::-1], frames)
+    txp = p * cx + q * cy - cx + t[:, 0]
+    typ = -q * cx + p * cy - cy + t[:, 1]
+    theta = jnp.arctan2(q, p)
+    alpha = jnp.tan(theta / 2.0)
+    yy = jnp.arange(H, dtype=jnp.float32) - cy          # (H,)
+    xx = jnp.arange(W, dtype=jnp.float32) - cx          # (W,)
+    # pass 1 (x per row): w(y) = α(y−cy) + tx′ − α·ty′
+    s1 = alpha[:, None] * yy[None] + (txp - alpha * typ)[:, None]
+    # pass 2 (y per column): v(x) = −q(x−cx) + ty′
+    s2 = -q[:, None] * xx[None] + typ[:, None]
+    # pass 3 (x per row): u(y) = α(y−cy)
+    s3 = alpha[:, None] * yy[None]
+    g = shift_rows(frames, s1[:, None, :])
+    g = shift_cols(g, s2[:, None, :])
+    g = shift_rows(g, s3[:, None, :])
+    # analytic validity mask of the exact inverse map
+    dx = xx[None, None, :]
+    dy = yy[None, :, None]
+    sx = (p[:, None, None] * dx + q[:, None, None] * dy
+          + (cx + txp)[:, None, None])
+    sy = (-q[:, None, None] * dx + p[:, None, None] * dy
+          + (cy + typ)[:, None, None])
+    ok = ((sx >= 0.0) & (sx <= W - 1.0)
+          & (sy >= 0.0) & (sy <= H - 1.0))
+    return g * ok[:, None, :, :]
 
-    return run
+
+@lru_cache(maxsize=8)
+def _rot_shear_fn(H: int, W: int):
+    """Jitted rot_shear_core for one (H, W) — memoized per shape."""
+    import jax
+
+    return jax.jit(rot_shear_core)
 
 
 def warp_rotation_batch(frames_dev, rot):

@@ -119,7 +119,8 @@ def sharded_rejection_kernel(mesh: Mesh, rtype: int, siglow: float,
 def fused_pipeline_step(mesh: Mesh, rtype: int, mode: int,
                         siglow: float, sighigh: float,
                         n_frames: int, height: int, width: int,
-                        interp_method: int = 1, shift_warp: bool = False):
+                        interp_method: int = 1, shift_warp: bool = False,
+                        rot_warp: bool = False):
     """Multi-chip fused calibrate→warp→stack step (the sharded variant of
     siril_tpu/pipeline.py):
 
@@ -172,6 +173,16 @@ def fused_pipeline_step(mesh: Mesh, rtype: int, mode: int,
         if shift_warp:
             # Hinvs carries (N, 2) translations on the fast path
             warped = jax.vmap(_shift_one)(x, Hinvs)
+        elif rot_warp:
+            # Hinvs carries (N, 5) = (p, q, tx, ty, flip) rotation
+            # params (rotations_from_Hs): the FFT three-shear warp —
+            # the batch axis is the frame-sharded one, so every FFT
+            # and phase ramp stays device-local
+            from siril_tpu.ops.interp import rot_shear_core
+
+            warped = rot_shear_core(
+                x[:, None], Hinvs[:, 0], Hinvs[:, 1], Hinvs[:, 2:4],
+                Hinvs[:, 4] > 0.5)[:, 0]
         else:
             warped = jax.vmap(
                 lambda p, hi: _warp_body(p[None], hi, height, width,

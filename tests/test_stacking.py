@@ -345,3 +345,65 @@ def test_resident_path_f32_sources(tmp_path, monkeypatch):
     res_stream = stack_sequence(seq2, args)
     np.testing.assert_allclose(res_resident.image.host(),
                                res_stream.image.host(), atol=1e-5)
+
+
+def test_fused_pipeline_step_multichip_rotation_warp():
+    """The sharded fused step with the FFT three-shear rotation warp:
+    frame-sharded FFTs stay device-local; the 8-device mesh result must
+    match the 1-device mesh AND a host composition of the un-sharded
+    shear warp + stack."""
+    import jax
+    import jax.numpy as jnp
+
+    from siril_tpu.ops import rejection as rj
+    from siril_tpu.ops.interp import rot_shear_core
+    from siril_tpu.ops.normalization import NO_NORM
+    from siril_tpu.parallel.sharding import fused_pipeline_step, make_mesh
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(17)
+    N, H, W = 6, 32, 40
+    raw = rng.integers(-20000, 20000, (N, H, W)).astype(np.int16)
+    th = rng.uniform(-0.02, 0.02, N)
+    rot = np.zeros((N, 5), np.float32)
+    rot[:, 0] = np.cos(th)
+    rot[:, 1] = np.sin(th)
+    rot[:, 2:4] = rng.uniform(-2, 2, (N, 2))
+    rot[2, 4] = 1.0                       # one meridian-flipped frame
+    dark = np.full((H, W), 0.005, np.float32)
+    flat = np.ones((H, W), np.float32)
+
+    mesh = make_mesh(2, 4, devices=devs[:8])
+    step = fused_pipeline_step(mesh, rj.SIGMA, NO_NORM, 3.0, 3.0,
+                               N, H, W, rot_warp=True)
+    mean, rl, rh = step(jnp.asarray(raw), jnp.asarray(rot),
+                        jnp.asarray(dark), jnp.asarray(flat), 0)
+    mean = np.asarray(mean)
+    assert np.isfinite(mean).all()
+
+    mesh1 = make_mesh(1, 1, devices=devs[:1])
+    step1 = fused_pipeline_step(mesh1, rj.SIGMA, NO_NORM, 3.0, 3.0,
+                                N, H, W, rot_warp=True)
+    mean1 = np.asarray(step1(jnp.asarray(raw), jnp.asarray(rot),
+                             jnp.asarray(dark), jnp.asarray(flat), 0)[0])
+    np.testing.assert_allclose(mean, mean1, atol=1e-5)
+
+    # host oracle: decode+calibrate, un-sharded shear warp, plain
+    # sigma-clip mean over the warped stack
+    x = (raw.astype(np.float32) + 32768.0) / 65535.0 - dark[None]
+    w = np.asarray(rot_shear_core(jnp.asarray(x[:, None]),
+                                  jnp.asarray(rot[:, 0]),
+                                  jnp.asarray(rot[:, 1]),
+                                  jnp.asarray(rot[:, 2:4]),
+                                  jnp.asarray(rot[:, 4] > 0.5)))[:, 0]
+    flat_px = w.reshape(N, H * W)
+    # zero pixels are invalid to the kernel; compare only where all
+    # frames are valid and nothing was rejected
+    valid = (flat_px != 0.0).all(0) & (np.asarray(rl) + np.asarray(rh)
+                                       == 0).reshape(-1)
+    expect = flat_px.mean(0)
+    np.testing.assert_allclose(mean[valid], expect[valid], atol=1e-4)
