@@ -336,9 +336,12 @@ def _child(d, plan, deadline_s):
         print(f"BENCH_TUNNEL {rate:.0f}", flush=True)
     # collapsed tunnel (~7 MB/s days exist) or probe timeout: even the
     # fallback-size pass may not finish — bank a tiny tier first so
-    # SOMETHING is always captured
+    # SOMETHING is always captured; at ~1 MB/s (measured 2026-08-19 pm)
+    # only a 4-frame pass fits the watchdog, so seed an emergency tier
     if (rate is None or rate < 20) and plan and plan[0] > 12:
         plan = [12] + list(plan)
+    if (rate is None or rate < 4) and plan and plan[0] > 4:
+        plan = [4] + list(plan)
 
     plan = list(plan)
     n = plan.pop(0)
