@@ -65,17 +65,22 @@ def _load_best_prior():
     rate varies 7 MB/s – 1.7 GB/s across days (tunnel_h2d_mbs records
     the rate each number was taken at)."""
     try:
-        best = None
         with open(HISTORY) as f:
-            for line in f:
-                r = json.loads(line)
-                key = (r.get("n", 0), r.get("value", 0.0))
-                if best is None or key > (best.get("n", 0),
-                                          best.get("value", 0.0)):
-                    best = r
-        return best
-    except (OSError, ValueError):
+            lines = f.readlines()
+    except OSError:
         return None
+    best = best_key = None
+    for line in lines:
+        # per-line tolerance: a SIGTERM mid-append can truncate the
+        # last line; one bad record must not discard the others
+        try:
+            r = json.loads(line)
+            key = (int(r.get("n") or 0), float(r.get("value") or 0.0))
+        except (ValueError, TypeError):
+            continue
+        if best is None or key > best_key:
+            best, best_key = r, key
+    return best
 
 
 def _append_history():
@@ -96,7 +101,8 @@ def _append_history():
 def emit(final=False):
     if _best.get("value"):
         prior = _load_best_prior()
-        if prior and (prior.get("n", 0), prior.get("value", 0.0)) > \
+        if prior and (int(prior.get("n") or 0),
+                      float(prior.get("value") or 0.0)) > \
                 (_best.get("_n", 0), _best.get("value", 0.0)):
             _best["best_prior_run"] = prior
         if final:

@@ -693,12 +693,16 @@ def read_raf(path: str) -> SirilImage:
         data = f.read()
     if data[:16] != RAF_MAGIC:
         raise ValueError(f"{path}: not a Fujifilm RAF file")
-    (tbl_off,) = struct.unpack_from(">I", data, 92)
-    (raw_off,) = struct.unpack_from(">I", data, 100)
-    tags = _parse_raf_table(data, tbl_off)
-    if 0x100 not in tags:
-        raise ValueError(f"{path}: RAF CFA table lacks the raw-size tag")
-    height, width = struct.unpack_from(">HH", tags[0x100], 0)
+    try:
+        (tbl_off,) = struct.unpack_from(">I", data, 92)
+        (raw_off,) = struct.unpack_from(">I", data, 100)
+        tags = _parse_raf_table(data, tbl_off)
+        if 0x100 not in tags:
+            raise ValueError(f"{path}: RAF CFA table lacks the "
+                             "raw-size tag")
+        height, width = struct.unpack_from(">HH", tags[0x100], 0)
+    except struct.error as e:
+        raise ValueError(f"{path}: corrupt RAF header ({e})") from e
     n = height * width
     if raw_off + n * 2 > len(data):
         raise ValueError(f"{path}: RAF raw section truncated "
@@ -706,10 +710,14 @@ def read_raf(path: str) -> SirilImage:
                          "shoot uncompressed, or convert to DNG)")
     img = np.frombuffer(data, "<u2", count=n,
                         offset=raw_off).reshape(height, width)
-    # bit depth is not stored for the uncompressed path: infer from the
-    # value range (12/14/16-bit bodies), like a missing-BITPIX fallback
+    # bit depth is not stored for the uncompressed path.  Default to
+    # 14-bit (every current Fuji body) and only widen to 16 when the
+    # data proves it: narrowing from the per-frame pixel range would
+    # scale a never-saturating DARK/BIAS/FLAT differently from the
+    # lights and silently wreck calibration.  12-bit legacy bodies come
+    # out 4x dark but CONSISTENTLY so across a session.
     mx = int(img.max()) if n else 0
-    bits = 12 if mx <= 0xFFF else 14 if mx <= 0x3FFF else 16
+    bits = 16 if mx > 0x3FFF else 14
     white = float((1 << bits) - 1)
     arr = np.clip(img.astype(np.float32) / white, 0.0, 1.0)
     out = SirilImage(data=arr[None])

@@ -188,6 +188,33 @@ def _warp_batch_fn(out_h: int, out_w: int, method: int, clamp: bool):
     return run
 
 
+def _run_chunked(run, chunk: int, frames_dev, *arrays):
+    """Apply ``run(frames_chunk, *per_frame_chunks)`` over bounded frame
+    chunks, padding the tail to the full chunk shape so ONE compiled
+    executable serves every call (the single chunk-loop used by all
+    three batched warps)."""
+    import jax.numpy as jnp
+
+    n = frames_dev.shape[0]
+    if n <= chunk:
+        return run(frames_dev, *arrays)
+    outs = []
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        if e - s == chunk:
+            outs.append(run(frames_dev[s:e], *(a[s:e] for a in arrays)))
+        else:
+            pad = chunk - (e - s)
+
+            def padded(a):
+                return jnp.concatenate(
+                    [a[s:e], a[e - 1:e].repeat(pad, axis=0)])
+
+            outs.append(run(padded(frames_dev),
+                            *(padded(a) for a in arrays))[: e - s])
+    return jnp.concatenate(outs, axis=0)
+
+
 def warp_homography_batch(frames_dev, Hs, out_shape: Tuple[int, int],
                           method: int = INTERP_LANCZOS4,
                           clamp: bool = True):
@@ -201,27 +228,11 @@ def warp_homography_batch(frames_dev, Hs, out_shape: Tuple[int, int],
 
     Hinvs = jnp.asarray(np.linalg.inv(np.asarray(Hs, np.float64)),
                         jnp.float32)
-    n = frames_dev.shape[0]
     px = int(np.prod(frames_dev.shape[1:]))
     chunk = max(int((64 << 20) // max(px * 4, 1)), 1)
     run = _warp_batch_fn(int(out_shape[0]), int(out_shape[1]), int(method),
                          bool(clamp))
-    if n <= chunk:
-        return run(frames_dev, Hinvs)
-    outs = []
-    for s in range(0, n, chunk):
-        e = min(s + chunk, n)
-        if e - s == chunk:
-            outs.append(run(frames_dev[s:e], Hinvs[s:e]))
-        else:
-            # tail: pad to the chunk shape so the same executable is used
-            pad = chunk - (e - s)
-            fpad = jnp.concatenate(
-                [frames_dev[s:e], frames_dev[e - 1:e].repeat(pad, axis=0)])
-            hpad = jnp.concatenate(
-                [Hinvs[s:e], Hinvs[e - 1:e].repeat(pad, axis=0)])
-            outs.append(run(fpad, hpad)[: e - s])
-    return jnp.concatenate(outs, axis=0)
+    return _run_chunked(run, chunk, frames_dev, Hinvs)
 
 
 def warp_homography(data, H, out_shape: Tuple[int, int],
@@ -465,22 +476,7 @@ def warp_translation_batch(frames_dev, shifts, method: int = INTERP_LANCZOS4,
     n = frames_dev.shape[0]
     px = int(np.prod(frames_dev.shape[1:]))
     chunk = max(1, min(n, (256 << 20) // max(px * 4, 1)))   # ~1 GiB working
-    if chunk >= n:
-        return run(frames_dev, jnp.asarray(sh))
-    outs = []
-    shd = jnp.asarray(sh)
-    for s0 in range(0, n, chunk):
-        e = min(s0 + chunk, n)
-        if e - s0 < chunk:     # pad tail so one executable serves all
-            fpad = jnp.concatenate(
-                [frames_dev[s0:e],
-                 frames_dev[e - 1:e].repeat(chunk - (e - s0), axis=0)])
-            spad = jnp.concatenate(
-                [shd[s0:e], shd[e - 1:e].repeat(chunk - (e - s0), axis=0)])
-            outs.append(run(fpad, spad)[: e - s0])
-        else:
-            outs.append(run(frames_dev[s0:e], shd[s0:e]))
-    return jnp.concatenate(outs, axis=0)
+    return _run_chunked(run, chunk, frames_dev, jnp.asarray(sh))
 
 
 def translations_from_Hs(Hs, atol: float = 1e-9):
@@ -508,6 +504,11 @@ def rotations_from_Hs(Hs, size, max_err_px: float = 0.15,
     rotation / meridian-flip residuals (the common deep-sky `register`
     case) are exactly this family."""
     Hs = np.asarray(Hs, np.float64)
+    # NaN/degenerate guard: every gate below is `if bad: return None`,
+    # and NaN compares False everywhere, so unfiltered NaNs would
+    # otherwise sail straight through the fast path
+    if not np.isfinite(Hs).all() or (np.abs(Hs[:, 2, 2]) < 1e-12).any():
+        return None
     Hs = Hs / Hs[:, 2:3, 2:3]
     A = Hs[:, :2, :2]
     p = (A[:, 0, 0] + A[:, 1, 1]) / 2.0
@@ -538,7 +539,7 @@ def rotations_from_Hs(Hs, size, max_err_px: float = 0.15,
                   np.stack([-q, p], -1)], -2)             # (N, 2, 2)
     snap = np.einsum("nij,cj->nci", M, corners[:, :2]) + t[:, None, :]
     err = np.hypot(*(full - snap).transpose(2, 0, 1))
-    if err.max() > max_err_px:
+    if not np.isfinite(err).all() or err.max() > max_err_px:
         return None
     # exact rotation inverse: Mi = Mᵀ, ti = −Mᵀ·t
     pi_, qi = p, -q
@@ -557,7 +558,7 @@ def rotations_from_Hs(Hs, size, max_err_px: float = 0.15,
             te.astype(np.float32), flip)
 
 
-def rot_shear_core(frames, p, q, t, flipmask):
+def rot_shear_core(frames, p, q, t, flipmask, clamp: bool = True):
     """Three-shear rotation+translation warp via per-line FFT phase
     ramps (Paeth decomposition: R = Sx(α)·Sy(β)·Sx(α) with
     α = tan(θ/2), β = −sinθ) — batched 1-D FFTs + elementwise phases,
@@ -581,34 +582,54 @@ def rot_shear_core(frames, p, q, t, flipmask):
     H, W = (int(d) for d in frames.shape[-2:])
     cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
 
-    def _fft_shift_last(img, ph, n):
-        # 1-D Fourier shift along the LAST axis, flattened to 2-D for
-        # the FFT: XLA's CPU fft thunk RET_CHECKs any non-dim0-major
-        # operand layout, which fused transposes / sharded batch dims
-        # otherwise produce
+    def _fft_apply_last(img, phases, n):
+        # 1-D filters along the LAST axis sharing one forward FFT,
+        # flattened to 2-D: XLA's CPU fft thunk RET_CHECKs any
+        # non-dim0-major operand layout, which fused transposes /
+        # sharded batch dims otherwise produce
         import jax
 
         shp = img.shape
         flat = jax.lax.optimization_barrier(img.reshape(-1, shp[-1]))
-        out = jnp.fft.irfft(jnp.fft.rfft(flat, axis=-1)
-                            * ph.reshape(-1, ph.shape[-1]), n=n, axis=-1)
-        return out.reshape(shp)
+        spec = jnp.fft.rfft(flat, axis=-1)
+        return [jnp.fft.irfft(spec * ph.reshape(-1, ph.shape[-1]), n=n,
+                              axis=-1).reshape(shp) for ph in phases]
 
-    def shift_rows(img, s):
-        # img (..., H, W), s (..., H): out[y, x] = img[y, x + s[y]]
-        k = jnp.arange(W // 2 + 1, dtype=jnp.float32)
-        ph = jnp.exp(2j * jnp.pi / W * s[..., None] * k)
-        ph = jnp.broadcast_to(ph, img.shape[:-1] + (W // 2 + 1,))
-        return _fft_shift_last(img, ph, W)
+    def _transfers(s, n, batch_shape):
+        # sinc shift e^{iωs}; bilinear shift ((1−f) + f·e^{iω})·e^{iωs0}
+        # — the clamp guide is the exact linear interpolant as a filter
+        k = jnp.arange(n // 2 + 1, dtype=jnp.float32)
+        w = 2j * jnp.pi / n * k
+        sinc = jnp.exp(w * s[..., None])
+        out = [jnp.broadcast_to(sinc, batch_shape + (n // 2 + 1,))]
+        if clamp:
+            s0 = jnp.floor(s)
+            f = (s - s0)[..., None]
+            bil = ((1.0 - f) + f * jnp.exp(w)) * jnp.exp(w * s0[..., None])
+            out.append(jnp.broadcast_to(bil, batch_shape + (n // 2 + 1,)))
+        return out
 
-    def shift_cols(img, s):
+    def shift_rows(imgs, s):
+        # imgs: [main] or [main, guide]; out[y, x] = img[y, x + s[y]]
+        phases = _transfers(s, W, imgs[0].shape[:-1])
+        if clamp:
+            m = _fft_apply_last(imgs[0], phases[:1], W)
+            g = _fft_apply_last(imgs[-1], phases[1:], W)
+            return [m[0], g[0]]
+        return _fft_apply_last(imgs[0], phases, W)
+
+    def shift_cols(imgs, s):
         # out[y, x] = img[y + s[x], x] — transpose, shift along the last
         # axis, transpose back (TPU FFT transposes internally anyway)
-        k = jnp.arange(H // 2 + 1, dtype=jnp.float32)
-        ph = jnp.exp(2j * jnp.pi / H * s[..., None] * k)   # (..., W, K)
-        imgT = jnp.swapaxes(img, -1, -2)                   # (..., W, H)
-        ph = jnp.broadcast_to(ph, imgT.shape[:-1] + (H // 2 + 1,))
-        return jnp.swapaxes(_fft_shift_last(imgT, ph, H), -1, -2)
+        imgsT = [jnp.swapaxes(i, -1, -2) for i in imgs]
+        phases = _transfers(s, H, imgsT[0].shape[:-1])
+        if clamp:
+            m = _fft_apply_last(imgsT[0], phases[:1], H)
+            g = _fft_apply_last(imgsT[-1], phases[1:], H)
+            outs = [m[0], g[0]]
+        else:
+            outs = _fft_apply_last(imgsT[0], phases, H)
+        return [jnp.swapaxes(o, -1, -2) for o in outs]
 
     frames = jnp.where(flipmask[:, None, None, None],
                        frames[..., ::-1, ::-1], frames)
@@ -624,9 +645,17 @@ def rot_shear_core(frames, p, q, t, flipmask):
     s2 = -q[:, None] * xx[None] + typ[:, None]
     # pass 3 (x per row): u(y) = α(y−cy)
     s3 = alpha[:, None] * yy[None]
-    g = shift_rows(frames, s1[:, None, :])
+    g = shift_rows([frames, frames] if clamp else [frames],
+                   s1[:, None, :])
     g = shift_cols(g, s2[:, None, :])
     g = shift_rows(g, s3[:, None, :])
+    out = g[0]
+    if clamp:
+        # ringing clamp (opencv.cpp:264-276), same rule as the gather
+        # warp: where the sinc result undershoots the bilinear guide,
+        # take the guide (dilated so halo pixels are caught too)
+        mask = _dilate3(out < CLAMPING_FACTOR * g[-1])
+        out = jnp.where(mask, g[-1], out)
     # analytic validity mask of the exact inverse map
     dx = xx[None, None, :]
     dy = yy[None, :, None]
@@ -636,18 +665,20 @@ def rot_shear_core(frames, p, q, t, flipmask):
           + (cy + typ)[:, None, None])
     ok = ((sx >= 0.0) & (sx <= W - 1.0)
           & (sy >= 0.0) & (sy <= H - 1.0))
-    return g * ok[:, None, :, :]
+    return out * ok[:, None, :, :]
 
 
 @lru_cache(maxsize=8)
-def _rot_shear_fn(H: int, W: int):
-    """Jitted rot_shear_core for one (H, W) — memoized per shape."""
+def _rot_shear_fn(H: int, W: int, clamp: bool = True):
+    """Jitted rot_shear_core for one (H, W, clamp) — memoized."""
+    import functools
+
     import jax
 
-    return jax.jit(rot_shear_core)
+    return jax.jit(functools.partial(rot_shear_core, clamp=clamp))
 
 
-def warp_rotation_batch(frames_dev, rot):
+def warp_rotation_batch(frames_dev, rot, clamp: bool = True):
     """Batched rotation+translation warp (FFT three-shear, with an
     exact double-flip front-end for meridian-flipped frames).
     ``frames_dev``: (N, C, H, W) device array; ``rot``: the
@@ -656,31 +687,13 @@ def warp_rotation_batch(frames_dev, rot):
     import jax.numpy as jnp
 
     p, q, t, flip = rot
-    n = frames_dev.shape[0]
     H, W = (int(d) for d in frames_dev.shape[-2:])
     px = int(np.prod(frames_dev.shape[1:]))
     # FFT transients are ~4× the chunk (spectrum + phase + output)
     chunk = max(int((64 << 20) // max(px * 4, 1)), 1)
-    run = _rot_shear_fn(H, W)
-    p_d = jnp.asarray(p, jnp.float32)
-    q_d = jnp.asarray(q, jnp.float32)
-    t_d = jnp.asarray(t, jnp.float32)
-    f_d = jnp.asarray(np.asarray(flip, bool))
-    if n <= chunk:
-        return run(frames_dev, p_d, q_d, t_d, f_d)
-    outs = []
-    for s in range(0, n, chunk):
-        e = min(s + chunk, n)
-        if e - s == chunk:
-            outs.append(run(frames_dev[s:e], p_d[s:e], q_d[s:e],
-                            t_d[s:e], f_d[s:e]))
-        else:
-            pad = chunk - (e - s)
-
-            def padded(a, axis=0):
-                return jnp.concatenate(
-                    [a[s:e], a[e - 1:e].repeat(pad, axis=axis)])
-
-            outs.append(run(padded(frames_dev), padded(p_d), padded(q_d),
-                            padded(t_d), padded(f_d))[: e - s])
-    return jnp.concatenate(outs, axis=0)
+    run = _rot_shear_fn(H, W, bool(clamp))
+    return _run_chunked(run, chunk, frames_dev,
+                        jnp.asarray(p, jnp.float32),
+                        jnp.asarray(q, jnp.float32),
+                        jnp.asarray(t, jnp.float32),
+                        jnp.asarray(np.asarray(flip, bool)))

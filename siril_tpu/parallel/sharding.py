@@ -126,9 +126,9 @@ def fused_pipeline_step(mesh: Mesh, rtype: int, mode: int,
 
       raw u16 frames [N, H, W]   sharded (frame, ·, ·)   — dp over frames
         → device decode + dark/flat calibration          [frame-parallel]
+        → per-frame estimators + coefficients (pre-warp) [frame-local]
         → per-frame homography warp (vmap)               [frame-parallel]
         → reshard [N, H·W] to (·, pix)                   [all_to_all]
-        → per-frame estimators + coefficients            [pix-reduced psum]
         → fused normalize+reject+mean                    [pixel-parallel]
 
     Masters and homographies are replicated (tiny). All collectives come
@@ -169,6 +169,14 @@ def fused_pipeline_step(mesh: Mesh, rtype: int, mode: int,
         x = x - dark[None]
         fl = jnp.where(flat == 0.0, 1.0, flat)[None]
         x = jnp.where(flat[None] == 0.0, 0.0, x / fl)
+        # normalization estimators run PRE-warp, on the frame-sharded
+        # axis: (a) each frame's reduction is chip-local (no collective
+        # before the all_to_all reshard); (b) interpolation smooths
+        # background noise on every non-reference frame, which would
+        # bias post-warp scale estimates and make additive-scaling
+        # amplify non-reference frames (see pipeline.py step 2 note)
+        est = norm_estimators_jax(x.reshape(n_frames, height * width),
+                                  lite=True)
         # per-frame warp: frame-parallel, no cross-chip traffic
         if shift_warp:
             # Hinvs carries (N, 2) translations on the fast path
@@ -182,7 +190,7 @@ def fused_pipeline_step(mesh: Mesh, rtype: int, mode: int,
 
             warped = rot_shear_core(
                 x[:, None], Hinvs[:, 0], Hinvs[:, 1], Hinvs[:, 2:4],
-                Hinvs[:, 4] > 0.5)[:, 0]
+                Hinvs[:, 4] > 0.5, clamp=False)[:, 0]
         else:
             warped = jax.vmap(
                 lambda p, hi: _warp_body(p[None], hi, height, width,
@@ -191,7 +199,6 @@ def fused_pipeline_step(mesh: Mesh, rtype: int, mode: int,
         flat_px = warped.reshape(n_frames, height * width)
         flat_px = jax.lax.with_sharding_constraint(flat_px, pix_sh)
 
-        est = norm_estimators_jax(flat_px, lite=True)
         loc = est["location"]
         sca = est["scale"]
         loc0 = loc[ref_pos]

@@ -161,6 +161,9 @@ def fused_preprocess_stack(seq: Sequence, args: Optional[FusedArgs] = None
                 f"{time.perf_counter() - t0:.1f}s")
 
     # ---- 2. registration (star detect on device slices) ------------------
+    sa = args.stack
+    do_norm = sa.normalize != NO_NORM
+    coeffs = None
     Hs = np.tile(np.eye(3), (n, 1, 1))
     if args.register and n > 1:
         ref_pos = 0
@@ -254,6 +257,19 @@ def fused_preprocess_stack(seq: Sequence, args: Optional[FusedArgs] = None
             Hs = Hs[good]
             indices = indices[good]
             n = len(indices)
+        # normalization estimators run on the PRE-warp calibrated frames
+        # (still resident here; the translation warp donates them).  The
+        # reference computes them post-warp (normalization.c) only
+        # because its staged pipeline stacks from materialized r_ files;
+        # the ringing clamp (opencv.cpp:539) substitutes the bilinear
+        # guide on noise undershoots, which smooths background noise
+        # ~40% on every NON-reference frame (the identity-warped
+        # reference keeps raw noise) — post-warp IKSS scale estimates
+        # then make additive-scaling amplify every other frame's stars
+        # ~1.6x.  Pre-warp estimators measure the frame's true
+        # gain/level, which is what normalization is meant to equalize.
+        if do_norm:
+            coeffs = _device_norm_coeffs(frames, n, L, sa, seq, indices)
         with stage("fused.warp"):
             from siril_tpu.ops.interp import (
                 rotations_from_Hs,
@@ -263,8 +279,16 @@ def fused_preprocess_stack(seq: Sequence, args: Optional[FusedArgs] = None
                 warp_translation_batch,
             )
 
+            from siril_tpu.ops.interp import INTERP_LANCZOS4
+
             shifts = translations_from_Hs(Hs)
-            rot = None if shifts is not None else rotations_from_Hs(Hs, (H, W))
+            # the FFT three-shear path interpolates with exact sinc —
+            # only substitute it for the lanczos4 (truncated-sinc)
+            # request; nearest/bilinear/cubic users get the gather warp
+            # with the kernel they asked for
+            rot = None
+            if shifts is None and args.interpolation == INTERP_LANCZOS4:
+                rot = rotations_from_Hs(Hs, (H, W))
             base = 0
             for ci, c in enumerate(frames):
                 ni = c.shape[0]
@@ -282,7 +306,8 @@ def fused_preprocess_stack(seq: Sequence, args: Optional[FusedArgs] = None
                     # 1-D FFTs + phase ramps, no gathers (~40x the
                     # gather warp at 16 Mpix)
                     frames[ci] = warp_rotation_batch(
-                        c, tuple(a[base:base + ni] for a in rot))
+                        c, tuple(a[base:base + ni] for a in rot),
+                        clamp=args.clamp)
                 else:
                     frames[ci] = warp_homography_batch(
                         c, Hs[base:base + ni], (H, W),
@@ -292,10 +317,10 @@ def fused_preprocess_stack(seq: Sequence, args: Optional[FusedArgs] = None
 
     # ---- 4. on-device estimators + rejection stack -----------------------
     log_message(f"fused: warp done in {time.perf_counter() - t0:.1f}s")
-    sa = args.stack
-    do_norm = sa.normalize != NO_NORM
-    coeffs = _device_norm_coeffs(frames, n, L, sa, seq, indices) if do_norm \
-        else NormCoeffs(np.zeros((L, n)), np.ones((L, n)), np.ones((L, n)))
+    if coeffs is None:
+        coeffs = _device_norm_coeffs(frames, n, L, sa, seq, indices) \
+            if do_norm \
+            else NormCoeffs(np.zeros((L, n)), np.ones((L, n)), np.ones((L, n)))
 
     # stream the rejection kernel over pixel-row blocks: each block
     # gathers the same rows from every chunk into one (n, rows·W) array,

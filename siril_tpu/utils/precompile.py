@@ -135,13 +135,14 @@ def precompile_pipeline_kernels(n: int, width: int, height: int,
         done.append((f"warp_translation ({wc},{channels},"
                      f"{height},{width})", t))
 
-    # rotation (FFT three-shear) warp — chunked to ~64 MiB per program
+    # rotation (FFT three-shear) warp — warp_rotation_batch is called
+    # once per PIPELINE chunk and sub-chunks to ~64 MiB, padding tails
+    # to the full sub-chunk, so the only executed shape per pipeline
+    # chunk size is min(sub-chunk, pipeline-chunk)
     from siril_tpu.ops.interp import _rot_shear_fn
 
     rchunk = max(1, (64 << 20) // max(px * 4, 1))
-    rchunks = {min(rchunk, n)}
-    if n % min(rchunk, n):
-        rchunks.add(n % min(rchunk, n))
+    rchunks = {min(rchunk, cs) for cs in chunk_sizes}
     for rc in sorted(rchunks):
         t = _compile(_rot_shear_fn(height, width),
                      _sds((rc, channels, height, width), jnp.float32),

@@ -428,7 +428,8 @@ def test_rotation_shear_warp_matches_ground_truth(rng):
     rot = rotations_from_Hs(Hs, (H, W))
     assert rot is not None
     assert list(rot[3]) == [False, False, True]
-    out = np.asarray(warp_rotation_batch(jnp.asarray(frames), rot))
+    out = np.asarray(warp_rotation_batch(jnp.asarray(frames), rot,
+                                         clamp=False))
     I = np.s_[10:-10, 10:-10]
     for k in range(3):
         gt = render([tuple((Hs[k] @ [x0, y0, 1])[:2]) + (a,)
@@ -438,6 +439,28 @@ def test_rotation_shear_warp_matches_ground_truth(rng):
     # out-of-field pixels are masked to 0 (gather-warp semantics):
     # with tx=+2.3 the left edge's sources fall outside the frame
     assert np.abs(out[0, 0, :, 0]).max() == 0.0
+
+    # clamped variant (the pipeline default, opencv.cpp:264-276
+    # semantics): substitutes the bilinear guide where the sinc result
+    # undershoots it — bilinear-accurate near stars, and it must
+    # suppress sinc ringing around a high-contrast point source
+    outc = np.asarray(warp_rotation_batch(jnp.asarray(frames), rot,
+                                          clamp=True))
+    for k in range(3):
+        gt = render([tuple((Hs[k] @ [x0, y0, 1])[:2]) + (a,)
+                     for x0, y0, a in stars])
+        # guide substitution is bilinear-accurate, not sinc-accurate
+        assert np.abs(outc[k, 0][I] - gt[I]).max() < 2e-2
+
+    hot = np.zeros((1, 1, H, W), np.float32)
+    hot[0, 0, H // 2, W // 2] = 1.0       # sub-sinc-width point source
+    rot1 = rotations_from_Hs(Hs[:1], (H, W))
+    ring = np.asarray(warp_rotation_batch(jnp.asarray(hot), rot1,
+                                          clamp=False))[0, 0]
+    ringc = np.asarray(warp_rotation_batch(jnp.asarray(hot), rot1,
+                                           clamp=True))[0, 0]
+    assert ring.min() < -0.05             # sinc rings hard on a delta
+    assert ringc.min() > 0.5 * ring.min()  # clamp suppresses the lobes
 
 
 def test_rotations_from_Hs_gates():
@@ -521,7 +544,8 @@ def test_rotation_shear_warp_odd_dims_multichannel(rng):
     Hs = np.stack([mk_H(1.1, -2.2, 1.4), mk_H(180.0 - 0.9, 2.0, 3.0)])
     rot = rotations_from_Hs(Hs, (H, W))
     assert rot is not None and list(rot[3]) == [False, True]
-    out = np.asarray(warp_rotation_batch(jnp.asarray(frames), rot))
+    out = np.asarray(warp_rotation_batch(jnp.asarray(frames), rot,
+                                         clamp=False))
     I = np.s_[10:-10, 10:-10]
     for k in range(2):
         pts = [tuple((Hs[k] @ [x0, y0, 1])[:2]) + (a,)

@@ -399,7 +399,8 @@ def test_fused_pipeline_step_multichip_rotation_warp():
                                   jnp.asarray(rot[:, 0]),
                                   jnp.asarray(rot[:, 1]),
                                   jnp.asarray(rot[:, 2:4]),
-                                  jnp.asarray(rot[:, 4] > 0.5)))[:, 0]
+                                  jnp.asarray(rot[:, 4] > 0.5),
+                                  clamp=False))[:, 0]
     flat_px = w.reshape(N, H * W)
     # zero pixels are invalid to the kernel; compare only where all
     # frames are valid and nothing was rejected
