@@ -336,18 +336,23 @@ def _child(d, plan, deadline_s):
     import threading
     th = threading.Thread(target=_probe, daemon=True)
     th.start()
-    th.join(timeout=90)
+    th.join(timeout=60)
     rate = rate_box.get("rate")
     if rate is not None:
         print(f"BENCH_TUNNEL {rate:.0f}", flush=True)
-    # collapsed tunnel (~7 MB/s days exist) or probe timeout: even the
-    # fallback-size pass may not finish — bank a tiny tier first so
-    # SOMETHING is always captured; at ~1 MB/s (measured 2026-08-19 pm)
-    # only a 4-frame pass fits the watchdog, so seed an emergency tier
-    if (rate is None or rate < 20) and plan and plan[0] > 12:
+    # collapsed tunnel (~7 MB/s days exist): even the fallback-size pass
+    # may not finish — bank a tiny tier first so SOMETHING is always
+    # captured; at ~1 MB/s (measured 2026-08-19 pm) only a 4-frame pass
+    # fits the watchdog.  A probe TIMEOUT is usually a slow cold compile
+    # (measured 2026-08-19: join expired, tunnel was at 333 MB/s), not a
+    # dead tunnel — seed only the 12 tier then, and keep the thread
+    # running: the late rate is re-read before each escalation below.
+    if rate is None and plan and plan[0] > 12:
         plan = [12] + list(plan)
-    if (rate is None or rate < 4) and plan and plan[0] > 4:
-        plan = [4] + list(plan)
+    elif rate is not None and rate < 20 and plan and plan[0] > 12:
+        plan = [12] + list(plan)
+        if rate < 4 and plan[0] > 4:
+            plan = [4] + list(plan)
 
     plan = list(plan)
     n = plan.pop(0)
@@ -364,6 +369,15 @@ def _child(d, plan, deadline_s):
     # nothing.
     passes = 1
     while left() > 30 and passes < 8:
+        if rate is None and rate_box.get("rate") is not None:
+            rate = rate_box["rate"]            # late probe landed
+            print(f"BENCH_TUNNEL {rate:.0f}", flush=True)
+        # healthy tunnel + an intermediate tier whose bigger sibling
+        # already fits: skip straight to the biggest feasible tier
+        while (len(plan) > 1 and (rate or 0) >= 50
+               and t_last * (plan[1] / n_last) <= left() * 1.3):
+            print(f"BENCH_SKIP_TIER {plan[0]}", flush=True)
+            plan.pop(0)
         if plan and t_last * (plan[0] / n_last) <= left() * 1.3:
             nxt = plan.pop(0)
             t = run_pipeline(d, nxt)
