@@ -697,3 +697,293 @@ def warp_rotation_batch(frames_dev, rot, clamp: bool = True):
                         jnp.asarray(q, jnp.float32),
                         jnp.asarray(t, jnp.float32),
                         jnp.asarray(np.asarray(flip, bool)))
+
+
+# ---------------------------------------------------------------------------
+# general AFFINE warp: two-pass chirp-Z (Bluestein) resampling
+# ---------------------------------------------------------------------------
+#
+# The rotation three-shear path covers the rotation+translation family;
+# scale and skew (session-to-session focal drift, similarity transforms
+# from star matching, differential refraction) still fell back to the
+# gather warp.  A 1-D resample out[k] = in(σ·k + s) at a uniform rate σ
+# with a per-line offset s is a chirp-Z transform of the line's DFT:
+#
+#   in(u)  = Re[(1/W)·Σ_f IN[f]·e^{2πi f' u / W}]      (f' symmetric)
+#   out[k] = Re[(1/W)·e^{−2πiM0(σk+s)/W}·e^{iπσk²/W}
+#              ·Σ_m (P[m]·e^{2πi m s/W}·e^{iπσm²/W}) · q[k−m]],
+#   q[j]   = e^{−iπσj²/W},   P = roll(IN, M0),  M0 = W//2,
+#
+# via Bluestein's identity mk = (m²+k²−(m−k)²)/2 — the sum is a linear
+# convolution, done with zero-padded FFTs of length L ≥ 2W−1.  Every
+# pass is batched 1-D FFTs + elementwise phases: no gathers, so it runs
+# at HBM speed on TPU like the shear path (the MXU-free VPU/FFT路 is
+# ~10× the lanczos4 gather warp at 16 Mpix; the rotation shear path
+# stays 3× cheaper and is preferred when it applies).
+#
+# Any invertible 2×2 pull-back affine src = M·dst + b factors into two
+# such passes (a row pass then a column pass):
+#
+#   pass X:  tmp[y, x] = in[y, e·x + g·y + t1]
+#   pass Y:  out[y, x] = tmp[f·y + s·x + t2, x]
+#   with  f = m11, s = m10, t2 = by,
+#         g = m01/m11, e = det(M)/m11, t1 = bx − g·by
+#
+# (composition: out[y,x] = in[f·y+s·x+t2, e·x+g·(f·y+s·x+t2)+t1] =
+# in[m10·x+m11·y+by, (e+g·s)·x+g·f·y+...] and e+g·s = m00, g·f = m01.)
+# Near-180° affines are double-flipped first (M ← −M, b ← size−1−b),
+# exactly like the rotation path, so both pass scales stay near +1.
+
+
+def _mod2_exact(a_hi, a_lo, i):
+    """((a_hi+a_lo)·i) mod 2 for EXACT int32 ``i`` (|i| < 2²⁷) and a
+    host-f64 coefficient shipped as an f32 Veltkamp pair — the chirp
+    phases πσm²/W have arguments up to ~σW rad, far beyond f32 arg
+    precision, so the mod-2 reduction is done with split products
+    (every product is either exact or has a small value, so the mod-2
+    amplification of rounding never bites; phase error ~1e-6 rad
+    instead of ~1e-3)."""
+    import jax.numpy as jnp
+
+    def mod2(x):
+        return x - 2.0 * jnp.floor(x * 0.5)
+
+    i_hi = ((i >> 14) << 14).astype(jnp.float32)      # ≤2²⁷, 13-bit mant.
+    i_lo = (i & 16383).astype(jnp.float32)            # 14-bit
+    # Veltkamp split of a_hi at 13 bits: a1 keeps 11, a2 ≤ 12 (exact
+    # in f32 round-to-nearest); a1·i_hi is then ≤ 24 mantissa bits —
+    # EXACT — and that is the only large-valued product; the other
+    # three have values ≤ ~|a|·2¹⁴ ≪ 1/ulp, so plain f32 suffices
+    c = a_hi * 8193.0                                 # 2¹³+1
+    a1 = c - (c - a_hi)
+    a2 = a_hi - a1
+    t = mod2(a1 * i_hi) + mod2(a1 * i_lo) + mod2(a2 * i_hi) \
+        + mod2(a2 * i_lo) + a_lo * (i_hi + i_lo)
+    return mod2(t)
+
+
+def _cis_pi(x):
+    """e^{iπx} from a mod-2 phase."""
+    import jax.numpy as jnp
+
+    return jnp.exp(1j * jnp.pi * x).astype(jnp.complex64)
+
+
+def _czt_resample_last(img, s, sig_hi, sig_lo):
+    """Band-limited 1-D resample along the LAST axis:
+    out[..., r, k] = in(σ·k + s[..., r]) per line, σ per FRAME.
+
+    ``img``: (N, ..., R, W) real; ``s``: broadcastable to img[..., :-1];
+    ``sig_hi/sig_lo``: (N,) f32 Veltkamp pair of the host-f64 σ/W.
+    Sinc interpolation (exact for band-limited data), like the shear
+    warp's phase ramps; out-of-support columns are NOT masked here (the
+    caller owns the analytic validity mask)."""
+    import jax
+    import jax.numpy as jnp
+
+    W = int(img.shape[-1])
+    M0 = W // 2
+    L = 1 << int(np.ceil(np.log2(max(2 * W - 1, 2))))
+    # σ (per frame) broadcast to the img rank: (N, 1, ..., 1)
+    shp = (slice(None),) + (None,) * (img.ndim - 1)
+    # Q (per frame, L) broadcast: (N, 1, ..., 1, L)
+    shq = (slice(None),) + (None,) * (img.ndim - 2) + (slice(None),)
+
+    # IN and roll to m-order (m = f' + M0, native f → m = (f+M0) mod W)
+    flat = jax.lax.optimization_barrier(img.reshape(-1, W))
+    IN = jnp.fft.fft(flat.astype(jnp.complex64), axis=-1)
+    IN = jnp.roll(IN, M0, axis=-1).reshape(img.shape[:-1] + (W,))
+
+    m = jnp.arange(W, dtype=jnp.int32)
+    k = jnp.arange(W, dtype=jnp.int32)
+    # chirp_m[m] = e^{iπ σ m²/W} per frame — (N, 1..., W)
+    ch_m = _cis_pi(_mod2_exact(sig_hi[shp], sig_lo[shp], (m * m)[None]))
+    # shift phase e^{2πi m s/W}: small args, plain f32
+    mf = m.astype(jnp.float32)
+    ph_s = jnp.exp((2j * jnp.pi / W) * mf * s[..., None]).astype(
+        jnp.complex64)
+    P = IN * ph_s * ch_m
+
+    # kernel q[j] = e^{−iπσj²/W}, j ∈ [−(W−1), W−1] laid circularly in L
+    j_pos = jnp.arange(W, dtype=jnp.int32)
+    j_neg = jnp.arange(-(W - 1), 0, dtype=jnp.int32)
+    q_pos = _cis_pi(-_mod2_exact(sig_hi[:, None], sig_lo[:, None],
+                                 (j_pos * j_pos)[None]))
+    q_neg = _cis_pi(-_mod2_exact(sig_hi[:, None], sig_lo[:, None],
+                                 (j_neg * j_neg)[None]))
+    qz = jnp.zeros((sig_hi.shape[0], L - 2 * W + 1), jnp.complex64)
+    q_arr = jnp.concatenate([q_pos, qz, q_neg], axis=-1)    # (N, L)
+    Q = jnp.fft.fft(q_arr, axis=-1)
+
+    pad = jnp.zeros(P.shape[:-1] + (L - W,), jnp.complex64)
+    Pp = jnp.concatenate([P, pad], axis=-1)
+    flatP = jax.lax.optimization_barrier(Pp.reshape(-1, L))
+    CF = jnp.fft.fft(flatP, axis=-1).reshape(Pp.shape)
+    conv = jnp.fft.ifft(
+        jax.lax.optimization_barrier(
+            (CF * Q[shq]).reshape(-1, L)), axis=-1
+    ).reshape(Pp.shape)[..., :W]
+
+    # post factor: e^{iπσk²/W} · e^{−2πiM0σk/W} · e^{−2πiM0 s/W} / W
+    ch_k = _cis_pi(_mod2_exact(sig_hi[shp], sig_lo[shp], (k * k)[None]))
+    ch_k = ch_k * _cis_pi(-_mod2_exact(sig_hi[shp], sig_lo[shp],
+                                       (2 * M0 * k)[None]))
+    ph_r = jnp.exp((-2j * jnp.pi * M0 / W) * s[..., None]).astype(
+        jnp.complex64)
+    return (conv * ch_k * ph_r).real / W
+
+
+def _sig_pair(sigma):
+    """Host-f64 σ/W → f32 Veltkamp pair (arrays over frames)."""
+    hi = np.asarray(sigma, np.float64).astype(np.float32)
+    lo = (np.asarray(sigma, np.float64) - hi.astype(np.float64)).astype(
+        np.float32)
+    return hi, lo
+
+
+def affines_from_Hs(Hs, size, max_err_px: float = 0.15,
+                    scale_band: float = 0.25, max_shear: float = 0.25):
+    """Two-pass CZT warp parameters if every H is affine within
+    ``max_err_px`` at the image corners, else None.
+
+    Accepts the scale/skew family the rotation gate rejects (focal
+    drift, similarity/affine star-match transforms) as long as both
+    pass scales stay within ±``scale_band`` of 1 and the shears within
+    ``max_shear`` — the two-pass decomposition is exact for any affine,
+    the bounds only keep the intermediate image alias-free (Catmull-
+    Smith bottleneck).  Returns (M (N,2,2), b (N,2), flip (N,)) of the
+    flip-folded INVERSE maps src = M·dst + b."""
+    Hs = np.asarray(Hs, np.float64)
+    if not np.isfinite(Hs).all() or (np.abs(Hs[:, 2, 2]) < 1e-12).any():
+        return None
+    Hs = Hs / Hs[:, 2:3, 2:3]
+    Hi, Wi = int(size[0]), int(size[1])
+    corners = np.array([[0.0, 0.0, 1.0], [Wi - 1.0, 0.0, 1.0],
+                        [0.0, Hi - 1.0, 1.0],
+                        [Wi - 1.0, Hi - 1.0, 1.0]])
+    full = np.einsum("nij,cj->nci", Hs, corners)
+    w = full[..., 2]
+    if (np.abs(w) < 1e-6).any():
+        return None
+    full = full[..., :2] / w[..., None]
+    A = Hs[:, :2, :2]
+    t = Hs[:, :2, 2]
+    aff = np.einsum("nij,cj->nci", A, corners[:, :2]) + t[:, None, :]
+    err = np.hypot(*(full - aff).transpose(2, 0, 1))
+    if not np.isfinite(err).all() or err.max() > max_err_px:
+        return None
+    det = A[:, 0, 0] * A[:, 1, 1] - A[:, 0, 1] * A[:, 1, 0]
+    if (np.abs(det) < 1e-9).any():
+        return None
+    # inverse affine: src = Mi·dst + bi
+    Mi = np.stack([np.stack([A[:, 1, 1], -A[:, 0, 1]], -1),
+                   np.stack([-A[:, 1, 0], A[:, 0, 0]], -1)],
+                  -2) / det[:, None, None]
+    bi = -np.einsum("nij,nj->ni", Mi, t)
+    # near-180° (negative trace): double-flip so pass scales are ~ +1
+    flip = (Mi[:, 0, 0] + Mi[:, 1, 1]) < 0.0
+    s_vec = np.array([Wi - 1.0, Hi - 1.0])
+    Mf = np.where(flip[:, None, None], -Mi, Mi)
+    bf = np.where(flip[:, None], s_vec[None] - bi, bi)
+    m00, m01 = Mf[:, 0, 0], Mf[:, 0, 1]
+    m10, m11 = Mf[:, 1, 0], Mf[:, 1, 1]
+    detf = m00 * m11 - m01 * m10
+    if (np.abs(m11) < 1e-9).any():
+        return None
+    e = detf / m11                                    # pass-X scale
+    f = m11                                           # pass-Y scale
+    g = m01 / m11                                     # pass-X shear
+    lo, hi = 1.0 - scale_band, 1.0 + scale_band
+    if ((e < lo) | (e > hi) | (f < lo) | (f > hi)
+            | (np.abs(g) > max_shear)
+            | (np.abs(m10) > max_shear)).any():
+        return None
+    return Mf, bf, flip
+
+
+def affine_czt_core(frames, M, b, flipmask, sig_x, sig_y,
+                    clamp: bool = True):
+    """Two-pass chirp-Z affine warp (see the family note above).
+    ``frames`` (N, C, H, W); ``M`` (N,2,2)/``b`` (N,2) flip-folded
+    inverse affines; ``sig_x``/``sig_y``: (hi, lo) f32 pairs of the
+    host-f64 pass scales over W and H.  The ringing clamp uses a
+    4-tap bilinear gather guide (the CZT transfer trick only works for
+    shifts; at 4 taps the guide costs ~1/16 of the lanczos4 gather this
+    path replaces)."""
+    import jax
+    import jax.numpy as jnp
+
+    H, W = (int(d) for d in frames.shape[-2:])
+    frames = jnp.where(flipmask[:, None, None, None],
+                       frames[..., ::-1, ::-1], frames)
+    m01 = M[:, 0, 1]
+    m10 = M[:, 1, 0]
+    m11 = M[:, 1, 1]
+    bx, by = b[:, 0], b[:, 1]
+    g = m01 / m11
+    t1 = bx - g * by
+    yy = jnp.arange(H, dtype=jnp.float32)
+    xx = jnp.arange(W, dtype=jnp.float32)
+    # pass X (rows): src_x = e·x + (g·y + t1)
+    s_row = g[:, None] * yy[None] + t1[:, None]             # (N, H)
+    out = _czt_resample_last(frames, s_row[:, None, :], *sig_x)
+    # pass Y (cols): src_y = f·y + (m10·x + t2)
+    s_col = m10[:, None] * xx[None] + by[:, None]           # (N, W)
+    outT = jnp.swapaxes(out, -1, -2)
+    outT = _czt_resample_last(outT, s_col[:, None, :], *sig_y)
+    out = jnp.swapaxes(outT, -1, -2)
+
+    # analytic inverse map for mask (and the bilinear clamp guide)
+    dx = xx[None, None, :]
+    dy = yy[None, :, None]
+    sx = (M[:, 0, 0, None, None] * dx + m01[:, None, None] * dy
+          + bx[:, None, None])
+    sy = (m10[:, None, None] * dx + m11[:, None, None] * dy
+          + by[:, None, None])
+    if clamp:
+        guide = jax.vmap(lambda p, vy, vx: jax.vmap(
+            lambda pl: sample_plane(pl, vy, vx, INTERP_BILINEAR))(p))(
+                frames, sy, sx)
+        mask = _dilate3(out < CLAMPING_FACTOR * guide)
+        out = jnp.where(mask, guide, out)
+    ok = ((sx >= 0.0) & (sx <= W - 1.0)
+          & (sy >= 0.0) & (sy <= H - 1.0))
+    return out * ok[:, None, :, :]
+
+
+@lru_cache(maxsize=8)
+def _affine_czt_fn(H: int, W: int, clamp: bool = True):
+    import functools
+
+    import jax
+
+    return jax.jit(functools.partial(affine_czt_core, clamp=clamp))
+
+
+def warp_affine_batch(frames_dev, aff, clamp: bool = True):
+    """Batched affine warp via two chirp-Z passes.  ``aff``: the
+    (M, b, flip) tuple from affines_from_Hs.  Chunked like the other
+    batched warps; CZT transients are ~8× the chunk (complex64 at the
+    2W-padded conv length), so the chunk budget is halved vs the shear
+    path."""
+    import jax.numpy as jnp
+
+    M, b, flip = aff
+    H, W = (int(d) for d in frames_dev.shape[-2:])
+    px = int(np.prod(frames_dev.shape[1:]))
+    chunk = max(int((32 << 20) // max(px * 4, 1)), 1)
+    m11 = M[:, 1, 1]
+    det = M[:, 0, 0] * m11 - M[:, 0, 1] * M[:, 1, 0]
+    sx_hi, sx_lo = _sig_pair(det / m11 / W)
+    sy_hi, sy_lo = _sig_pair(m11 / H)
+    run = _affine_czt_fn(H, W, bool(clamp))
+
+    def call(fr, Md, bd, fd, a, c, d_, e_):
+        return run(fr, Md, bd, fd, (a, c), (d_, e_))
+
+    return _run_chunked(call, chunk, frames_dev,
+                        jnp.asarray(M, jnp.float32),
+                        jnp.asarray(b, jnp.float32),
+                        jnp.asarray(np.asarray(flip, bool)),
+                        jnp.asarray(sx_hi), jnp.asarray(sx_lo),
+                        jnp.asarray(sy_hi), jnp.asarray(sy_lo))

@@ -120,7 +120,7 @@ def fused_pipeline_step(mesh: Mesh, rtype: int, mode: int,
                         siglow: float, sighigh: float,
                         n_frames: int, height: int, width: int,
                         interp_method: int = 1, shift_warp: bool = False,
-                        rot_warp: bool = False):
+                        rot_warp: bool = False, aff_warp: bool = False):
     """Multi-chip fused calibrate→warp→stack step (the sharded variant of
     siril_tpu/pipeline.py):
 
@@ -191,6 +191,19 @@ def fused_pipeline_step(mesh: Mesh, rtype: int, mode: int,
             warped = rot_shear_core(
                 x[:, None], Hinvs[:, 0], Hinvs[:, 1], Hinvs[:, 2:4],
                 Hinvs[:, 4] > 0.5, clamp=False)[:, 0]
+        elif aff_warp:
+            # Hinvs carries (N, 11) = (m00, m01, m10, m11, bx, by,
+            # flip, sx_hi, sx_lo, sy_hi, sy_lo) affine params
+            # (affines_from_Hs + _sig_pair): the two-pass chirp-Z
+            # warp — batched 1-D FFTs along H/W, frame-local like the
+            # shear path (scale/skew: focal drift, similarity)
+            from siril_tpu.ops.interp import affine_czt_core
+
+            warped = affine_czt_core(
+                x[:, None], Hinvs[:, :4].reshape(n_frames, 2, 2),
+                Hinvs[:, 4:6], Hinvs[:, 6] > 0.5,
+                (Hinvs[:, 7], Hinvs[:, 8]), (Hinvs[:, 9], Hinvs[:, 10]),
+                clamp=False)[:, 0]
         else:
             warped = jax.vmap(
                 lambda p, hi: _warp_body(p[None], hi, height, width,

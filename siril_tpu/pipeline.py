@@ -272,8 +272,10 @@ def fused_preprocess_stack(seq: Sequence, args: Optional[FusedArgs] = None
             coeffs = _device_norm_coeffs(frames, n, L, sa, seq, indices)
         with stage("fused.warp"):
             from siril_tpu.ops.interp import (
+                affines_from_Hs,
                 rotations_from_Hs,
                 translations_from_Hs,
+                warp_affine_batch,
                 warp_homography_batch,
                 warp_rotation_batch,
                 warp_translation_batch,
@@ -282,13 +284,18 @@ def fused_preprocess_stack(seq: Sequence, args: Optional[FusedArgs] = None
             from siril_tpu.ops.interp import INTERP_LANCZOS4
 
             shifts = translations_from_Hs(Hs)
-            # the FFT three-shear path interpolates with exact sinc —
-            # only substitute it for the lanczos4 (truncated-sinc)
+            # the FFT shear/CZT paths interpolate with exact sinc —
+            # only substitute them for the lanczos4 (truncated-sinc)
             # request; nearest/bilinear/cubic users get the gather warp
-            # with the kernel they asked for
-            rot = None
+            # with the kernel they asked for.  Family ladder, cheapest
+            # first: translation → rotation (3-shear) → affine (2-pass
+            # chirp-Z: focal drift / similarity / skew) → gather
+            # (perspective, SIP distortion).
+            rot = aff = None
             if shifts is None and args.interpolation == INTERP_LANCZOS4:
                 rot = rotations_from_Hs(Hs, (H, W))
+                if rot is None:
+                    aff = affines_from_Hs(Hs, (H, W))
             base = 0
             for ci, c in enumerate(frames):
                 ni = c.shape[0]
@@ -307,6 +314,14 @@ def fused_preprocess_stack(seq: Sequence, args: Optional[FusedArgs] = None
                     # gather warp at 16 Mpix)
                     frames[ci] = warp_rotation_batch(
                         c, tuple(a[base:base + ni] for a in rot),
+                        clamp=args.clamp)
+                elif aff is not None:
+                    # scale/skew (focal drift, similarity): two-pass
+                    # chirp-Z resample — batched FFTs, no gathers
+                    # (~10x the gather warp; the clamp guide is the
+                    # only gather left, at 4 taps)
+                    frames[ci] = warp_affine_batch(
+                        c, tuple(a[base:base + ni] for a in aff),
                         clamp=args.clamp)
                 else:
                     frames[ci] = warp_homography_batch(

@@ -151,6 +151,23 @@ def precompile_pipeline_kernels(n: int, width: int, height: int,
         done.append((f"warp_rotation ({rc},{channels},"
                      f"{height},{width})", t))
 
+    # affine (two-pass chirp-Z) warp — warp_affine_batch sub-chunks to
+    # ~32 MiB (the CZT conv transients are ~8× the chunk, so its budget
+    # is half the shear path's)
+    from siril_tpu.ops.interp import _affine_czt_fn
+
+    achunk = max(1, (32 << 20) // max(px * 4, 1))
+    achunks = {min(achunk, cs) for cs in chunk_sizes}
+    for ac in sorted(achunks):
+        sig = (_sds((ac,), jnp.float32), _sds((ac,), jnp.float32))
+        t = _compile(_affine_czt_fn(height, width),
+                     _sds((ac, channels, height, width), jnp.float32),
+                     _sds((ac, 2, 2), jnp.float32),
+                     _sds((ac, 2), jnp.float32),
+                     _sds((ac,), jnp.bool_), sig, sig)
+        done.append((f"warp_affine ({ac},{channels},"
+                     f"{height},{width})", t))
+
     # _device_norm_coeffs sub-chunks estimator input to ~512 MiB
     hw = height * width
     sub = max(1, (512 << 20) // max(hw * 4, 1))

@@ -218,3 +218,65 @@ def test_fused_rotation_takes_shear_path(tmp_path, monkeypatch):
     out = res.image.host()[0]
     interior = np.s_[20:-20, 20:-20]
     assert np.abs(out[interior] - base[interior]).mean() < 0.01
+
+
+def test_fused_affine_takes_czt_path(tmp_path, monkeypatch):
+    """Frames with a small scale difference (focal drift between
+    sessions) must engage the two-pass chirp-Z affine warp — not the
+    gather-based homography warp — and still align the stack."""
+    from siril_tpu.ops import interp as interp_mod
+    from siril_tpu.registration.matching import AFFINE_TRANSFORMATION
+
+    rng = np.random.default_rng(13)
+    h, w = 160, 192
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    stars = [(rng.uniform(30, w - 30), rng.uniform(30, h - 30))
+             for _ in range(22)]
+
+    def render(scale, theta_deg, tx, ty):
+        th = np.deg2rad(theta_deg)
+        c, s = np.cos(th) * scale, np.sin(th) * scale
+        cx, cy = (w - 1) / 2, (h - 1) / 2
+        img = np.full((h, w), 0.05, np.float32)
+        for x0, y0 in stars:
+            xr = c * (x0 - cx) - s * (y0 - cy) + cx + tx
+            yr = s * (x0 - cx) + c * (y0 - cy) + cy + ty
+            img += 0.5 * np.exp(-(((xx - xr) ** 2 + (yy - yr) ** 2)
+                                  / (2 * 2.0 ** 2)))
+        return np.clip(img, 0, 1)
+
+    base = render(1.0, 0, 0, 0)
+    params = [(1.0, 0, 0, 0), (1.02, 0.6, 2, -1), (0.985, -0.8, -2, 2),
+              (1.015, 0.4, 1, 1), (0.99, -0.5, 3, -2)]
+    for i, (sc, th, tx, ty) in enumerate(params):
+        f = render(sc, th, tx, ty) + rng.normal(0, 0.002, (h, w)).astype(
+            np.float32)
+        img = SirilImage(data=np.clip(f, 1e-4, 1)[None])
+        img.keywords.exposure = 10.0
+        write_fits(img, str(tmp_path / f"aff_{i:05d}.fit"), bitdepth=16)
+    seq = Sequence.scan("aff_", str(tmp_path))
+
+    calls = {"czt": 0, "gather": 0, "shear": 0}
+    real_aff = interp_mod.warp_affine_batch
+    real_hom = interp_mod.warp_homography_batch
+    real_rot = interp_mod.warp_rotation_batch
+    monkeypatch.setattr(interp_mod, "warp_affine_batch",
+                        lambda *a, **k: (calls.__setitem__(
+                            "czt", calls["czt"] + 1), real_aff(*a, **k))[1])
+    monkeypatch.setattr(interp_mod, "warp_homography_batch",
+                        lambda *a, **k: (calls.__setitem__(
+                            "gather", calls["gather"] + 1),
+                            real_hom(*a, **k))[1])
+    monkeypatch.setattr(interp_mod, "warp_rotation_batch",
+                        lambda *a, **k: (calls.__setitem__(
+                            "shear", calls["shear"] + 1),
+                            real_rot(*a, **k))[1])
+    args = FusedArgs(ttype=AFFINE_TRANSFORMATION,
+                     stack=StackArgs(method="rej", rejection=rj.WINSORIZED,
+                                     normalize=ADDITIVE_SCALING),
+                     starfinder=StarFinderParams(radius=6))
+    res = fused_preprocess_stack(seq, args)
+    assert calls["czt"] > 0 and calls["gather"] == 0
+    out = res.image.host()[0]
+    interior = np.s_[20:-20, 20:-20]
+    assert np.abs(out[interior] - base[interior]).mean() < 0.01

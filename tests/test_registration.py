@@ -565,3 +565,157 @@ def test_rotation_shear_warp_odd_dims_multichannel(rng):
                | (src[:, 1] < 0) | (src[:, 1] > H - 1)).reshape(H, W)
     assert outside.any()
     assert np.abs(out[1, :, outside]).max() == 0.0
+
+
+def test_affines_from_Hs_gates():
+    """Perspective / out-of-band scale must NOT take the CZT affine
+    path; scale/skew within the band (focal drift, similarity) must."""
+    from siril_tpu.ops.interp import affines_from_Hs
+
+    size = (96, 96)
+
+    def aff_H(sx, sy, deg, shear=0.0):
+        th = np.deg2rad(deg)
+        R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+        Hm = np.eye(3)
+        Hm[:2, :2] = R @ [[sx, shear], [0.0, sy]]
+        return Hm
+
+    # the family the ROTATION gate rejects is accepted here
+    ok = affines_from_Hs(np.stack([aff_H(1.01, 0.99, 0.5, 0.004),
+                                   aff_H(1.0, 1.0, -3.0)]), size)
+    assert ok is not None and not ok[2].any()
+    # near-180° similarity: flip-folded
+    ok = affines_from_Hs(aff_H(1.02, 1.02, 179.0)[None], size)
+    assert ok is not None and ok[2].all()
+    # perspective ≥ max_err_px at the corners: rejected
+    persp = aff_H(1.01, 0.99, 0.5)
+    persp[2, 0] = 2e-4
+    assert affines_from_Hs(persp[None], size) is None
+    # scale outside the alias-free band: rejected (gather handles it)
+    assert affines_from_Hs(aff_H(1.4, 1.0, 0.0)[None], size) is None
+    assert affines_from_Hs(aff_H(1.0, 0.6, 0.0)[None], size) is None
+    # NaN / singular guards
+    assert affines_from_Hs(np.full((1, 3, 3), np.nan), size) is None
+    sing = np.eye(3)
+    sing[0, 0] = 0.0
+    assert affines_from_Hs(sing[None], size) is None
+
+
+def test_affine_czt_warp_matches_gather(rng):
+    """The two-pass chirp-Z affine warp must reproduce the lanczos4
+    gather warp (same pull-back semantics) to within the lanczos
+    truncation error — CZT interpolates with exact sinc — including
+    scale, skew, a meridian-flipped frame, and the validity mask."""
+    import jax.numpy as jnp
+
+    from siril_tpu.ops.interp import (
+        affines_from_Hs,
+        warp_affine_batch,
+        warp_homography_batch,
+    )
+
+    H, W = 160, 192
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    img = np.full((H, W), 0.05, np.float32)
+    for _ in range(20):
+        x0 = rng.uniform(30, W - 30)
+        y0 = rng.uniform(30, H - 30)
+        a = rng.uniform(0.2, 0.6)
+        img += a * np.exp(-(((xx - x0) ** 2 + (yy - y0) ** 2)
+                            / (2 * 2.2 ** 2))).astype(np.float32)
+    c = np.array([(W - 1) / 2, (H - 1) / 2])
+
+    def mk_H(sx, sy, deg, shear, tx, ty):
+        th = np.deg2rad(deg)
+        R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+        A = R @ np.array([[sx, shear], [0.0, sy]])
+        Hm = np.eye(3)
+        Hm[:2, :2] = A
+        Hm[:2, 2] = c - A @ c + [tx, ty]
+        return Hm
+
+    Hs = np.stack([mk_H(1.02, 0.985, 1.3, 0.004, 2.3, -1.7),
+                   mk_H(0.99, 1.01, -0.8, -0.003, -1.1, 2.0),
+                   mk_H(1.03, 1.015, 179.2, 0.002, 1.0, 3.0)])
+    aff = affines_from_Hs(Hs, (H, W))
+    assert aff is not None and list(aff[2]) == [False, False, True]
+    frames = np.stack([img[None]] * 3)
+    out = np.asarray(warp_affine_batch(jnp.asarray(frames), aff,
+                                       clamp=False))
+    ref = np.asarray(warp_homography_batch(jnp.asarray(frames), Hs,
+                                           (H, W), clamp=False))
+    I = np.s_[16:-16, 16:-16]
+    for k in range(3):
+        assert np.abs(out[k, 0]).sum() > 100.0          # not blank
+        assert np.abs(out[k, 0][I] - ref[k, 0][I]).max() < 3e-3, k
+    # validity mask: exactly 0 where the gather warp masks (borders)
+    outside = ref[:, 0] == 0.0
+    # the CZT path masks from the analytic map; allow gather's border
+    # taps to differ, but every analytically-outside pixel must be 0
+    inv = np.linalg.inv(Hs[0])
+    gx, gy = np.meshgrid(np.arange(W), np.arange(H))
+    src = np.einsum("ij,pj->pi", inv,
+                    np.c_[gx.ravel(), gy.ravel(), np.ones(H * W)])
+    src = src[:, :2] / src[:, 2:3]
+    om = ((src[:, 0] < 0) | (src[:, 0] > W - 1)
+          | (src[:, 1] < 0) | (src[:, 1] > H - 1)).reshape(H, W)
+    assert om.any() and np.abs(out[0, 0][om]).max() == 0.0
+
+    # clamped variant (the pipeline default): close to the clamped
+    # gather warp; mask patterns differ slightly between sinc/lanczos
+    outc = np.asarray(warp_affine_batch(jnp.asarray(frames), aff,
+                                        clamp=True))
+    refc = np.asarray(warp_homography_batch(jnp.asarray(frames), Hs,
+                                            (H, W), clamp=True))
+    for k in range(3):
+        assert np.abs(outc[k, 0][I] - refc[k, 0][I]).max() < 1e-2, k
+
+
+def test_affine_czt_warp_odd_dims_multichannel(rng):
+    """Odd H/W (fft edge cases) and 3 channels through the CZT path."""
+    import jax.numpy as jnp
+
+    from siril_tpu.ops.interp import (
+        affines_from_Hs,
+        warp_affine_batch,
+        warp_homography_batch,
+    )
+
+    H, W = 131, 159
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    chans = []
+    for g in (1.0, 0.6, 0.3):
+        im = np.full((H, W), 0.04, np.float32)
+        for _ in range(12):
+            x0 = rng.uniform(20, W - 20)
+            y0 = rng.uniform(20, H - 20)
+            im += g * 0.5 * np.exp(-(((xx - x0) ** 2 + (yy - y0) ** 2)
+                                     / (2 * 2.0 ** 2))).astype(np.float32)
+        chans.append(im)
+    img = np.stack(chans)
+    c = np.array([(W - 1) / 2, (H - 1) / 2])
+
+    def mk_H(sx, sy, deg, tx, ty):
+        th = np.deg2rad(deg)
+        R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+        A = R @ np.diag([sx, sy])
+        Hm = np.eye(3)
+        Hm[:2, :2] = A
+        Hm[:2, 2] = c - A @ c + [tx, ty]
+        return Hm
+
+    Hs = np.stack([mk_H(1.015, 0.99, 1.1, -2.2, 1.4),
+                   mk_H(1.02, 1.02, 180.0 - 0.9, 2.0, 3.0)])
+    aff = affines_from_Hs(Hs, (H, W))
+    assert aff is not None and list(aff[2]) == [False, True]
+    frames = np.stack([img] * 2)
+    out = np.asarray(warp_affine_batch(jnp.asarray(frames), aff,
+                                       clamp=False))
+    ref = np.asarray(warp_homography_batch(jnp.asarray(frames), Hs,
+                                           (H, W), clamp=False))
+    I = np.s_[12:-12, 12:-12]
+    for k in range(2):
+        for ch in range(3):
+            assert np.abs(out[k, ch][I] - ref[k, ch][I]).max() < 3e-3, \
+                (k, ch)
