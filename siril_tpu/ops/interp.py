@@ -901,6 +901,30 @@ def affines_from_Hs(Hs, size, max_err_px: float = 0.15,
     return Mf, bf, flip
 
 
+def _affine_czt_passes(frames, M, b, sig_x, sig_y):
+    """The two chirp-Z passes of a flip-folded affine warp — shared by
+    the affine path and the perspective (affine + residual) path.
+    Returns the resampled frames WITHOUT clamp or validity mask."""
+    import jax.numpy as jnp
+
+    H, W = (int(d) for d in frames.shape[-2:])
+    m01 = M[:, 0, 1]
+    m10 = M[:, 1, 0]
+    bx, by = b[:, 0], b[:, 1]
+    g = m01 / M[:, 1, 1]
+    t1 = bx - g * by
+    yy = jnp.arange(H, dtype=jnp.float32)
+    xx = jnp.arange(W, dtype=jnp.float32)
+    # pass X (rows): src_x = e·x + (g·y + t1)
+    s_row = g[:, None] * yy[None] + t1[:, None]             # (N, H)
+    out = _czt_resample_last(frames, s_row[:, None, :], *sig_x)
+    # pass Y (cols): src_y = f·y + (m10·x + t2)
+    s_col = m10[:, None] * xx[None] + by[:, None]           # (N, W)
+    outT = jnp.swapaxes(out, -1, -2)
+    outT = _czt_resample_last(outT, s_col[:, None, :], *sig_y)
+    return jnp.swapaxes(outT, -1, -2)
+
+
 def affine_czt_core(frames, M, b, flipmask, sig_x, sig_y,
                     clamp: bool = True):
     """Two-pass chirp-Z affine warp (see the family note above).
@@ -920,18 +944,9 @@ def affine_czt_core(frames, M, b, flipmask, sig_x, sig_y,
     m10 = M[:, 1, 0]
     m11 = M[:, 1, 1]
     bx, by = b[:, 0], b[:, 1]
-    g = m01 / m11
-    t1 = bx - g * by
     yy = jnp.arange(H, dtype=jnp.float32)
     xx = jnp.arange(W, dtype=jnp.float32)
-    # pass X (rows): src_x = e·x + (g·y + t1)
-    s_row = g[:, None] * yy[None] + t1[:, None]             # (N, H)
-    out = _czt_resample_last(frames, s_row[:, None, :], *sig_x)
-    # pass Y (cols): src_y = f·y + (m10·x + t2)
-    s_col = m10[:, None] * xx[None] + by[:, None]           # (N, W)
-    outT = jnp.swapaxes(out, -1, -2)
-    outT = _czt_resample_last(outT, s_col[:, None, :], *sig_y)
-    out = jnp.swapaxes(outT, -1, -2)
+    out = _affine_czt_passes(frames, M, b, sig_x, sig_y)
 
     # analytic inverse map for mask (and the bilinear clamp guide)
     dx = xx[None, None, :]
@@ -984,6 +999,269 @@ def warp_affine_batch(frames_dev, aff, clamp: bool = True):
     return _run_chunked(call, chunk, frames_dev,
                         jnp.asarray(M, jnp.float32),
                         jnp.asarray(b, jnp.float32),
+                        jnp.asarray(np.asarray(flip, bool)),
+                        jnp.asarray(sx_hi), jnp.asarray(sx_lo),
+                        jnp.asarray(sy_hi), jnp.asarray(sy_lo))
+
+
+# ---------------------------------------------------------------------------
+# general PERSPECTIVE warp: affine chirp-Z + bounded residual shift passes
+# ---------------------------------------------------------------------------
+#
+# The last warp family off the fast path was genuine perspective
+# (mosaic tiles, astrometric registration) and smooth residual
+# distortion: the projective pull-back src = pi(Hinv.d) deviates from
+# any affine, so neither the three-shear nor the chirp-Z path applies
+# and the 64-gather lanczos4 kernel ran instead.  But the deviation is
+# SMALL: the best-fit affine over the frame leaves a remainder bounded
+# by the perspective curvature (g.W^2/8 for a third row ~g), a few px
+# for a survey tile at 4k.  So factor the warp:
+#
+#   pi(Hinv.d) = M.q(d) + b,     q(d) = pi(K.d)  with  q ~ d + O(D)
+#
+# (K folds M^-1 and b into Hinv, exact — no approximation), warp the
+# affine part with the chirp-Z passes (tmp[q] = in(M.q + b), sinc-
+# exact), and apply the near-identity remainder q as a Catmull-Smith
+# two-pass resample where every 1-D pass is a sum of 2(D+4)+1
+# STATICALLY shifted slices with per-pixel lanczos4 weights —
+# elementwise VPU work, no gathers anywhere (the ringing-clamp guide
+# is the 2-tap tent accumulated in the same loops).  The row pass
+# needs the source-row map hx(y',x) = qx(sigma,x) with qy(sigma,x)=y';
+# sigma comes from two Newton steps on the analytic projective map
+# (remainder Jacobian is within D/min(H,W) of identity, so Newton is
+# exact to ~1e-6 px).
+#
+# Reference behavior: cvTransformImage (opencv.cpp:518) lanczos4 +
+# clamp, BORDER_TRANSPARENT.  A <=D px band at the frame edge is ceded
+# to the validity mask vs the gather path (tmp is only materialized on
+# the output grid); registration borders are black-filled either way.
+
+
+def _shift_resample_last(img, u, D: int, guide_img=None):
+    """Windowed-sinc (lanczos4) 1-D resample along the LAST axis at a
+    bounded per-pixel displacement: out[..., x] = img(x + u[..., x]),
+    |u| <= D — 2(D+4)+1 statically shifted slices with per-pixel
+    weights.  Also returns the 2-tap tent (bilinear) resample of
+    ``guide_img`` (default: img) from the same slices — the
+    ringing-clamp guide.  Zeros beyond the edges; sinc weights
+    renormalized over the window exactly like the gather kernel's
+    per-axis w/sum(w)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    A = 4
+    pad = D + A
+    Wl = int(img.shape[-1])
+    nd = img.ndim
+    zp = [(0, 0)] * (nd - 1) + [(pad, pad)]
+    big = jnp.pad(img, zp)
+    bigg = big if guide_img is None else jnp.pad(guide_img, zp)
+    uc = jnp.clip(u, -float(D), float(D))
+    acc = jnp.float32(0.0)
+    wsum = jnp.float32(0.0)
+    gacc = jnp.float32(0.0)
+    for i in range(-pad, pad + 1):
+        t = uc - i
+        at = jnp.abs(t)
+        pit = jnp.pi * t
+        w = jnp.where(at < 1e-6, 1.0,
+                      4.0 * jnp.sin(pit) * jnp.sin(pit * 0.25)
+                      / (pit * pit))
+        w = jnp.where(at < 4.0, w, 0.0)
+        sl = lax.slice_in_dim(big, i + pad, i + pad + Wl, axis=nd - 1)
+        acc = acc + w * sl
+        wsum = wsum + w
+        gw = jnp.maximum(0.0, 1.0 - at)
+        gsl = sl if guide_img is None else lax.slice_in_dim(
+            bigg, i + pad, i + pad + Wl, axis=nd - 1)
+        gacc = gacc + gw * gsl
+    return acc / jnp.maximum(wsum, 1e-20), gacc
+
+
+def perspective_split_from_Hs(Hs, size, max_D: int = 16,
+                              scale_band: float = 0.25,
+                              max_shear: float = 0.25):
+    """Affine+residual warp parameters when every H factors into an
+    in-band affine plus a remainder bounded by ``max_D`` px, else None.
+
+    ``Hs``: (N,3,3) frame->ref homographies; the pull-back inverse maps
+    are fitted.  Gates: the horizon line must stay out of the frame,
+    the best-fit affine must satisfy the chirp-Z alias bounds
+    (Catmull-Smith bottleneck, same bands as affines_from_Hs), the
+    remainder displacement and the row-pass Newton conditioning are
+    grid-checked.  Returns (M (N,2,2), b (N,2), flip (N,), K (N,3,3),
+    D int) with D bucketed to {2,4,8,16} to bound recompiles."""
+    Hs = np.asarray(Hs, np.float64)
+    if Hs.ndim != 3 or not np.isfinite(Hs).all() \
+            or (np.abs(Hs[:, 2, 2]) < 1e-12).any():
+        return None
+    if (np.abs(np.linalg.det(Hs)) < 1e-9).any():
+        return None
+    Hinv = np.linalg.inv(Hs / Hs[:, 2:3, 2:3])
+    Hi, Wi = int(size[0]), int(size[1])
+    gx = np.linspace(0.0, Wi - 1.0, 33)
+    gy = np.linspace(0.0, Hi - 1.0, 33)
+    GX, GY = (a.ravel() for a in np.meshgrid(gx, gy))
+    pts = np.stack([GX, GY, np.ones_like(GX)], axis=1)     # (P, 3)
+    full = np.einsum("nij,pj->npi", Hinv, pts)
+    den = full[..., 2]
+    # horizon in (or near) frame -> the projective map blows up
+    if (np.abs(den) < 1e-6 * np.abs(den).max()).any() \
+            or ((den.min(1) * den.max(1)) <= 0.0).any():
+        return None
+    src = full[..., :2] / den[..., None]
+    # per-frame best-fit affine src ~ pts @ coef (shared grid pinv)
+    coef = np.einsum("jp,npk->njk", np.linalg.pinv(pts), src)
+    A = coef[:, :2, :].transpose(0, 2, 1)                   # (N,2,2)
+    t = coef[:, 2, :]                                       # (N,2)
+    resid = src - (np.einsum("nij,pj->npi", A, pts[:, :2]) + t[:, None])
+    rmax = np.abs(resid).max()
+    if not np.isfinite(rmax) or rmax > max_D:
+        return None
+    # near-180 fold (same rule as the affine path): keep pass scales +1
+    flip = (A[:, 0, 0] + A[:, 1, 1]) < 0.0
+    s_vec = np.array([Wi - 1.0, Hi - 1.0])
+    Mf = np.where(flip[:, None, None], -A, A)
+    bf = np.where(flip[:, None], s_vec[None] - t, t)
+    S = np.array([[-1.0, 0.0, Wi - 1.0],
+                  [0.0, -1.0, Hi - 1.0],
+                  [0.0, 0.0, 1.0]])
+    Hf = np.where(flip[:, None, None], np.einsum("ij,njk->nik", S, Hinv),
+                  Hinv)
+    # chirp-Z alias gates on the folded affine
+    m00, m01 = Mf[:, 0, 0], Mf[:, 0, 1]
+    m10, m11 = Mf[:, 1, 0], Mf[:, 1, 1]
+    detf = m00 * m11 - m01 * m10
+    if (np.abs(m11) < 1e-9).any() or (np.abs(detf) < 1e-9).any():
+        return None
+    e = detf / m11
+    lo, hi = 1.0 - scale_band, 1.0 + scale_band
+    if ((e < lo) | (e > hi) | (m11 < lo) | (m11 > hi)
+            | (np.abs(m01 / m11) > max_shear)
+            | (np.abs(m10) > max_shear)).any():
+        return None
+    # tmp-space projective map q(d) = pi(K.d): K = [Mf^-1(Hf01 - bf x
+    # Hf2); Hf2] — exact fold of "subtract bf, apply Mf^-1" into Hf
+    Minv = np.stack([np.stack([m11, -m01], -1),
+                     np.stack([-m10, m00], -1)], -2) / detf[:, None, None]
+    K = np.concatenate(
+        [np.einsum("nij,njk->nik",
+                   Minv, Hf[:, :2] - bf[:, :, None] * Hf[:, 2:3]),
+         Hf[:, 2:3]], axis=1)
+    # grid-check the two pass displacement fields (host Newton, f64)
+    kden = np.einsum("nj,pj->np", K[:, 2], pts)
+    qx = np.einsum("nj,pj->np", K[:, 0], pts) / kden
+    qy = np.einsum("nj,pj->np", K[:, 1], pts) / kden
+    u_y = qy - GY[None]
+    sig = np.broadcast_to(GY[None], qy.shape).copy()
+    for _ in range(3):
+        dn = K[:, 2, 0:1] * GX[None] + K[:, 2, 1:2] * sig + K[:, 2, 2:3]
+        qs = (K[:, 1, 0:1] * GX[None] + K[:, 1, 1:2] * sig
+              + K[:, 1, 2:3]) / dn
+        dq = (K[:, 1, 1:2] - qs * K[:, 2, 1:2]) / dn
+        if (dq < 0.25).any():               # row map not monotone enough
+            return None
+        sig = sig - (qs - GY[None]) / dq
+    dn = K[:, 2, 0:1] * GX[None] + K[:, 2, 1:2] * sig + K[:, 2, 2:3]
+    hx = (K[:, 0, 0:1] * GX[None] + K[:, 0, 1:2] * sig
+          + K[:, 0, 2:3]) / dn
+    u_x = hx - GX[None]
+    umax = max(np.abs(u_x).max(), np.abs(u_y).max())
+    if not np.isfinite(umax) or umax + 1.0 > max_D:
+        return None
+    D = next(B for B in (2, 4, 8, 16) if umax + 1.0 <= B)
+    return Mf, bf, flip, K, D
+
+
+def perspective_czt_core(frames, M, b, K, flipmask, sig_x, sig_y,
+                         D: int, clamp: bool = True):
+    """Affine chirp-Z passes + near-identity residual shift passes (see
+    the family note above).  ``K``: (N,3,3) tmp-space projective maps
+    from perspective_split_from_Hs; ``D``: static shift bound."""
+    import jax.numpy as jnp
+
+    H, W = (int(d) for d in frames.shape[-2:])
+    frames = jnp.where(flipmask[:, None, None, None],
+                       frames[..., ::-1, ::-1], frames)
+    tmp = _affine_czt_passes(frames, M, b, sig_x, sig_y)
+
+    yy = jnp.arange(H, dtype=jnp.float32)[None, :, None]
+    xx = jnp.arange(W, dtype=jnp.float32)[None, None, :]
+
+    def kdot(row, xf, yf):
+        return (K[:, row, 0, None, None] * xf
+                + K[:, row, 1, None, None] * yf
+                + K[:, row, 2, None, None])
+
+    # pass X over tmp rows y': hx(y',x) = qx(x, sigma), qy(x, sigma)=y'
+    sig = jnp.broadcast_to(yy, (K.shape[0], H, W))
+    for _ in range(2):
+        dn = kdot(2, xx, sig)
+        qs = kdot(1, xx, sig) / dn
+        dq = (K[:, 1, 1, None, None] - qs * K[:, 2, 1, None, None]) / dn
+        sig = sig - (qs - yy) / dq
+    u_x = kdot(0, xx, sig) / kdot(2, xx, sig) - xx
+    V, gV = _shift_resample_last(tmp, u_x[:, None], D)
+    # pass Y: vy(y,x) = qy(x,y); lanczos on V, tent on the tent guide
+    dn0 = kdot(2, xx, yy)
+    qx0 = kdot(0, xx, yy) / dn0
+    qy0 = kdot(1, xx, yy) / dn0
+    outT, guideT = _shift_resample_last(
+        jnp.swapaxes(V, -1, -2),
+        jnp.swapaxes(qy0 - yy, -1, -2)[:, None], D,
+        guide_img=jnp.swapaxes(gV, -1, -2))
+    out = jnp.swapaxes(outT, -1, -2)
+    if clamp:
+        guide = jnp.swapaxes(guideT, -1, -2)
+        mask = _dilate3(out < CLAMPING_FACTOR * guide)
+        out = jnp.where(mask, guide, out)
+    # validity: the ORIGINAL source M.q + b must be in-bounds AND q must
+    # land on tmp's materialized grid (<=D px edge band ceded)
+    srcx = (M[:, 0, 0, None, None] * qx0 + M[:, 0, 1, None, None] * qy0
+            + b[:, 0, None, None])
+    srcy = (M[:, 1, 0, None, None] * qx0 + M[:, 1, 1, None, None] * qy0
+            + b[:, 1, None, None])
+    ok = ((srcx >= 0.0) & (srcx <= W - 1.0)
+          & (srcy >= 0.0) & (srcy <= H - 1.0)
+          & (qx0 >= 0.0) & (qx0 <= W - 1.0)
+          & (qy0 >= 0.0) & (qy0 <= H - 1.0))
+    return out * ok[:, None, :, :]
+
+
+@lru_cache(maxsize=8)
+def _perspective_czt_fn(H: int, W: int, D: int, clamp: bool = True):
+    import functools
+
+    import jax
+
+    return jax.jit(functools.partial(perspective_czt_core, D=D,
+                                     clamp=clamp))
+
+
+def warp_perspective_batch(frames_dev, persp, clamp: bool = True):
+    """Batched perspective warp: affine chirp-Z + residual shift
+    passes.  ``persp``: the (M, b, flip, K, D) tuple from
+    perspective_split_from_Hs.  Chunked at the CZT budget (the shift
+    passes add ~5 W-padded transients on top of the CZT's ~8x)."""
+    import jax.numpy as jnp
+
+    M, b, flip, K, D = persp
+    H, W = (int(d) for d in frames_dev.shape[-2:])
+    px = int(np.prod(frames_dev.shape[1:]))
+    chunk = max(int((32 << 20) // max(px * 4, 1)), 1)
+    m11 = M[:, 1, 1]
+    det = M[:, 0, 0] * m11 - M[:, 0, 1] * M[:, 1, 0]
+    sx_hi, sx_lo = _sig_pair(det / m11 / W)
+    sy_hi, sy_lo = _sig_pair(m11 / H)
+    run = _perspective_czt_fn(H, W, int(D), bool(clamp))
+
+    def call(fr, Md, bd, Kd, fd, a, c, d_, e_):
+        return run(fr, Md, bd, Kd, fd, (a, c), (d_, e_))
+
+    return _run_chunked(call, chunk, frames_dev,
+                        jnp.asarray(M, jnp.float32),
+                        jnp.asarray(b, jnp.float32),
+                        jnp.asarray(K, jnp.float32),
                         jnp.asarray(np.asarray(flip, bool)),
                         jnp.asarray(sx_hi), jnp.asarray(sx_lo),
                         jnp.asarray(sy_hi), jnp.asarray(sy_lo))

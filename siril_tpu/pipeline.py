@@ -273,10 +273,12 @@ def fused_preprocess_stack(seq: Sequence, args: Optional[FusedArgs] = None
         with stage("fused.warp"):
             from siril_tpu.ops.interp import (
                 affines_from_Hs,
+                perspective_split_from_Hs,
                 rotations_from_Hs,
                 translations_from_Hs,
                 warp_affine_batch,
                 warp_homography_batch,
+                warp_perspective_batch,
                 warp_rotation_batch,
                 warp_translation_batch,
             )
@@ -289,13 +291,17 @@ def fused_preprocess_stack(seq: Sequence, args: Optional[FusedArgs] = None
             # request; nearest/bilinear/cubic users get the gather warp
             # with the kernel they asked for.  Family ladder, cheapest
             # first: translation → rotation (3-shear) → affine (2-pass
-            # chirp-Z: focal drift / similarity / skew) → gather
-            # (perspective, SIP distortion).
-            rot = aff = None
+            # chirp-Z: focal drift / similarity / skew) → perspective
+            # (affine chirp-Z + bounded residual shifts: mosaic tiles,
+            # astrometric H) → gather (strong perspective, SIP
+            # distortion).
+            rot = aff = persp = None
             if shifts is None and args.interpolation == INTERP_LANCZOS4:
                 rot = rotations_from_Hs(Hs, (H, W))
                 if rot is None:
                     aff = affines_from_Hs(Hs, (H, W))
+                if rot is None and aff is None:
+                    persp = perspective_split_from_Hs(Hs, (H, W))
             base = 0
             for ci, c in enumerate(frames):
                 ni = c.shape[0]
@@ -322,6 +328,16 @@ def fused_preprocess_stack(seq: Sequence, args: Optional[FusedArgs] = None
                     # only gather left, at 4 taps)
                     frames[ci] = warp_affine_batch(
                         c, tuple(a[base:base + ni] for a in aff),
+                        clamp=args.clamp)
+                elif persp is not None:
+                    # mild perspective (mosaic tiles, astrometric H):
+                    # affine chirp-Z passes + near-identity residual
+                    # shift passes — statically shifted slices with
+                    # per-pixel lanczos weights, still no gathers
+                    M, b, flip, K, D = persp
+                    sl = np.s_[base:base + ni]
+                    frames[ci] = warp_perspective_batch(
+                        c, (M[sl], b[sl], flip[sl], K[sl], D),
                         clamp=args.clamp)
                 else:
                     frames[ci] = warp_homography_batch(

@@ -719,3 +719,120 @@ def test_affine_czt_warp_odd_dims_multichannel(rng):
         for ch in range(3):
             assert np.abs(out[k, ch][I] - ref[k, ch][I]).max() < 3e-3, \
                 (k, ch)
+
+
+def test_perspective_split_gates():
+    """perspective_split_from_Hs: accepts mild projective maps, rejects
+    strong perspective (horizon near frame), out-of-band scale, and
+    degenerate input."""
+    from siril_tpu.ops.interp import perspective_split_from_Hs
+
+    size = (160, 192)
+
+    def pers_H(sx, sy, deg, g1, g2, tx=0.0, ty=0.0):
+        th = np.deg2rad(deg)
+        R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+        Hm = np.eye(3)
+        Hm[:2, :2] = R @ np.diag([sx, sy])
+        Hm[:2, 2] = [tx, ty]
+        Hm[2, :2] = [g1, g2]
+        return Hm
+
+    ok = perspective_split_from_Hs(
+        np.stack([pers_H(1.01, 0.99, 0.8, 2e-5, -1.5e-5, 2.0, -1.0),
+                  pers_H(0.995, 1.005, -1.2, -1e-5, 2e-5)]), size)
+    assert ok is not None
+    M, b, flip, K, D = ok
+    assert M.shape == (2, 2, 2) and K.shape == (2, 3, 3)
+    assert D in (2, 4, 8, 16) and not flip.any()
+    # strong perspective: horizon line crosses the frame
+    assert perspective_split_from_Hs(
+        pers_H(1.0, 1.0, 0.0, 0.02, 0.0)[None], size) is None
+    # scale far out of the chirp-Z band
+    assert perspective_split_from_Hs(
+        pers_H(1.5, 1.0, 0.0, 1e-5, 0.0)[None], size) is None
+    # degenerate / non-finite
+    assert perspective_split_from_Hs(np.full((1, 3, 3), np.nan),
+                                     size) is None
+    sing = np.eye(3)
+    sing[1, 1] = 0.0
+    assert perspective_split_from_Hs(sing[None], size) is None
+    # 180-fold perspective frame gets the flip fold
+    okf = perspective_split_from_Hs(
+        pers_H(1.0, 1.0, 179.3, 1e-5, -1e-5, 1.0, 2.0)[None], size)
+    assert okf is not None and list(okf[2]) == [True]
+
+
+def test_perspective_czt_warp_matches_gather(rng):
+    """The affine-CZT + residual-shift perspective warp must reproduce
+    the lanczos4 gather warp for genuinely projective registrations
+    (mosaic tiles / astrometric H) within lanczos truncation error,
+    and mask every analytically-outside pixel."""
+    import jax.numpy as jnp
+
+    from siril_tpu.ops.interp import (
+        affines_from_Hs,
+        perspective_split_from_Hs,
+        warp_homography_batch,
+        warp_perspective_batch,
+    )
+
+    H, W = 160, 192
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    img = np.full((H, W), 0.05, np.float32)
+    for _ in range(20):
+        x0 = rng.uniform(30, W - 30)
+        y0 = rng.uniform(30, H - 30)
+        a = rng.uniform(0.2, 0.6)
+        img += a * np.exp(-(((xx - x0) ** 2 + (yy - y0) ** 2)
+                            / (2 * 2.2 ** 2))).astype(np.float32)
+    c = np.array([(W - 1) / 2, (H - 1) / 2])
+
+    def mk_H(sx, sy, deg, shear, tx, ty, g1, g2):
+        th = np.deg2rad(deg)
+        R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+        A = R @ np.array([[sx, shear], [0.0, sy]])
+        Hm = np.eye(3)
+        Hm[:2, :2] = A
+        Hm[:2, 2] = c - A @ c + [tx, ty]
+        Hm[2, :2] = [g1, g2]
+        return Hm
+
+    Hs = np.stack([
+        mk_H(1.015, 0.99, 1.1, 0.003, 2.3, -1.7, 2e-5, -1.2e-5),
+        mk_H(0.99, 1.008, -0.9, -0.002, -1.1, 2.0, -1.5e-5, 1e-5),
+        mk_H(1.01, 1.02, 179.4, 0.002, 1.0, 3.0, 1e-5, 1.8e-5),
+    ])
+    # genuinely projective: the affine family gate must refuse these
+    assert affines_from_Hs(Hs, (H, W)) is None
+    persp = perspective_split_from_Hs(Hs, (H, W))
+    assert persp is not None and list(persp[2]) == [False, False, True]
+
+    frames = np.stack([img[None]] * 3)
+    out = np.asarray(warp_perspective_batch(jnp.asarray(frames), persp,
+                                            clamp=False))
+    ref = np.asarray(warp_homography_batch(jnp.asarray(frames), Hs,
+                                           (H, W), clamp=False))
+    D = int(persp[4])
+    pad = 16 + D
+    I = np.s_[pad:-pad, pad:-pad]
+    for k in range(3):
+        assert np.abs(out[k, 0]).sum() > 100.0          # not blank
+        assert np.abs(out[k, 0][I] - ref[k, 0][I]).max() < 5e-3, k
+    # validity: every analytically-outside pixel is exactly 0
+    inv = np.linalg.inv(Hs[0])
+    gx, gy = np.meshgrid(np.arange(W), np.arange(H))
+    src = np.einsum("ij,pj->pi", inv,
+                    np.c_[gx.ravel(), gy.ravel(), np.ones(H * W)])
+    src = src[:, :2] / src[:, 2:3]
+    om = ((src[:, 0] < 0) | (src[:, 0] > W - 1)
+          | (src[:, 1] < 0) | (src[:, 1] > H - 1)).reshape(H, W)
+    assert om.any() and np.abs(out[0, 0][om]).max() == 0.0
+
+    # clamped variant (pipeline default) close to the clamped gather
+    outc = np.asarray(warp_perspective_batch(jnp.asarray(frames), persp,
+                                             clamp=True))
+    refc = np.asarray(warp_homography_batch(jnp.asarray(frames), Hs,
+                                            (H, W), clamp=True))
+    for k in range(3):
+        assert np.abs(outc[k, 0][I] - refc[k, 0][I]).max() < 1e-2, k
