@@ -280,3 +280,78 @@ def test_fused_affine_takes_czt_path(tmp_path, monkeypatch):
     out = res.image.host()[0]
     interior = np.s_[20:-20, 20:-20]
     assert np.abs(out[interior] - base[interior]).mean() < 0.01
+
+
+def test_fused_perspective_takes_split_path(tmp_path, monkeypatch):
+    """Genuinely projective registrations (mosaic tile / astrometric H)
+    must engage the affine-CZT + residual-shift perspective warp — not
+    the gather-based homography warp — and still align the stack."""
+    from siril_tpu.ops import interp as interp_mod
+    from siril_tpu.registration.matching import HOMOGRAPHY_TRANSFORMATION
+
+    rng = np.random.default_rng(17)
+    h, w = 160, 192
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    stars = [(rng.uniform(30, w - 30), rng.uniform(30, h - 30))
+             for _ in range(24)]
+    c = np.array([(w - 1) / 2, (h - 1) / 2])
+
+    def mk_H(scale, deg, tx, ty, g1, g2):
+        th = np.deg2rad(deg)
+        A = scale * np.array([[np.cos(th), -np.sin(th)],
+                              [np.sin(th), np.cos(th)]])
+        Hm = np.eye(3)
+        Hm[:2, :2] = A
+        Hm[:2, 2] = c - A @ c + [tx, ty]
+        Hm[2, :2] = [g1, g2]
+        return Hm
+
+    def render(Hm):
+        img = np.full((h, w), 0.05, np.float32)
+        for x0, y0 in stars:
+            v = Hm @ [x0, y0, 1.0]
+            xr, yr = v[0] / v[2], v[1] / v[2]
+            img += 0.5 * np.exp(-(((xx - xr) ** 2 + (yy - yr) ** 2)
+                                  / (2 * 2.0 ** 2)))
+        return np.clip(img, 0, 1)
+
+    base = render(np.eye(3))
+    maps = [np.eye(3),
+            mk_H(1.004, 0.5, 2, -1, 2e-4, -1.2e-4),
+            mk_H(0.997, -0.7, -2, 2, -1.5e-4, 1e-4),
+            mk_H(1.002, 0.3, 1, 1, 1.2e-4, 1.8e-4),
+            mk_H(0.999, -0.4, 3, -2, -2e-4, -1e-4)]
+    for i, Hm in enumerate(maps):
+        f = render(Hm) + rng.normal(0, 0.002, (h, w)).astype(np.float32)
+        img = SirilImage(data=np.clip(f, 1e-4, 1)[None])
+        img.keywords.exposure = 10.0
+        write_fits(img, str(tmp_path / f"per_{i:05d}.fit"), bitdepth=16)
+    seq = Sequence.scan("per_", str(tmp_path))
+
+    calls = {"persp": 0, "gather": 0, "shear": 0, "czt": 0}
+    real = {k: getattr(interp_mod, n) for k, n in
+            (("persp", "warp_perspective_batch"),
+             ("gather", "warp_homography_batch"),
+             ("shear", "warp_rotation_batch"),
+             ("czt", "warp_affine_batch"))}
+
+    def spy(key):
+        def run(*a, **kw):
+            calls[key] += 1
+            return real[key](*a, **kw)
+        return run
+
+    monkeypatch.setattr(interp_mod, "warp_perspective_batch", spy("persp"))
+    monkeypatch.setattr(interp_mod, "warp_homography_batch", spy("gather"))
+    monkeypatch.setattr(interp_mod, "warp_rotation_batch", spy("shear"))
+    monkeypatch.setattr(interp_mod, "warp_affine_batch", spy("czt"))
+    args = FusedArgs(ttype=HOMOGRAPHY_TRANSFORMATION,
+                     stack=StackArgs(method="rej", rejection=rj.WINSORIZED,
+                                     normalize=ADDITIVE_SCALING),
+                     starfinder=StarFinderParams(radius=6))
+    res = fused_preprocess_stack(seq, args)
+    assert calls["persp"] > 0 and calls["gather"] == 0
+    assert calls["shear"] == 0 and calls["czt"] == 0
+    out = res.image.host()[0]
+    interior = np.s_[24:-24, 24:-24]
+    assert np.abs(out[interior] - base[interior]).mean() < 0.01
