@@ -120,7 +120,8 @@ def fused_pipeline_step(mesh: Mesh, rtype: int, mode: int,
                         siglow: float, sighigh: float,
                         n_frames: int, height: int, width: int,
                         interp_method: int = 1, shift_warp: bool = False,
-                        rot_warp: bool = False, aff_warp: bool = False):
+                        rot_warp: bool = False, aff_warp: bool = False,
+                        persp_warp: int = 0):
     """Multi-chip fused calibrate→warp→stack step (the sharded variant of
     siril_tpu/pipeline.py):
 
@@ -204,6 +205,22 @@ def fused_pipeline_step(mesh: Mesh, rtype: int, mode: int,
                 Hinvs[:, 4:6], Hinvs[:, 6] > 0.5,
                 (Hinvs[:, 7], Hinvs[:, 8]), (Hinvs[:, 9], Hinvs[:, 10]),
                 clamp=False)[:, 0]
+        elif persp_warp:
+            # Hinvs carries (N, 20) = (m00, m01, m10, m11, bx, by,
+            # K00..K22, flip, sx_hi, sx_lo, sy_hi, sy_lo) perspective
+            # params (perspective_split_from_Hs + _sig_pair); the value
+            # of ``persp_warp`` is the static residual bound D.  Affine
+            # chirp-Z passes + residual shift passes — frame-local like
+            # the other FFT families (mosaic tiles, astrometric H)
+            from siril_tpu.ops.interp import perspective_czt_core
+
+            warped = perspective_czt_core(
+                x[:, None], Hinvs[:, :4].reshape(n_frames, 2, 2),
+                Hinvs[:, 4:6], Hinvs[:, 6:15].reshape(n_frames, 3, 3),
+                Hinvs[:, 15] > 0.5,
+                (Hinvs[:, 16], Hinvs[:, 17]),
+                (Hinvs[:, 18], Hinvs[:, 19]),
+                D=int(persp_warp), clamp=False)[:, 0]
         else:
             warped = jax.vmap(
                 lambda p, hi: _warp_body(p[None], hi, height, width,

@@ -487,3 +487,86 @@ def test_fused_pipeline_step_multichip_affine_warp():
                                        == 0).reshape(-1)
     expect = flat_px.mean(0)
     np.testing.assert_allclose(mean[valid], expect[valid], atol=1e-4)
+
+
+def test_fused_pipeline_step_multichip_perspective_warp():
+    """The sharded fused step with the perspective (affine chirp-Z +
+    residual shift) warp family: the 8-device mesh result must match
+    the 1-device mesh AND a host composition of the un-sharded
+    perspective core + sigma-clip stack."""
+    import jax
+    import jax.numpy as jnp
+
+    from siril_tpu.ops import rejection as rj
+    from siril_tpu.ops.interp import (_sig_pair, perspective_czt_core,
+                                      perspective_split_from_Hs)
+    from siril_tpu.ops.normalization import NO_NORM
+    from siril_tpu.parallel.sharding import fused_pipeline_step, make_mesh
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(29)
+    N, H, W = 6, 32, 40
+    raw = rng.integers(-20000, 20000, (N, H, W)).astype(np.int16)
+    Hs = np.tile(np.eye(3), (N, 1, 1))
+    c = np.array([(W - 1) / 2, (H - 1) / 2])
+    for i in range(N):
+        th = rng.uniform(-0.02, 0.02)
+        sx = 1.0 + rng.uniform(-0.015, 0.015)
+        sy = 1.0 + rng.uniform(-0.015, 0.015)
+        R = np.array([[np.cos(th), -np.sin(th)],
+                      [np.sin(th), np.cos(th)]])
+        if i == 3:                                 # one flipped frame
+            R = -R
+        A = R @ np.diag([sx, sy])
+        Hs[i, :2, :2] = A
+        Hs[i, :2, 2] = c - A @ c + rng.uniform(-1.5, 1.5, 2)
+        Hs[i, 2, :2] = rng.uniform(-1.0, 1.0, 2) * 4e-4
+    persp = perspective_split_from_Hs(Hs, (H, W))
+    assert persp is not None and persp[2][3]
+    M, b, flip, K, D = persp
+    sx_hi, sx_lo = _sig_pair(
+        (M[:, 0, 0] * M[:, 1, 1] - M[:, 0, 1] * M[:, 1, 0])
+        / M[:, 1, 1] / W)
+    sy_hi, sy_lo = _sig_pair(M[:, 1, 1] / H)
+    packed = np.concatenate(
+        [M.reshape(N, 4), b, K.reshape(N, 9),
+         flip[:, None].astype(np.float64),
+         sx_hi[:, None], sx_lo[:, None], sy_hi[:, None], sy_lo[:, None]],
+        axis=1).astype(np.float32)
+    dark = np.full((H, W), 0.005, np.float32)
+    flat = np.ones((H, W), np.float32)
+
+    mesh = make_mesh(2, 4, devices=devs[:8])
+    step = fused_pipeline_step(mesh, rj.SIGMA, NO_NORM, 3.0, 3.0,
+                               N, H, W, persp_warp=int(D))
+    mean, rl, rh = step(jnp.asarray(raw), jnp.asarray(packed),
+                        jnp.asarray(dark), jnp.asarray(flat), 0)
+    mean = np.asarray(mean)
+    assert np.isfinite(mean).all()
+
+    mesh1 = make_mesh(1, 1, devices=devs[:1])
+    step1 = fused_pipeline_step(mesh1, rj.SIGMA, NO_NORM, 3.0, 3.0,
+                                N, H, W, persp_warp=int(D))
+    mean1 = np.asarray(step1(jnp.asarray(raw), jnp.asarray(packed),
+                             jnp.asarray(dark), jnp.asarray(flat), 0)[0])
+    np.testing.assert_allclose(mean, mean1, atol=1e-5)
+
+    # host oracle: decode+calibrate, un-sharded perspective core, plain
+    # sigma-clip mean over the warped stack
+    x = (raw.astype(np.float32) + 32768.0) / 65535.0 - dark[None]
+    w = np.asarray(perspective_czt_core(
+        jnp.asarray(x[:, None]), jnp.asarray(M, jnp.float32),
+        jnp.asarray(b, jnp.float32), jnp.asarray(K, jnp.float32),
+        jnp.asarray(np.asarray(flip, bool)),
+        (jnp.asarray(sx_hi), jnp.asarray(sx_lo)),
+        (jnp.asarray(sy_hi), jnp.asarray(sy_lo)),
+        D=int(D), clamp=False))[:, 0]
+    flat_px = w.reshape(N, H * W)
+    valid = (flat_px != 0.0).all(0) & (np.asarray(rl) + np.asarray(rh)
+                                       == 0).reshape(-1)
+    expect = flat_px.mean(0)
+    np.testing.assert_allclose(mean[valid], expect[valid], atol=1e-4)
