@@ -841,6 +841,38 @@ def _sig_pair(sigma):
     return hi, lo
 
 
+def _fold_gate_inverse_affine(Mi, bi, size, scale_band, max_shear):
+    """Flip-fold an inverse-affine batch (near-180° negative trace →
+    double-flip so both pass scales are ~+1) and apply the chirp-Z
+    alias-band gates (Catmull-Smith bottleneck).  Shared by the affine
+    and perspective families so their bands can never drift apart.
+    Returns (Mf (N,2,2), bf (N,2), flip (N,)) or None."""
+    Hi, Wi = int(size[0]), int(size[1])
+    flip = (Mi[:, 0, 0] + Mi[:, 1, 1]) < 0.0
+    s_vec = np.array([Wi - 1.0, Hi - 1.0])
+    Mf = np.where(flip[:, None, None], -Mi, Mi)
+    bf = np.where(flip[:, None], s_vec[None] - bi, bi)
+    m00, m01 = Mf[:, 0, 0], Mf[:, 0, 1]
+    m10, m11 = Mf[:, 1, 0], Mf[:, 1, 1]
+    detf = m00 * m11 - m01 * m10
+    if (np.abs(m11) < 1e-9).any() or (np.abs(detf) < 1e-9).any():
+        return None
+    e = detf / m11                                    # pass-X scale
+    lo, hi = 1.0 - scale_band, 1.0 + scale_band
+    if ((e < lo) | (e > hi) | (m11 < lo) | (m11 > hi)
+            | (np.abs(m01 / m11) > max_shear)
+            | (np.abs(m10) > max_shear)).any():
+        return None
+    return Mf, bf, flip
+
+
+def _czt_sigmas(M, H, W):
+    """Veltkamp sigma pairs of the two CZT pass scales (host f64)."""
+    m11 = M[:, 1, 1]
+    det = M[:, 0, 0] * m11 - M[:, 0, 1] * M[:, 1, 0]
+    return _sig_pair(det / m11 / W), _sig_pair(m11 / H)
+
+
 def affines_from_Hs(Hs, size, max_err_px: float = 0.15,
                     scale_band: float = 0.25, max_shear: float = 0.25):
     """Two-pass CZT warp parameters if every H is affine within
@@ -880,25 +912,7 @@ def affines_from_Hs(Hs, size, max_err_px: float = 0.15,
                    np.stack([-A[:, 1, 0], A[:, 0, 0]], -1)],
                   -2) / det[:, None, None]
     bi = -np.einsum("nij,nj->ni", Mi, t)
-    # near-180° (negative trace): double-flip so pass scales are ~ +1
-    flip = (Mi[:, 0, 0] + Mi[:, 1, 1]) < 0.0
-    s_vec = np.array([Wi - 1.0, Hi - 1.0])
-    Mf = np.where(flip[:, None, None], -Mi, Mi)
-    bf = np.where(flip[:, None], s_vec[None] - bi, bi)
-    m00, m01 = Mf[:, 0, 0], Mf[:, 0, 1]
-    m10, m11 = Mf[:, 1, 0], Mf[:, 1, 1]
-    detf = m00 * m11 - m01 * m10
-    if (np.abs(m11) < 1e-9).any():
-        return None
-    e = detf / m11                                    # pass-X scale
-    f = m11                                           # pass-Y scale
-    g = m01 / m11                                     # pass-X shear
-    lo, hi = 1.0 - scale_band, 1.0 + scale_band
-    if ((e < lo) | (e > hi) | (f < lo) | (f > hi)
-            | (np.abs(g) > max_shear)
-            | (np.abs(m10) > max_shear)).any():
-        return None
-    return Mf, bf, flip
+    return _fold_gate_inverse_affine(Mi, bi, size, scale_band, max_shear)
 
 
 def _affine_czt_passes(frames, M, b, sig_x, sig_y):
@@ -987,10 +1001,7 @@ def warp_affine_batch(frames_dev, aff, clamp: bool = True):
     H, W = (int(d) for d in frames_dev.shape[-2:])
     px = int(np.prod(frames_dev.shape[1:]))
     chunk = max(int((32 << 20) // max(px * 4, 1)), 1)
-    m11 = M[:, 1, 1]
-    det = M[:, 0, 0] * m11 - M[:, 0, 1] * M[:, 1, 0]
-    sx_hi, sx_lo = _sig_pair(det / m11 / W)
-    sy_hi, sy_lo = _sig_pair(m11 / H)
+    (sx_hi, sx_lo), (sy_hi, sy_lo) = _czt_sigmas(M, H, W)
     run = _affine_czt_fn(H, W, bool(clamp))
 
     def call(fr, Md, bd, fd, a, c, d_, e_):
@@ -1024,8 +1035,9 @@ def warp_affine_batch(frames_dev, aff, clamp: bool = True):
 # exact), and apply the near-identity remainder q as a Catmull-Smith
 # two-pass resample where every 1-D pass is a sum of 2(D+4)+1
 # STATICALLY shifted slices with per-pixel lanczos4 weights —
-# elementwise VPU work, no gathers anywhere (the ringing-clamp guide
-# is the 2-tap tent accumulated in the same loops).  The row pass
+# elementwise VPU work, no gathers in the resample (the ringing-clamp
+# guide is a 4-tap bilinear gather of the original frames at the
+# analytic source map, like the affine path).  The row pass
 # needs the source-row map hx(y',x) = qx(sigma,x) with qy(sigma,x)=y';
 # sigma comes from two Newton steps on the analytic projective map
 # (remainder Jacobian is within D/min(H,W) of identity, so Newton is
@@ -1037,15 +1049,12 @@ def warp_affine_batch(frames_dev, aff, clamp: bool = True):
 # the output grid); registration borders are black-filled either way.
 
 
-def _shift_resample_last(img, u, D: int, guide_img=None):
+def _shift_resample_last(img, u, D: int):
     """Windowed-sinc (lanczos4) 1-D resample along the LAST axis at a
     bounded per-pixel displacement: out[..., x] = img(x + u[..., x]),
     |u| <= D — 2(D+4)+1 statically shifted slices with per-pixel
-    weights.  Also returns the 2-tap tent (bilinear) resample of
-    ``guide_img`` (default: img) from the same slices — the
-    ringing-clamp guide.  Zeros beyond the edges; sinc weights
-    renormalized over the window exactly like the gather kernel's
-    per-axis w/sum(w)."""
+    weights.  Zeros beyond the edges; sinc weights renormalized over
+    the window exactly like the gather kernel's per-axis w/sum(w)."""
     import jax.numpy as jnp
     from jax import lax
 
@@ -1055,11 +1064,9 @@ def _shift_resample_last(img, u, D: int, guide_img=None):
     nd = img.ndim
     zp = [(0, 0)] * (nd - 1) + [(pad, pad)]
     big = jnp.pad(img, zp)
-    bigg = big if guide_img is None else jnp.pad(guide_img, zp)
     uc = jnp.clip(u, -float(D), float(D))
     acc = jnp.float32(0.0)
     wsum = jnp.float32(0.0)
-    gacc = jnp.float32(0.0)
     for i in range(-pad, pad + 1):
         t = uc - i
         at = jnp.abs(t)
@@ -1071,11 +1078,7 @@ def _shift_resample_last(img, u, D: int, guide_img=None):
         sl = lax.slice_in_dim(big, i + pad, i + pad + Wl, axis=nd - 1)
         acc = acc + w * sl
         wsum = wsum + w
-        gw = jnp.maximum(0.0, 1.0 - at)
-        gsl = sl if guide_img is None else lax.slice_in_dim(
-            bigg, i + pad, i + pad + Wl, axis=nd - 1)
-        gacc = gacc + gw * gsl
-    return acc / jnp.maximum(wsum, 1e-20), gacc
+    return acc / jnp.maximum(wsum, 1e-20)
 
 
 def perspective_split_from_Hs(Hs, size, max_D: int = 16,
@@ -1095,9 +1098,12 @@ def perspective_split_from_Hs(Hs, size, max_D: int = 16,
     if Hs.ndim != 3 or not np.isfinite(Hs).all() \
             or (np.abs(Hs[:, 2, 2]) < 1e-12).any():
         return None
-    if (np.abs(np.linalg.det(Hs)) < 1e-9).any():
+    # normalize before the degeneracy gate — homographies are
+    # scale-equivalent, so a uniformly scaled-down valid H must pass
+    Hn = Hs / Hs[:, 2:3, 2:3]
+    if (np.abs(np.linalg.det(Hn)) < 1e-9).any():
         return None
-    Hinv = np.linalg.inv(Hs / Hs[:, 2:3, 2:3])
+    Hinv = np.linalg.inv(Hn)
     Hi, Wi = int(size[0]), int(size[1])
     gx = np.linspace(0.0, Wi - 1.0, 33)
     gy = np.linspace(0.0, Hi - 1.0, 33)
@@ -1106,7 +1112,9 @@ def perspective_split_from_Hs(Hs, size, max_D: int = 16,
     full = np.einsum("nij,pj->npi", Hinv, pts)
     den = full[..., 2]
     # horizon in (or near) frame -> the projective map blows up
-    if (np.abs(den) < 1e-6 * np.abs(den).max()).any() \
+    # (per-frame scale: one frame's larger third row must not raise the
+    # proximity threshold for the others)
+    if (np.abs(den) < 1e-6 * np.abs(den).max(axis=1, keepdims=True)).any() \
             or ((den.min(1) * den.max(1)) <= 0.0).any():
         return None
     src = full[..., :2] / den[..., None]
@@ -1118,28 +1126,20 @@ def perspective_split_from_Hs(Hs, size, max_D: int = 16,
     rmax = np.abs(resid).max()
     if not np.isfinite(rmax) or rmax > max_D:
         return None
-    # near-180 fold (same rule as the affine path): keep pass scales +1
-    flip = (A[:, 0, 0] + A[:, 1, 1]) < 0.0
-    s_vec = np.array([Wi - 1.0, Hi - 1.0])
-    Mf = np.where(flip[:, None, None], -A, A)
-    bf = np.where(flip[:, None], s_vec[None] - t, t)
+    # flip fold + chirp-Z alias gates: the SAME helper as the affine
+    # family, so the bands can never drift between ladder rungs
+    fold = _fold_gate_inverse_affine(A, t, size, scale_band, max_shear)
+    if fold is None:
+        return None
+    Mf, bf, flip = fold
     S = np.array([[-1.0, 0.0, Wi - 1.0],
                   [0.0, -1.0, Hi - 1.0],
                   [0.0, 0.0, 1.0]])
     Hf = np.where(flip[:, None, None], np.einsum("ij,njk->nik", S, Hinv),
                   Hinv)
-    # chirp-Z alias gates on the folded affine
     m00, m01 = Mf[:, 0, 0], Mf[:, 0, 1]
     m10, m11 = Mf[:, 1, 0], Mf[:, 1, 1]
     detf = m00 * m11 - m01 * m10
-    if (np.abs(m11) < 1e-9).any() or (np.abs(detf) < 1e-9).any():
-        return None
-    e = detf / m11
-    lo, hi = 1.0 - scale_band, 1.0 + scale_band
-    if ((e < lo) | (e > hi) | (m11 < lo) | (m11 > hi)
-            | (np.abs(m01 / m11) > max_shear)
-            | (np.abs(m10) > max_shear)).any():
-        return None
     # tmp-space projective map q(d) = pi(K.d): K = [Mf^-1(Hf01 - bf x
     # Hf2); Hf2] — exact fold of "subtract bf, apply Mf^-1" into Hf
     Minv = np.stack([np.stack([m11, -m01], -1),
@@ -1169,7 +1169,11 @@ def perspective_split_from_Hs(Hs, size, max_D: int = 16,
     umax = max(np.abs(u_x).max(), np.abs(u_y).max())
     if not np.isfinite(umax) or umax + 1.0 > max_D:
         return None
-    D = next(B for B in (2, 4, 8, 16) if umax + 1.0 <= B)
+    # bucket D to bound recompiles; the largest bucket also caps the
+    # family regardless of a larger caller-supplied max_D
+    D = next((B for B in (2, 4, 8, 16) if umax + 1.0 <= B), None)
+    if D is None:
+        return None
     return Mf, bf, flip, K, D
 
 
@@ -1177,7 +1181,11 @@ def perspective_czt_core(frames, M, b, K, flipmask, sig_x, sig_y,
                          D: int, clamp: bool = True):
     """Affine chirp-Z passes + near-identity residual shift passes (see
     the family note above).  ``K``: (N,3,3) tmp-space projective maps
-    from perspective_split_from_Hs; ``D``: static shift bound."""
+    from perspective_split_from_Hs; ``D``: static shift bound.  The
+    ringing clamp uses a 4-tap bilinear gather of the ORIGINAL frames
+    at the analytic source map — like the affine/rotation paths, so the
+    guide is free of the sinc passes' own ringing."""
+    import jax
     import jax.numpy as jnp
 
     H, W = (int(d) for d in frames.shape[-2:])
@@ -1201,26 +1209,28 @@ def perspective_czt_core(frames, M, b, K, flipmask, sig_x, sig_y,
         dq = (K[:, 1, 1, None, None] - qs * K[:, 2, 1, None, None]) / dn
         sig = sig - (qs - yy) / dq
     u_x = kdot(0, xx, sig) / kdot(2, xx, sig) - xx
-    V, gV = _shift_resample_last(tmp, u_x[:, None], D)
-    # pass Y: vy(y,x) = qy(x,y); lanczos on V, tent on the tent guide
+    V = _shift_resample_last(tmp, u_x[:, None], D)
+    # pass Y: vy(y,x) = qy(x,y)
     dn0 = kdot(2, xx, yy)
     qx0 = kdot(0, xx, yy) / dn0
     qy0 = kdot(1, xx, yy) / dn0
-    outT, guideT = _shift_resample_last(
-        jnp.swapaxes(V, -1, -2),
-        jnp.swapaxes(qy0 - yy, -1, -2)[:, None], D,
-        guide_img=jnp.swapaxes(gV, -1, -2))
+    outT = _shift_resample_last(jnp.swapaxes(V, -1, -2),
+                                jnp.swapaxes(qy0 - yy, -1, -2)[:, None], D)
     out = jnp.swapaxes(outT, -1, -2)
-    if clamp:
-        guide = jnp.swapaxes(guideT, -1, -2)
-        mask = _dilate3(out < CLAMPING_FACTOR * guide)
-        out = jnp.where(mask, guide, out)
-    # validity: the ORIGINAL source M.q + b must be in-bounds AND q must
-    # land on tmp's materialized grid (<=D px edge band ceded)
+    # analytic source map pi(Hinv·d) = M·q(d) + b — the validity mask
+    # and the bilinear clamp guide
     srcx = (M[:, 0, 0, None, None] * qx0 + M[:, 0, 1, None, None] * qy0
             + b[:, 0, None, None])
     srcy = (M[:, 1, 0, None, None] * qx0 + M[:, 1, 1, None, None] * qy0
             + b[:, 1, None, None])
+    if clamp:
+        guide = jax.vmap(lambda p, vy, vx: jax.vmap(
+            lambda pl: sample_plane(pl, vy, vx, INTERP_BILINEAR))(p))(
+                frames, srcy, srcx)
+        mask = _dilate3(out < CLAMPING_FACTOR * guide)
+        out = jnp.where(mask, guide, out)
+    # validity: the ORIGINAL source M.q + b must be in-bounds AND q must
+    # land on tmp's materialized grid (<=D px edge band ceded)
     ok = ((srcx >= 0.0) & (srcx <= W - 1.0)
           & (srcy >= 0.0) & (srcy <= H - 1.0)
           & (qx0 >= 0.0) & (qx0 <= W - 1.0)
@@ -1248,11 +1258,10 @@ def warp_perspective_batch(frames_dev, persp, clamp: bool = True):
     M, b, flip, K, D = persp
     H, W = (int(d) for d in frames_dev.shape[-2:])
     px = int(np.prod(frames_dev.shape[1:]))
-    chunk = max(int((32 << 20) // max(px * 4, 1)), 1)
-    m11 = M[:, 1, 1]
-    det = M[:, 0, 0] * m11 - M[:, 0, 1] * M[:, 1, 0]
-    sx_hi, sx_lo = _sig_pair(det / m11 / W)
-    sy_hi, sy_lo = _sig_pair(m11 / H)
+    # tighter than the affine path: the shift passes add padded slice
+    # transients on top of the CZT's ~8x
+    chunk = max(int((24 << 20) // max(px * 4, 1)), 1)
+    (sx_hi, sx_lo), (sy_hi, sy_lo) = _czt_sigmas(M, H, W)
     run = _perspective_czt_fn(H, W, int(D), bool(clamp))
 
     def call(fr, Md, bd, Kd, fd, a, c, d_, e_):

@@ -836,3 +836,74 @@ def test_perspective_czt_warp_matches_gather(rng):
                                             (H, W), clamp=True))
     for k in range(3):
         assert np.abs(outc[k, 0][I] - refc[k, 0][I]).max() < 1e-2, k
+
+
+def test_perspective_split_gate_regressions():
+    """Gate details: scale-equivalent Hs accepted (det gate runs on the
+    normalized maps), per-frame horizon proximity, and max_D beyond the
+    largest bucket returns params/None instead of raising."""
+    from siril_tpu.ops.interp import perspective_split_from_Hs
+
+    size = (160, 192)
+
+    def pers_H(sx, sy, deg, g1, g2, tx=0.0, ty=0.0):
+        th = np.deg2rad(deg)
+        R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+        Hm = np.eye(3)
+        Hm[:2, :2] = R @ np.diag([sx, sy])
+        Hm[:2, 2] = [tx, ty]
+        Hm[2, :2] = [g1, g2]
+        return Hm
+
+    base = np.stack([pers_H(1.01, 0.99, 0.8, 2e-5, -1.5e-5, 2.0, -1.0),
+                     pers_H(0.995, 1.005, -1.2, -1e-5, 2e-5)])
+    ok = perspective_split_from_Hs(base, size)
+    assert ok is not None
+    # homographies are scale-equivalent: a uniformly scaled-down batch
+    # must produce the same split (det gate on the NORMALIZED maps)
+    oks = perspective_split_from_Hs(base * 1e-3, size)
+    assert oks is not None
+    np.testing.assert_allclose(oks[0], ok[0], atol=1e-12)
+    np.testing.assert_allclose(oks[3], ok[3], atol=1e-9)
+    # a large caller max_D must not raise past the biggest bucket
+    got = perspective_split_from_Hs(base, size, max_D=64)
+    assert got is not None and got[4] in (2, 4, 8, 16)
+    # one frame with a large third-row scale must not raise the horizon
+    # proximity threshold for healthy frames (per-frame max rule):
+    # frame 2 has |g| 20x frame 1's but both are individually fine
+    mixed = np.stack([pers_H(1.0, 1.0, 0.0, 1e-6, 0.0),
+                      pers_H(1.0, 1.0, 0.0, 2e-5, -1e-5)])
+    assert perspective_split_from_Hs(mixed, size) is not None
+
+
+def test_perspective_czt_clamp_suppresses_ringing(rng):
+    """The perspective path's ringing clamp must suppress sinc lobes
+    around a point source — its guide is a bilinear gather of the
+    ORIGINAL frames, so it cannot inherit the CZT passes' ringing."""
+    import jax.numpy as jnp
+
+    from siril_tpu.ops.interp import (
+        perspective_split_from_Hs,
+        warp_perspective_batch,
+    )
+
+    H, W = 160, 192
+    c = np.array([(W - 1) / 2, (H - 1) / 2])
+    th = np.deg2rad(1.0)
+    A = 1.01 * np.array([[np.cos(th), -np.sin(th)],
+                         [np.sin(th), np.cos(th)]])
+    Hm = np.eye(3)
+    Hm[:2, :2] = A
+    Hm[:2, 2] = c - A @ c + [1.7, -2.3]
+    Hm[2, :2] = [2e-5, -1.5e-5]
+    persp = perspective_split_from_Hs(Hm[None], (H, W))
+    assert persp is not None
+
+    hot = np.zeros((1, 1, H, W), np.float32)
+    hot[0, 0, H // 2, W // 2] = 1.0       # sub-sinc-width point source
+    ring = np.asarray(warp_perspective_batch(jnp.asarray(hot), persp,
+                                             clamp=False))[0, 0]
+    ringc = np.asarray(warp_perspective_batch(jnp.asarray(hot), persp,
+                                              clamp=True))[0, 0]
+    assert ring.min() < -0.05             # sinc rings hard on a delta
+    assert ringc.min() > 0.5 * ring.min()  # clamp suppresses the lobes
