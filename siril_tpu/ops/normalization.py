@@ -165,7 +165,11 @@ def _compute_missing(seq, need, loc, sca, lite, frame_batch):
         chunk = items[start:start + frame_batch]
         return list(pool.map(lambda it: seq.read_frame(it[0][1]).host(), chunk))
 
+    from siril_tpu.utils.devfetch import DeviceCollector
+
     nxt = pool.submit(read_chunk, 0) if items else None
+    col = DeviceCollector()          # one fetch at the end, not 4/chunk
+    meta = []                        # (layer, k, idx) per collected row
     for start in range(0, len(items), frame_batch):
         chunk = items[start:start + frame_batch]
         frames = nxt.result()
@@ -179,17 +183,17 @@ def _compute_missing(seq, need, loc, sca, lite, frame_batch):
                 continue
             batch = np.stack([f[layer].reshape(-1) for _, f in rows])
             est = norm_estimators_jax(jnp.asarray(batch), lite=lite)
-            location = np.asarray(est["location"])
-            scale_v = np.asarray(est["scale"])
-            med = np.asarray(est["median"])
-            mad = np.asarray(est["mad"])
-            for r, (ci, _) in enumerate(rows):
-                (k, idx) = chunk[ci][0]
-                loc[layer, k] = location[r]
-                sca[layer, k] = scale_v[r]
-                _cache(seq, layer, idx, med[r], mad[r], location[r],
-                       scale_v[r], lite)
+            col.append(jnp.stack([est["location"], est["scale"],
+                                  est["median"], est["mad"]], axis=-1))
+            meta.extend((layer, chunk[ci][0][0], chunk[ci][0][1])
+                        for ci, _ in rows)
     pool.shutdown(wait=False)
+    vals = col.concat()              # (rows, 4)
+    for r, (layer, k, idx) in enumerate(meta):
+        location, scale_v, med, mad = (float(v) for v in vals[r])
+        loc[layer, k] = location
+        sca[layer, k] = scale_v
+        _cache(seq, layer, idx, med, mad, location, scale_v, lite)
 
 
 def _cache(seq, layer, idx, med, mad, location, scale, lite):

@@ -49,12 +49,19 @@ def _quality_fn(h: int, w: int):
     return jax.jit(quality_core)
 
 
-def quality_batch(frames: np.ndarray) -> np.ndarray:
-    """(N, H, W) float32 → (N,) quality scores (higher = sharper)."""
+def quality_batch_device(frames):
+    """(N, H, W) → (N,) scores as a DEVICE array — no fetch.  Chunked
+    sweeps collect these and fetch once (utils/devfetch.py); a per-chunk
+    fetch costs a full tunnel round trip (~1–2 s) each."""
     import jax.numpy as jnp
 
     N, H, W = frames.shape
-    return np.asarray(_quality_fn(H, W)(jnp.asarray(frames, jnp.float32)))
+    return _quality_fn(int(H), int(W))(jnp.asarray(frames, jnp.float32))
+
+
+def quality_batch(frames: np.ndarray) -> np.ndarray:
+    """(N, H, W) float32 → (N,) quality scores (higher = sharper)."""
+    return np.asarray(quality_batch_device(frames))
 
 
 def rank_sequence_quality(seq, layer: int = 0, batch: int = 32,
@@ -63,18 +70,20 @@ def rank_sequence_quality(seq, layer: int = 0, batch: int = 32,
     batches).  Results stored in regdata.quality (the reference writes
     them to the seq file the same way)."""
     from siril_tpu.planetary.source import frame_chunks
+    from siril_tpu.utils.devfetch import DeviceCollector
 
     indices = seq.selected_indices()
     reg = seq.reg(layer)
     done = 0
+    col = DeviceCollector()
     for chunk, frames in frame_chunks(seq, indices, layer, batch):
-        q = quality_batch(frames)
-        for k, i in enumerate(chunk):
-            reg.quality[int(i)] = float(q[k])
-            reg.valid[int(i)] = True
+        col.append(quality_batch_device(frames))
         done += len(chunk)
         if progress:
             progress(done / len(indices))
+    idx = np.asarray(indices, int)
+    reg.quality[idx] = col.concat()[: len(indices)].astype(reg.quality.dtype)
+    reg.valid[idx] = True
     # normalize to best=1 (reference convention: relative quality)
     valid = reg.valid & seq.incl
     if valid.any():

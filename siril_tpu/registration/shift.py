@@ -47,10 +47,34 @@ def _phasecorr_peak_fn(H: int, W: int):
         def at(dy, dx):
             return corr[idx, (py + dy) % H, (px + dx) % W]
 
-        return (py, px, at(0, 0), at(-1, 0), at(1, 0), at(0, -1),
-                at(0, 1))
+        # ONE packed (N, 7) output: a chunked sweep fetches one buffer
+        # per chunk (or collects them all, utils/devfetch.py) instead of
+        # 7 round trips; int peaks are exact in f32 for any real H, W
+        return jnp.stack(
+            [py.astype(jnp.float32), px.astype(jnp.float32),
+             at(0, 0), at(-1, 0), at(1, 0), at(0, -1), at(0, 1)], axis=-1)
 
     return run
+
+
+def phase_correlate_device(ref_dev, frames_dev):
+    """Packed (N, 7) phase-correlation peaks as a DEVICE array — no
+    fetch; decode with ``decode_phasecorr_peaks``."""
+    H, W = (int(d) for d in ref_dev.shape[-2:])
+    return _phasecorr_peak_fn(H, W)(ref_dev, frames_dev)
+
+
+def decode_phasecorr_peaks(packed: np.ndarray, H: int, W: int,
+                           subpixel: bool = True) -> np.ndarray:
+    """(N, 7) packed peaks → (N, 2) of (dx, dy), vectorized."""
+    p = np.asarray(packed, np.float64)
+    dy, dx = p[:, 0].copy(), p[:, 1].copy()
+    if subpixel:
+        dy += _parabola(p[:, 3], p[:, 2], p[:, 4])
+        dx += _parabola(p[:, 5], p[:, 2], p[:, 6])
+    dy = np.where(dy > H / 2, dy - H, dy)
+    dx = np.where(dx > W / 2, dx - W, dx)
+    return np.stack([dx, dy], axis=-1)
 
 
 def phase_correlate(ref: np.ndarray, frames: np.ndarray,
@@ -64,31 +88,17 @@ def phase_correlate(ref: np.ndarray, frames: np.ndarray,
     import jax.numpy as jnp
 
     H, W = ref.shape
-    run = _phasecorr_peak_fn(H, W)
-    py, px, c0, cmy, cpy, cmx, cpx = (
-        np.asarray(v) for v in run(jnp.asarray(ref, jnp.float32),
-                                   jnp.asarray(frames, jnp.float32)))
-    N = py.shape[0]
-    out = np.zeros((N, 2))
-    for i in range(N):
-        dy, dx = float(py[i]), float(px[i])
-        if subpixel:
-            dy += _parabola(cmy[i], c0[i], cpy[i])
-            dx += _parabola(cmx[i], c0[i], cpx[i])
-        # wrap to signed shifts
-        if dy > H / 2:
-            dy -= H
-        if dx > W / 2:
-            dx -= W
-        out[i] = (dx, dy)
-    return out
+    packed = phase_correlate_device(jnp.asarray(ref, jnp.float32),
+                                    jnp.asarray(frames, jnp.float32))
+    return decode_phasecorr_peaks(np.asarray(packed), H, W, subpixel)
 
 
 def _parabola(cm, c0, cp):
+    """Vectorized sub-pixel parabola refinement."""
     denom = cm - 2.0 * c0 + cp
-    if abs(denom) < 1e-12:
-        return 0.0
-    return float(np.clip(0.5 * (cm - cp) / denom, -1.0, 1.0))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        off = np.clip(0.5 * (cm - cp) / denom, -1.0, 1.0)
+    return np.where(np.abs(denom) < 1e-12, 0.0, off)
 
 
 @dataclass
