@@ -923,7 +923,8 @@ def cmd_seqexport(ctx, args):
 
 @command("precompile",
          "precompile nb_frames [-width=] [-height=] [-channels=] "
-         "[-rej=type[,type...]] [-sig=lo,hi] [-pipeline]",
+         "[-rej=type[,type...]] [-sig=lo,hi] [-pipeline] "
+         "[-persp[=D,D...]]",
          min_args=1)
 def cmd_precompile(ctx, args):
     """AOT-compile the stacking kernel set for a given sequence shape into
@@ -933,6 +934,7 @@ def cmd_precompile(ctx, args):
     from siril_tpu.ops import rejection as rj
     from siril_tpu.utils.jaxcache import enable_compilation_cache
     from siril_tpu.utils.precompile import (
+        precompile_perspective_kernels,
         precompile_pipeline_kernels,
         precompile_stack_kernels,
     )
@@ -961,5 +963,12 @@ def cmd_precompile(ctx, args):
     if "pipeline" in flags:
         done += precompile_pipeline_kernels(n, width, height, channels,
                                             log=log_message)
+    if "persp" in flags:
+        dbuckets = (2, 4)
+        if isinstance(flags.get("persp"), str):
+            dbuckets = tuple(int(v) for v in flags["persp"].split(","))
+        done += precompile_perspective_kernels(n, width, height, channels,
+                                               dbuckets=dbuckets,
+                                               log=log_message)
     log_message(f"precompile: {len(done)} kernels in "
                 f"{__import__('time').perf_counter() - t0:.1f}s")

@@ -168,6 +168,9 @@ def precompile_pipeline_kernels(n: int, width: int, height: int,
         done.append((f"warp_affine ({ac},{channels},"
                      f"{height},{width})", t))
 
+    # perspective (affine chirp-Z + residual shift passes) — rare
+    # family, so it is compiled only when requested (see the -persp
+    # flag); helper kept next to its siblings
     # _device_norm_coeffs sub-chunks estimator input to ~512 MiB
     hw = height * width
     sub = max(1, (512 << 20) // max(hw * 4, 1))
@@ -230,6 +233,48 @@ def precompile_pipeline_kernels(n: int, width: int, height: int,
     if log:
         for name, t in done:
             log(f"precompile: {name}: {t:.1f}s")
+    return done
+
+
+def precompile_perspective_kernels(n: int, width: int, height: int,
+                                   channels: int = 1,
+                                   frame_chunk: int = 16,
+                                   dbuckets: Sequence[int] = (2, 4),
+                                   log=None) -> List[Tuple[str, float]]:
+    """Compile the perspective warp programs (affine chirp-Z + residual
+    shift passes, ops/interp.py warp_perspective_batch).  Projective
+    registrations are the rare family, and the program is parameterized
+    by the static shift bound D (bucketed to {2,4,8,16}), so this is a
+    separate opt-in set: pass the buckets the sequence is expected to
+    hit (small-curvature fields land in 2 and 4)."""
+    import jax.numpy as jnp
+
+    from siril_tpu.ops.interp import _perspective_czt_fn
+
+    done: List[Tuple[str, float]] = []
+    px = channels * height * width
+    chunk = min(frame_chunk, n)
+    chunk_sizes = {chunk}
+    if n % frame_chunk:
+        chunk_sizes.add(n % frame_chunk)
+    # warp_perspective_batch sub-chunks to ~24 MiB and pads tails to the
+    # full sub-chunk, so the only executed batch per pipeline chunk size
+    # is min(sub-chunk, pipeline-chunk)
+    pchunk = max(int((24 << 20) // max(px * 4, 1)), 1)
+    pchunks = {min(pchunk, cs) for cs in chunk_sizes}
+    for D in sorted(set(int(d) for d in dbuckets)):
+        for pc in sorted(pchunks):
+            sig = (_sds((pc,), jnp.float32), _sds((pc,), jnp.float32))
+            t = _compile(_perspective_czt_fn(height, width, D),
+                         _sds((pc, channels, height, width), jnp.float32),
+                         _sds((pc, 2, 2), jnp.float32),
+                         _sds((pc, 2), jnp.float32),
+                         _sds((pc, 3, 3), jnp.float32),
+                         _sds((pc,), jnp.bool_), sig, sig)
+            done.append((f"warp_perspective D={D} ({pc},{channels},"
+                         f"{height},{width})", t))
+            if log:
+                log(f"precompile: {done[-1][0]}: {t:.1f}s")
     return done
 
 

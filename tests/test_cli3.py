@@ -317,3 +317,21 @@ def test_register_2pass_command(tmp_path):
     assert reg.valid.sum() == 4
     H0 = np.linalg.inv(reg.H[0]) @ reg.H[3]
     assert abs(H0[0, 2] - (-6)) < 0.3 and abs(H0[1, 2] - 4) < 0.3
+
+
+class TestPrecompile:
+    def test_perspective_kernels_compile(self):
+        from siril_tpu.utils.precompile import precompile_perspective_kernels
+
+        done = precompile_perspective_kernels(3, 48, 32, dbuckets=(2,))
+        assert len(done) == 1
+        name, t = done[0]
+        assert "warp_perspective D=2" in name and t > 0
+
+    def test_cli_flag(self, tmp_path):
+        from siril_tpu.cli.context import Session
+        from siril_tpu.cli.parser import process_command_line
+
+        ctx = Session(cwd=str(tmp_path))
+        assert process_command_line(
+            ctx, "precompile 3 -width=48 -height=32 -rej=w -persp=2") == 0
