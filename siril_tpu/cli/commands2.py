@@ -966,7 +966,14 @@ def cmd_precompile(ctx, args):
     if "persp" in flags:
         dbuckets = (2, 4)
         if isinstance(flags.get("persp"), str):
-            dbuckets = tuple(int(v) for v in flags["persp"].split(","))
+            try:
+                dbuckets = tuple(int(v) for v in flags["persp"].split(","))
+            except ValueError:
+                raise CommandError("-persp= expects D values from 2,4,8,16")
+            # D is bucketed at runtime (perspective_split_from_Hs) — a
+            # kernel compiled for any other D can never be hit
+            if not dbuckets or not set(dbuckets) <= {2, 4, 8, 16}:
+                raise CommandError("-persp= expects D values from 2,4,8,16")
         done += precompile_perspective_kernels(n, width, height, channels,
                                                dbuckets=dbuckets,
                                                log=log_message)

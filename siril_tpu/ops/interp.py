@@ -1044,9 +1044,11 @@ def warp_affine_batch(frames_dev, aff, clamp: bool = True):
 # exact to ~1e-6 px).
 #
 # Reference behavior: cvTransformImage (opencv.cpp:518) lanczos4 +
-# clamp, BORDER_TRANSPARENT.  A <=D px band at the frame edge is ceded
-# to the validity mask vs the gather path (tmp is only materialized on
-# the output grid); registration borders are black-filled either way.
+# clamp, BORDER_TRANSPARENT.  A <=D+~8 px band at the frame edge is
+# ceded to the validity mask vs the gather path (tmp is materialized on
+# the output grid only, and the shift-pass tap windows must not read
+# its zero-pad or chirp-Z wrap); registration borders are black-filled
+# either way.
 
 
 def _shift_resample_last(img, u, D: int):
@@ -1229,12 +1231,25 @@ def perspective_czt_core(frames, M, b, K, flipmask, sig_x, sig_y,
                 frames, srcy, srcx)
         mask = _dilate3(out < CLAMPING_FACTOR * guide)
         out = jnp.where(mask, guide, out)
-    # validity: the ORIGINAL source M.q + b must be in-bounds AND q must
-    # land on tmp's materialized grid (<=D px edge band ceded)
-    ok = ((srcx >= 0.0) & (srcx <= W - 1.0)
-          & (srcy >= 0.0) & (srcy <= H - 1.0)
-          & (qx0 >= 0.0) & (qx0 <= W - 1.0)
-          & (qy0 >= 0.0) & (qy0 <= H - 1.0))
+    # validity: the shift passes read tmp in a tap window around q
+    # (lanczos radius A per pass, +~2 px of cross-pass drift of the
+    # column map over the row window).  That window must stay on tmp's
+    # materialized grid AND its affine pre-image must stay inside the
+    # original frame — outside it tmp holds chirp-Z periodic wrap, and
+    # past the grid the window reads zero-padding: either would enter
+    # the stack darkened-but-"valid".  The gather path renormalizes
+    # edge taps instead; this band is ceded like the <=D band (family
+    # note above), and registration borders are black-filled either way.
+    A = 4.0
+    mqx, mqy = A + 2.0, A
+    rsx = (jnp.abs(M[:, 0, 0]) * mqx + jnp.abs(M[:, 0, 1]) * mqy
+           + 0.5)[:, None, None]
+    rsy = (jnp.abs(M[:, 1, 0]) * mqx + jnp.abs(M[:, 1, 1]) * mqy
+           + 0.5)[:, None, None]
+    ok = ((srcx >= rsx) & (srcx <= W - 1.0 - rsx)
+          & (srcy >= rsy) & (srcy <= H - 1.0 - rsy)
+          & (qx0 >= mqx) & (qx0 <= W - 1.0 - mqx)
+          & (qy0 >= mqy) & (qy0 <= H - 1.0 - mqy))
     return out * ok[:, None, :, :]
 
 

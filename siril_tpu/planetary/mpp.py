@@ -37,7 +37,6 @@ from typing import Optional, Tuple
 import numpy as np
 
 from siril_tpu.core.image import SirilImage
-from siril_tpu.planetary.quality import quality_batch
 from siril_tpu.utils.log import log_message
 
 
@@ -136,8 +135,6 @@ def _aligned_sum_fn(H: int, W: int):
 def mpp_analyze(seq, args: Optional[MPPArgs] = None) -> MPPState:
     import jax.numpy as jnp
 
-    from siril_tpu.registration.shift import phase_correlate
-
     args = args or MPPArgs()
     layer = args.layer
     indices = seq.selected_indices()
@@ -150,23 +147,35 @@ def mpp_analyze(seq, args: Optional[MPPArgs] = None) -> MPPState:
         H, W = img0.height, img0.width
         seq.ry, seq.rx = H, W
 
+    from siril_tpu.planetary.quality import quality_batch_device
+    from siril_tpu.registration.shift import (
+        decode_phasecorr_peaks,
+        phase_correlate_device,
+    )
+    from siril_tpu.utils.devfetch import DeviceCollector
+
+    # frame_chunks sweeps `indices` in order, so per-chunk results are
+    # positional; results stay on device and are fetched ONCE per sweep
+    # (each per-chunk fetch costs a full tunnel round trip)
+    pos_of = {int(i): p for p, i in enumerate(indices)}
+
     # 1. quality of every frame (batched)
-    qual = np.zeros(n)
+    col = DeviceCollector()
     for chunk, frames in _read_frames(seq, indices, layer, args.frame_batch):
-        q = quality_batch(frames)
-        for k, i in enumerate(chunk):
-            qual[np.nonzero(indices == i)[0][0]] = q[k]
+        col.append(quality_batch_device(frames))
+    qual = col.concat()[:n].astype(np.float64)
     best = int(np.argmax(qual))
     log_message(f"MPP analyze: best frame {indices[best]} "
                 f"(q={qual[best]:.3g})")
 
     # 2. global align vs the best frame
     ref0 = seq.read_frame(int(indices[best])).host()[layer]
-    gshifts = np.zeros((n, 2))
+    ref_dev = jnp.asarray(ref0, jnp.float32)
+    col = DeviceCollector()
     for chunk, frames in _read_frames(seq, indices, layer, args.frame_batch):
-        sh = phase_correlate(ref0, frames)
-        for k, i in enumerate(chunk):
-            gshifts[np.nonzero(indices == i)[0][0]] = sh[k]
+        col.append(phase_correlate_device(
+            ref_dev, jnp.asarray(frames, jnp.float32)))
+    gshifts = decode_phasecorr_peaks(col.concat()[:n], H, W)
 
     # 3. reference = mean of best R% globally aligned
     n_best = max(int(round(n * args.global_best_pct / 100.0)), 1)
@@ -174,7 +183,7 @@ def mpp_analyze(seq, args: Optional[MPPArgs] = None) -> MPPState:
     acc = None
     for chunk, frames in _read_frames(seq, indices[best_idx], layer,
                                       args.frame_batch):
-        pos = [np.nonzero(indices == i)[0][0] for i in chunk]
+        pos = [pos_of[int(i)] for i in chunk]
         # gshift is the frame→ref translation: aligned(x) = frame(x − d),
         # i.e. shift content by +d; sum ON DEVICE — only the final
         # (H, W) mean is fetched
