@@ -98,6 +98,15 @@ def _append_history():
         pass
 
 
+def _cache_entries():
+    try:
+        d = os.environ.get("SIRIL_TPU_JAX_CACHE",
+                           os.path.expanduser("~/.cache/siril_tpu_jax"))
+        return sum(1 for f in os.listdir(d) if f.endswith("-cache"))
+    except OSError:
+        return 0
+
+
 def emit(final=False):
     if _best.get("value"):
         prior = _load_best_prior()
@@ -110,7 +119,26 @@ def emit(final=False):
         print(json.dumps({k: v for k, v in _best.items()
                           if not k.startswith("_")}), flush=True)
     elif final:
-        status("no TPU result captured — nothing to emit")
+        # No capture — emit a parseable diagnostic record instead of an
+        # empty tail (the round-2 artifact was rc=124 with NOTHING; the
+        # cause was undiagnosable from the JSON).  value=null is honest:
+        # no number was measured THIS run; best_prior_run carries the
+        # most recent captured run of the same workload for context.
+        diag = {
+            "metric": f"fused_calib_register_winsorized_stack_"
+                      f"{N_FRAMES}x16Mpix",
+            "value": None, "unit": "Mpix/s", "vs_baseline": None,
+            "error": "no TPU pass completed within budget "
+                     "(cold compile cache and/or degraded tunnel; "
+                     "see compile_probe_s / tunnel_h2d_mbs; each "
+                     "attempt ratchets the persistent cache forward)",
+            "compile_probe_s": _best.get("compile_probe_s"),
+            "tunnel_h2d_mbs": _best.get("tunnel_h2d_mbs"),
+            "cache_entries": _cache_entries(),
+            "best_prior_run": _load_best_prior(),
+            "cpu_baseline": _best.get("cpu_baseline"),
+        }
+        print(json.dumps(diag), flush=True)
 
 
 def _on_signal(signum, frame):
@@ -340,6 +368,42 @@ def _child(d, plan, deadline_s):
     rate = rate_box.get("rate")
     if rate is not None:
         print(f"BENCH_TUNNEL {rate:.0f}", flush=True)
+
+    # Compile-latency probe: the remote compile service's speed varies
+    # ~100x across days (a trivial reduction compiled in 29 s on
+    # 2026-08-20 vs <1 s healthy), and on a COLD persistent cache the
+    # pipeline's program chain cannot finish inside the watchdog on a
+    # slow day — each killed attempt still ratchets the cache forward
+    # one program, so the FAILURE diagnostics (this probe + cache entry
+    # counts) go into the emitted JSON.  A unique shape per run keeps
+    # the probe itself out of the cache.
+    comp_box = {}
+
+    def _cprobe():
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            k = 3 + int(time.time() // 60) % 89
+            f = jax.jit(lambda x: (x * 1.0000001 + 0.5).sum())
+            tc = time.monotonic()
+            f.lower(jax.ShapeDtypeStruct((k, 257), jnp.float32)).compile()
+            comp_box["s"] = time.monotonic() - tc
+        except Exception:
+            pass
+
+    thc = threading.Thread(target=_cprobe, daemon=True)
+    thc.start()
+    thc.join(timeout=45)
+    comp_s = comp_box.get("s")
+    print(f"BENCH_COMPILE {comp_s:.1f}" if comp_s is not None
+          else "BENCH_COMPILE timeout", flush=True)
+    if (comp_s is None or comp_s > 30) and plan and plan[0] > 4:
+        # slow-compile day: a full-chain completion is only plausible at
+        # the smallest tier (execution is cheap there; compile cost is
+        # per-program, so banking ANY number beats none) — escalation
+        # still upgrades if the cache turns out warm
+        plan = [4] + list(plan)
     # collapsed tunnel (~7 MB/s days exist): even the fallback-size pass
     # may not finish — bank a tiny tier first so SOMETHING is always
     # captured; at ~1 MB/s (measured 2026-08-19 pm) only a 4-frame pass
@@ -430,6 +494,11 @@ def measure_tpu(d, plan, cap=None):
             elif line.startswith("BENCH_TUNNEL"):
                 _best["tunnel_h2d_mbs"] = float(line.split()[1])
                 status(f"tunnel H2D: {_best['tunnel_h2d_mbs']:.0f} MB/s")
+            elif line.startswith("BENCH_COMPILE"):
+                tok = line.split()[1]
+                _best["compile_probe_s"] = (None if tok == "timeout"
+                                            else float(tok))
+                status(f"compile probe: {tok}s for a trivial program")
             else:
                 status(f"  | {line[-150:]}")
 

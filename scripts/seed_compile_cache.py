@@ -1,0 +1,48 @@
+"""Snapshot the live XLA compilation cache into the committed seed dir.
+
+Run after warming kernels (a bench pass, ``siril-tpu precompile``, or a
+full pipeline run) so fresh VMs in later rounds start with a warm cache:
+``utils/jaxcache.enable_compilation_cache`` copies these entries back
+into ``~/.cache/siril_tpu_jax`` on first use.  Entries are content-keyed
+(HLO + compiler version); on a non-matching image JAX just misses.
+
+Only entries >= MIN_KB are copied (small programs recompile in seconds
+even on a degraded remote-compile day; the multi-minute hazards are the
+big fused/Mosaic programs), and the seed is capped at CAP_MB by dropping
+the smallest entries first.
+"""
+
+import os
+import shutil
+import sys
+
+MIN_KB = int(os.environ.get("SEED_MIN_KB", "24"))
+CAP_MB = int(os.environ.get("SEED_CAP_MB", "120"))
+
+repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+src = os.environ.get("SIRIL_TPU_JAX_CACHE",
+                     os.path.expanduser("~/.cache/siril_tpu_jax"))
+dst = os.path.join(repo, "cache_seed")
+os.makedirs(dst, exist_ok=True)
+
+entries = []
+for name in os.listdir(src):
+    if name.endswith("-cache"):
+        p = os.path.join(src, name)
+        sz = os.path.getsize(p)
+        if sz >= MIN_KB << 10:
+            entries.append((sz, name))
+entries.sort(reverse=True)
+
+total = 0
+copied = 0
+for sz, name in entries:
+    if total + sz > CAP_MB << 20:
+        break
+    shutil.copyfile(os.path.join(src, name), os.path.join(dst, name))
+    total += sz
+    copied += 1
+
+print(f"seeded {copied}/{len(entries)} entries, "
+      f"{total / 1e6:.1f} MB -> {dst}")
+sys.exit(0)
