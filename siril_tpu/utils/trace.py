@@ -27,13 +27,35 @@ _acc: Dict[str, List[float]] = defaultdict(list)
 _device_trace_dir = None
 
 
+_STALL_S = float(os.environ.get("SIRIL_TPU_STALL_LOG_S", "90"))
+
+
 @contextmanager
 def stage(name: str) -> Iterator[None]:
-    """Time one pipeline stage (show_time equivalent, accumulated)."""
+    """Time one pipeline stage (show_time equivalent, accumulated).
+
+    A stage blocked >90 s (SIRIL_TPU_STALL_LOG_S) logs a heartbeat line
+    each interval: device waits hang for minutes-to-forever when the
+    remote compile service degrades, and without the heartbeat a stuck
+    run is indistinguishable from a dead one in the bench status stream
+    (2026-08-20 diagnosis; 0 disables)."""
     t0 = time.perf_counter()
+    done = threading.Event()
+    watcher = None
+    if _STALL_S > 0:
+        def _watch():
+            k = 0
+            while not done.wait(_STALL_S):
+                k += 1
+                print(f"[stall] stage '{name}' still running after "
+                      f"{k * _STALL_S:.0f}s (device compile/exec wait?)",
+                      flush=True)
+        watcher = threading.Thread(target=_watch, daemon=True)
+        watcher.start()
     try:
         yield
     finally:
+        done.set()
         dt = time.perf_counter() - t0
         with _lock:
             _acc[name].append(dt)
