@@ -25,8 +25,15 @@ src = os.environ.get("SIRIL_TPU_JAX_CACHE",
 dst = os.path.join(repo, "cache_seed")
 os.makedirs(dst, exist_ok=True)
 
+try:
+    names = os.listdir(src)
+except FileNotFoundError:
+    print(f"error: live cache dir {src} does not exist — run a warm "
+          f"pass (bench.py or `siril-tpu precompile`) first", file=sys.stderr)
+    sys.exit(1)
+
 entries = []
-for name in os.listdir(src):
+for name in names:
     if name.endswith("-cache"):
         p = os.path.join(src, name)
         sz = os.path.getsize(p)
@@ -38,7 +45,7 @@ total = 0
 copied = 0
 for sz, name in entries:
     if total + sz > CAP_MB << 20:
-        break
+        continue        # smaller remaining entries may still fit the cap
     shutil.copyfile(os.path.join(src, name), os.path.join(dst, name))
     total += sz
     copied += 1

@@ -35,11 +35,20 @@ def seed_from_repo(path: str) -> int:
             continue
         dst = os.path.join(path, name)
         if not os.path.exists(dst):
+            # copy via a temp file + os.replace so a process killed
+            # mid-copy (the bench watchdog kills arbitrarily) can never
+            # leave a truncated entry that the exists-check would then
+            # pin forever (JAX's LRUCache.put never overwrites a key)
+            tmp = os.path.join(path, f".seed_tmp_{os.getpid()}_{name}")
             try:
-                shutil.copyfile(os.path.join(SEED_DIR, name), dst)
+                shutil.copyfile(os.path.join(SEED_DIR, name), tmp)
+                os.replace(tmp, dst)
                 n += 1
             except OSError:
-                pass
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
     return n
 
 

@@ -7,7 +7,9 @@ Two layers:
 
 - ``stage(name)`` context manager: wall-clock per pipeline stage,
   accumulated in a process-wide registry; ``report()`` renders it.
-  Enabled always (nanosecond-cheap).
+  Each stage also spawns a daemon watcher thread that logs a stall
+  heartbeat to stderr if the stage blocks past SIRIL_TPU_STALL_LOG_S
+  (set 0 to disable and make stage() thread-free again).
 - xprof device tracing: set ``SIRIL_TPU_TRACE=/path`` (or call
   ``start_device_trace``) to capture a ``jax.profiler`` trace viewable in
   TensorBoard/Perfetto — covers XLA kernels, transfers, and host gaps.
@@ -16,6 +18,7 @@ Two layers:
 from __future__ import annotations
 
 import os
+import sys
 import threading
 import time
 from collections import defaultdict
@@ -47,9 +50,12 @@ def stage(name: str) -> Iterator[None]:
             k = 0
             while not done.wait(_STALL_S):
                 k += 1
+                # stderr: stdout may carry a line-oriented protocol
+                # (the bench child), and injecting from a background
+                # thread would corrupt it for strict consumers
                 print(f"[stall] stage '{name}' still running after "
                       f"{k * _STALL_S:.0f}s (device compile/exec wait?)",
-                      flush=True)
+                      file=sys.stderr, flush=True)
         watcher = threading.Thread(target=_watch, daemon=True)
         watcher.start()
     try:
