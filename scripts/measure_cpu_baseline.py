@@ -48,6 +48,61 @@ def measure_native_stack(n=50, p=2_000_000):
     return n * p / 1e6 / t
 
 
+def measure_native_e2e(n=8):
+    """Native C++ OpenMP e2e twin: decode + calibrate + detect + match +
+    warp + normalize + winsorized stack over n×16 Mpix frames resident
+    in RAM (native/cpu_twin.cpp).  Every stage is frame/row-parallel
+    (like the reference: processing.c:204-207, median_and_mean.c:1384),
+    so the multicore rate scale-models as rate × cores."""
+    from siril_tpu import native
+
+    if native.get_twin_lib() is None:
+        return None
+    import bench
+
+    have = bench.ensure_dataset(n)
+    n = min(n, have)
+    from siril_tpu.io.fits_io import read_fits
+
+    frames = np.empty((n, S, S), np.float32)
+    for i in range(n):
+        img = read_fits(os.path.join(bench.DATA_DIR, f"light_{i:05d}.fit"))
+        frames[i] = img.host()[0]
+    bias = read_fits(os.path.join(bench.DATA_DIR, "bias.fit")).host()[0]
+    dark = read_fits(os.path.join(bench.DATA_DIR, "dark.fit")).host()[0]
+    flat = read_fits(os.path.join(bench.DATA_DIR, "flat.fit")).host()[0]
+    # decode stage timed separately on the raw u16 view (the chain's
+    # first stage; read_fits above already decoded, so re-decode a
+    # synthetic i16 buffer of the same size for the timing)
+    raw16 = (frames[:1] * 65535.0 - 32768.0).astype(np.int16)
+    dec = np.empty(raw16.size, np.float32)
+    lib = native.get_twin_lib()
+    import ctypes
+    t0 = time.perf_counter()
+    lib.twin_decode_i16(raw16.ctypes.data_as(
+        ctypes.POINTER(ctypes.c_int16)),
+        dec.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), raw16.size)
+    t_decode = (time.perf_counter() - t0) * n        # per-frame × n
+    t0 = time.perf_counter()
+    res = native.twin_e2e(frames, bias, dark, flat)
+    t_chain = time.perf_counter() - t0
+    if res is None:
+        return None
+    stacked, stages = res
+    t_total = t_chain + t_decode
+    tput = n * S * S / 1e6 / t_total
+    return {
+        "n": n, "tput_mpix_s": round(tput, 3),
+        "t_total_s": round(t_total, 2),
+        "stages_s": {k: round(v, 2) for k, v in zip(
+            ("calibrate", "detect", "match", "warp", "normalize",
+             "stack"), stages)},
+        "t_decode_s": round(t_decode, 2),
+        "threads": int(lib.twin_threads()),
+        "stack_mean": float(stacked.mean()),
+    }
+
+
 def measure_e2e_jaxcpu(n=4):
     import bench
 
@@ -78,6 +133,14 @@ def main():
     else:
         print(f"native C++ winsorized stack: {native_tput:.2f} "
               "frame-Mpix/s")
+    native_e2e = measure_native_e2e()
+    if native_e2e is None:
+        print("native C++ e2e twin: unavailable (no toolchain)")
+    else:
+        print(f"native C++ e2e twin ({native_e2e['n']}×16 Mpix, "
+              f"{native_e2e['threads']} thread(s)): "
+              f"{native_e2e['tput_mpix_s']} Mpix/s  "
+              f"stages={native_e2e['stages_s']}")
     e2e_tput, n_used = measure_e2e_jaxcpu()
     print(f"e2e JAX-CPU twin ({n_used}×16 Mpix): {e2e_tput:.3f} Mpix/s")
     rec = {
@@ -93,6 +156,17 @@ def main():
                              "(adds I/O, star detect, PSF fit, warp)",
         "host_cpus": ncpu,
     }
+    if native_e2e is not None:
+        rec["native_e2e_mpix_s"] = native_e2e["tput_mpix_s"]
+        rec["native_e2e_detail"] = native_e2e
+        rec["native_e2e_note"] = (
+            "C++ OpenMP e2e twin (native/cpu_twin.cpp): decode+calibrate+"
+            "detect+match+warp+normalize+winsorized-stack, frames RAM-"
+            "resident; every stage takes the FASTEST available CPU "
+            "algorithm (moment centroids, translation match, separable "
+            "warp), so this is an UPPER bound on the reference chain's "
+            "rate here. All stages are frame/row-parallel — multicore "
+            f"scale-model: rate × cores ({ncpu} core(s) measured).")
     with open(OUT, "w") as f:
         json.dump(rec, f, indent=1)
     print(f"wrote {OUT}")

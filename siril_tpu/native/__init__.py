@@ -254,3 +254,72 @@ def decode_ljpeg(data: bytes):
     if rc != 0:
         return None
     return out.reshape(oh.value, ow.value * onc.value), onc.value
+
+
+# ---------------------------------------------------------------------------
+# e2e CPU twin (benchmark-only; native/cpu_twin.cpp)
+# ---------------------------------------------------------------------------
+
+_TWIN_LIB = None
+_TWIN_TRIED = False
+_TWIN_SRC = os.path.join(os.path.dirname(_SRC), "cpu_twin.cpp")
+
+
+def get_twin_lib() -> Optional[ctypes.CDLL]:
+    """Build/load the native e2e CPU-twin library (scripts/
+    measure_cpu_baseline.py only — not a runtime dependency)."""
+    global _TWIN_LIB, _TWIN_TRIED
+    if _TWIN_TRIED:
+        return _TWIN_LIB
+    _TWIN_TRIED = True
+    if not os.path.exists(_TWIN_SRC):
+        return None
+    with open(_TWIN_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache = os.path.expanduser("~/.cache/siril_tpu_native")
+    os.makedirs(cache, exist_ok=True)
+    so = os.path.join(cache, f"cpu_twin_{digest}.so")
+    if not os.path.exists(so):
+        cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared",
+               "-fPIC", _TWIN_SRC, "-o", so]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        except (subprocess.CalledProcessError, OSError,
+                subprocess.TimeoutExpired):
+            return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return None
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i64 = ctypes.c_int64
+    lib.twin_decode_i16.argtypes = [ctypes.POINTER(ctypes.c_int16), f32p,
+                                    i64]
+    lib.twin_e2e.argtypes = [f32p, i64, i64, i64, f32p, f32p, f32p,
+                             ctypes.c_float, ctypes.c_float, f32p,
+                             ctypes.POINTER(ctypes.c_double)]
+    lib.twin_e2e.restype = ctypes.c_int
+    lib.twin_threads.restype = ctypes.c_int
+    _TWIN_LIB = lib
+    return lib
+
+
+def twin_e2e(frames: np.ndarray, bias: np.ndarray, dark: np.ndarray,
+             flat: np.ndarray, siglow: float = 3.0, sighigh: float = 3.0):
+    """Run the native e2e twin chain over resident f32 frames
+    [n, H, W] (MUTATED in place).  Returns (stacked [H, W], stage_s[6])
+    or None if the twin library is unavailable."""
+    lib = get_twin_lib()
+    if lib is None:
+        return None
+    n, h, w = frames.shape
+    frames = np.ascontiguousarray(frames, np.float32)
+    out = np.empty(h * w, np.float32)
+    stages = np.zeros(6, np.float64)
+    lib.twin_e2e(_f32ptr(frames), n, h, w,
+                 _f32ptr(np.ascontiguousarray(bias, np.float32)),
+                 _f32ptr(np.ascontiguousarray(dark, np.float32)),
+                 _f32ptr(np.ascontiguousarray(flat, np.float32)),
+                 siglow, sighigh, _f32ptr(out),
+                 stages.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return out.reshape(h, w), stages
