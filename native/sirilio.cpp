@@ -715,3 +715,66 @@ extern "C" int decode_nikon(const uint8_t* buf, int64_t len,
     }
     return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Panasonic RW2 v4 bitstream (dcraw panasonic_load_raw / pana_bits
+// semantics — the documented 12-bit sliced predictor format; the
+// reference reads RW2 through libraw, image_formats_libraries.c)
+// ---------------------------------------------------------------------------
+
+namespace pana {
+
+struct Bits {
+    const uint8_t* data;
+    int64_t len, pos;
+    int load_flags;
+    uint8_t buf[0x4000];
+    int vbits;
+
+    Bits(const uint8_t* d, int64_t l, int lf)
+        : data(d), len(l), pos(0), load_flags(lf), vbits(0) {}
+
+    void fill(uint8_t* dst, int64_t n) {
+        for (int64_t i = 0; i < n; i++)
+            dst[i] = pos < len ? data[pos++] : 0;
+    }
+
+    unsigned get(int nbits) {
+        if (!vbits) {
+            fill(buf + load_flags, 0x4000 - load_flags);
+            fill(buf, load_flags);
+        }
+        vbits = (vbits - nbits) & 0x1ffff;
+        int byte = (vbits >> 3) ^ 0x3ff0;
+        return ((buf[byte] | (buf[byte + 1] << 8)) >> (vbits & 7))
+               & ~((-1) << nbits);
+    }
+};
+
+}  // namespace pana
+
+extern "C" int decode_panasonic(const uint8_t* buf, int64_t len,
+                                int32_t width, int32_t height,
+                                int32_t load_flags, uint16_t* out) {
+    pana::Bits bits(buf, len, load_flags);
+    int pred[2], nonz[2], sh = 0;
+    for (int32_t row = 0; row < height; row++) {
+        for (int32_t col = 0; col < width; col++) {
+            int i = col % 14;
+            if (i == 0) pred[0] = pred[1] = nonz[0] = nonz[1] = 0;
+            if (i % 3 == 2) sh = 4 >> (3 - (int)bits.get(2));
+            if (nonz[i & 1]) {
+                int j = (int)bits.get(8);
+                if (j) {
+                    if ((pred[i & 1] -= 0x80 << sh) < 0 || sh == 4)
+                        pred[i & 1] &= ~((-1) << sh);
+                    pred[i & 1] += j << sh;
+                }
+            } else if ((nonz[i & 1] = (int)bits.get(8)) != 0 || i > 11) {
+                pred[i & 1] = nonz[i & 1] << 4 | (int)bits.get(4);
+            }
+            out[(int64_t)row * width + col] = (uint16_t)pred[col & 1];
+        }
+    }
+    return 0;
+}

@@ -52,6 +52,22 @@ def load_any(path: str) -> SirilImage:
         from siril_tpu.io.rawfile import read_raf
 
         return read_raf(path)
+    if ext == ".rw2":
+        from siril_tpu.io.rawfile import read_rw2
+
+        return read_rw2(path)
+    if ext == ".cr3":
+        from siril_tpu.io.rawfile import read_cr3
+
+        return read_cr3(path)   # gated: raises with a clear message
+    if ext == ".pef":
+        from siril_tpu.io.rawfile import read_pef
+
+        return read_pef(path)
+    if ext == ".orf":
+        from siril_tpu.io.rawfile import read_orf
+
+        return read_orf(path)
     if ext in (".heic", ".heif"):
         from siril_tpu.io.rawfile import read_heif
 

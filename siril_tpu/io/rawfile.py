@@ -733,3 +733,280 @@ def read_raf(path: str) -> SirilImage:
         out.keywords.instrume = f"FUJIFILM {model}".strip()
     out.log_history("RAF raw import")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Panasonic RW2
+# ---------------------------------------------------------------------------
+# TIFF-like container with magic version 0x55 ("IIU\0"); PanasonicRaw
+# IFD0 tags (exiftool PanasonicRaw::Main): 0x02/0x03 sensor width/
+# height, 0x04-0x07 active-area borders (top/left/bottom/right),
+# 0x09 CFA pattern id, 0x0A bits per sample, 0x1C-0x1E per-channel
+# black levels (offset by 15), 0x117/0x118 strip bytecount/offset.
+# Raw data: uncompressed u16 LE, or the v4 "sliced" 12-bit predictor
+# bitstream (dcraw panasonic_load_raw / pana_bits semantics —
+# native/sirilio.cpp decode_panasonic, Python fallback below).  The
+# reference reaches RW2 through libraw (image_formats_libraries.c
+# open_raw_files).
+
+_RW2_CFA = {1: "RGGB", 2: "GRBG", 3: "GBRG", 4: "BGGR"}
+
+
+def is_rw2(path: str) -> bool:
+    try:
+        with open(path, "rb") as f:
+            head = f.read(8)
+        return head[:4] == b"II\x55\x00"
+    except OSError:
+        return False
+
+
+def _pana_bits_decode_py(data: bytes, width: int, height: int,
+                         load_flags: int = 0x2008) -> np.ndarray:
+    """Scalar Python fallback of the v4 bitstream decode (exact
+    pana_bits semantics; the native decoder is the fast path)."""
+    buf = bytearray(0x4000)
+    pos = 0
+    vbits = 0
+    n = len(data)
+
+    def refill():
+        nonlocal pos
+        for dst0, cnt in ((load_flags, 0x4000 - load_flags),
+                          (0, load_flags)):
+            take = data[pos:pos + cnt]
+            buf[dst0:dst0 + len(take)] = take
+            if len(take) < cnt:
+                buf[dst0 + len(take):dst0 + cnt] = bytes(cnt - len(take))
+            pos += len(take)
+
+    def bits(nbits):
+        nonlocal vbits
+        if not vbits:
+            refill()
+        vbits = (vbits - nbits) & 0x1FFFF
+        byte = (vbits >> 3) ^ 0x3FF0
+        return ((buf[byte] | (buf[byte + 1] << 8)) >> (vbits & 7)) \
+            & ((1 << nbits) - 1)
+
+    out = np.empty((height, width), np.uint16)
+    pred = [0, 0]
+    nonz = [0, 0]
+    sh = 0
+    for row in range(height):
+        orow = out[row]
+        for col in range(width):
+            i = col % 14
+            if i == 0:
+                pred[0] = pred[1] = nonz[0] = nonz[1] = 0
+            if i % 3 == 2:
+                sh = 4 >> (3 - bits(2))
+            p = col & 1
+            if nonz[p]:
+                j = bits(8)
+                if j:
+                    pred[p] -= 0x80 << sh
+                    if pred[p] < 0 or sh == 4:
+                        pred[p] &= ~(-1 << sh)
+                    pred[p] += j << sh
+            else:
+                nonz[p] = bits(8)
+                if nonz[p] or i > 11:
+                    pred[p] = nonz[p] << 4 | bits(4)
+            orow[col] = pred[p]
+    return out
+
+
+def read_rw2(path: str) -> SirilImage:
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] != b"II\x55\x00":
+        raise ValueError(f"{path}: not a Panasonic RW2 file")
+    ifds = _walk_ifds(data, "<")
+    if not ifds:
+        raise ValueError(f"{path}: RW2 header has no IFD")
+    e0 = ifds[0]
+
+    def tag(t, default=None):
+        if t not in e0:
+            return default
+        return _values(e0[t], "<")
+
+    sw = tag(0x0002)
+    sh_ = tag(0x0003)
+    if not sw or not sh_:
+        raise ValueError(f"{path}: RW2 lacks sensor dimensions")
+    width, height = int(sw[0]), int(sh_[0])
+    bits = int((tag(0x000A) or [12])[0])
+    off_v = tag(0x0118) or tag(T_STRIP_OFF)
+    cnt_v = tag(0x0117) or tag(T_STRIP_CNT)
+    if not off_v:
+        raise ValueError(f"{path}: RW2 lacks a raw-data offset")
+    off = int(off_v[0])
+    cnt = int(cnt_v[0]) if cnt_v else len(data) - off
+    raw_bytes = data[off:off + cnt] if cnt else data[off:]
+
+    if cnt >= width * height * 2:
+        img = np.frombuffer(raw_bytes, "<u2",
+                            count=width * height).reshape(height, width)
+    else:
+        from siril_tpu import native
+
+        img = native.decode_panasonic(raw_bytes, width, height)
+        if img is None:
+            img = _pana_bits_decode_py(raw_bytes, width, height)
+
+    # active-area crop (borders in sensor pixels)
+    top = int((tag(0x0004) or [0])[0])
+    left = int((tag(0x0005) or [0])[0])
+    bottom = int((tag(0x0006) or [height])[0])
+    right = int((tag(0x0007) or [width])[0])
+    if 0 <= top < bottom <= height and 0 <= left < right <= width:
+        img = img[top:bottom, left:right]
+
+    # black level: RW2 stores per-channel levels offset by 15
+    blacks = []
+    for t in (0x001C, 0x001D, 0x001E):
+        v = tag(t)
+        if v:
+            blacks.append(int(v[0]) + 15)
+    black = float(np.mean(blacks)) if blacks else 0.0
+    white = float((1 << bits) - 1)
+    arr = np.clip((img.astype(np.float32) - black)
+                  / max(white - black, 1.0), 0.0, 1.0)
+    out = SirilImage(data=arr[None])
+    out.keywords.bayer_pattern = _RW2_CFA.get(
+        int((tag(0x0009) or [1])[0]), "RGGB")
+    model = tag(T_MODEL)
+    if model and isinstance(model[0], str) and model[0].strip():
+        out.keywords.instrume = model[0].strip("\x00 ")
+    out.log_history("RW2 raw import")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Canon CR3 (gated)
+# ---------------------------------------------------------------------------
+
+
+def read_cr3(path: str) -> SirilImage:
+    """CR3 is an ISO-BMFF container with Canon's crx wavelet codec —
+    not implemented (the reference needs libraw ≥0.20 for it too,
+    image_formats_libraries.c).  Gate with a clear, actionable error
+    like the reference gates missing libheif."""
+    raise ValueError(
+        f"{path}: Canon CR3 (crx codec) is not supported natively — "
+        "convert to DNG (Adobe DNG Converter) or shoot CR2/raw-DNG; "
+        "CR2, NEF, ARW, RAF, RW2 and DNG decode natively")
+
+
+# ---------------------------------------------------------------------------
+# Pentax PEF / Olympus ORF (uncompressed paths; compressed gated)
+# ---------------------------------------------------------------------------
+# Both are TIFF-family CFA containers (the reference reads them through
+# libraw, image_formats_libraries.c open_raw_files).  PEF is standard
+# TIFF ("II*\0"/"MM\0*"); ORF replaces the TIFF version word with "RO"
+# ("IIRO") or "RS" but keeps the IFD layout.  Uncompressed 16-bit and
+# 12-bit-packed sensor strips decode here; the vendor-specific
+# compressors (Pentax huffman 65535, Olympus 0x Olympus-packed
+# compression) are gated with clear errors.
+
+
+def is_pef(path: str) -> bool:
+    if not path.lower().endswith(".pef"):
+        return False
+    try:
+        with open(path, "rb") as f:
+            head = f.read(4)
+        return head in (b"II*\x00", b"MM\x00*")
+    except OSError:
+        return False
+
+
+def is_orf(path: str) -> bool:
+    try:
+        with open(path, "rb") as f:
+            head = f.read(4)
+        return head in (b"IIRO", b"IIRS", b"MMOR")
+    except OSError:
+        return False
+
+
+def _unpack12_le(raw: bytes, count: int) -> np.ndarray:
+    """Little-endian 12-bit packing (2 values / 3 bytes): v0 = b0 |
+    (b1 & 0xF) << 8; v1 = b1 >> 4 | b2 << 4."""
+    b = np.frombuffer(raw, np.uint8)
+    ntrip = len(b) // 3
+    b = b[:ntrip * 3].reshape(ntrip, 3).astype(np.uint16)
+    v0 = b[:, 0] | ((b[:, 1] & 0xF) << 8)
+    v1 = (b[:, 1] >> 4) | (b[:, 2] << 4)
+    out = np.empty(ntrip * 2, np.uint16)
+    out[0::2] = v0
+    out[1::2] = v1
+    return out[:count]
+
+
+def _read_tiff_cfa_strips(path: str, data: bytes, endian: str,
+                          vendor: str) -> SirilImage:
+    ifds = _walk_ifds(data, endian)
+    e = _find_cfa_ifd(ifds, endian)
+    if e is None:
+        # some bodies omit PhotometricInterpretation on the raw IFD —
+        # fall back to the largest strip-bearing IFD
+        best = 0
+        for cand in ifds:
+            if T_STRIP_OFF in cand and T_WIDTH in cand:
+                a = _values(cand[T_WIDTH], endian)[0] * \
+                    _values(cand[T_LENGTH], endian)[0]
+                if a > best:
+                    best, e = a, cand
+        if e is None:
+            raise ValueError(f"{path}: no raw IFD found")
+    width = int(_values(e[T_WIDTH], endian)[0])
+    height = int(_values(e[T_LENGTH], endian)[0])
+    bits = int(_values(e[T_BITS], endian)[0]) if T_BITS in e else 16
+    comp = int(_values(e[T_COMP], endian)[0]) if T_COMP in e else 1
+    if comp != 1:
+        raise ValueError(
+            f"{path}: {vendor} compression {comp} is not supported "
+            "natively — convert to DNG; uncompressed "
+            f"{vendor} decodes directly")
+    offs = _values(e[T_STRIP_OFF], endian)
+    cnts = _values(e[T_STRIP_CNT], endian) if T_STRIP_CNT in e \
+        else [len(data) - offs[0]]
+    raw = b"".join(data[o:o + c] for o, c in zip(offs, cnts))
+    n = width * height
+    if len(raw) >= n * 2:
+        img = np.frombuffer(raw, endian + "u2", count=n).reshape(
+            height, width)
+    elif len(raw) * 2 >= n * 3 and bits == 12:
+        img = _unpack12_le(raw, n).reshape(height, width)
+    else:
+        raise ValueError(
+            f"{path}: {vendor} raw strips are smaller than the sensor "
+            "area — vendor compression is not supported, convert to DNG")
+    white = float((1 << bits) - 1)
+    arr = np.clip(img.astype(np.float32) / white, 0.0, 1.0)
+    out = SirilImage(data=arr[None])
+    out.keywords.bayer_pattern = _decode_cfa_pattern(e, endian)
+    _apply_ifd0_metadata(out, ifds, e, endian)
+    out.log_history(f"{vendor} raw import")
+    return out
+
+
+def read_pef(path: str) -> SirilImage:
+    with open(path, "rb") as f:
+        data = f.read()
+    endian = "<" if data[:2] == b"II" else ">"
+    if data[:4] not in (b"II*\x00", b"MM\x00*"):
+        raise ValueError(f"{path}: not a TIFF/PEF file")
+    return _read_tiff_cfa_strips(path, data, endian, "PEF")
+
+
+def read_orf(path: str) -> SirilImage:
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] not in (b"IIRO", b"IIRS", b"MMOR"):
+        raise ValueError(f"{path}: not an Olympus ORF file")
+    endian = "<" if data[:2] == b"II" else ">"
+    return _read_tiff_cfa_strips(path, data, endian, "ORF")

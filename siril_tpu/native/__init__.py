@@ -77,6 +77,9 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     lib.decode_nikon.restype = ctypes.c_int
     lib.stack_winsorized.argtypes = [f32p, i64, i64, f32p, f32p,
                                      ctypes.c_float, ctypes.c_float, f32p]
+    lib.decode_panasonic.argtypes = [u8p, i64, ctypes.c_int32,
+                                     ctypes.c_int32, ctypes.c_int32, u16p]
+    lib.decode_panasonic.restype = ctypes.c_int
     return lib
 
 
@@ -323,3 +326,22 @@ def twin_e2e(frames: np.ndarray, bias: np.ndarray, dark: np.ndarray,
                  siglow, sighigh, _f32ptr(out),
                  stages.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
     return out.reshape(h, w), stages
+
+
+def decode_panasonic(data: bytes, width: int, height: int,
+                     load_flags: int = 0x2008):
+    """Panasonic RW2 v4 bitstream → u16 [h, w], or None when the native
+    library is unavailable (io/rawfile.py falls back to the Python
+    decoder)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    out = np.empty(height * width, np.uint16)
+    rc = lib.decode_panasonic(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
+        width, height, load_flags,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+    if rc != 0:
+        return None
+    return out.reshape(height, width)
