@@ -365,13 +365,32 @@ def _child(d, plan, deadline_s):
     def out(n, val):
         print(f"BENCH_RESULT {n} {val}", flush=True)
 
+    # FIRST CONTACT, synchronous and visible: the tunnel's first
+    # device_put+fetch of a fresh process can take 200-300 s on a
+    # degraded day (measured 2026-08-20: 40 s put + 164 s first fetch,
+    # then everything after ran at full speed).  Absorb that cost in ONE
+    # stage with stall heartbeats BEFORE any probe threads — previously
+    # the probes hit this wall first, burned their 60+45 s join budgets,
+    # and left daemon threads racing the pipeline while the parent saw
+    # zero output for minutes.
+    from siril_tpu.utils.trace import stage as _stage
+
+    with _stage("bench.tunnel_warmup"):
+        import jax
+
+        tw = time.monotonic()
+        warm = jax.device_put(np.ones((64, 64), np.float32))
+        _ = float(warm.sum())
+        print(f"BENCH_WARMUP {time.monotonic() - tw:.1f}", flush=True)
+
     # Upload-rate probe: e2e throughput is wire-bound when the tunnel
     # degrades (measured 7 MB/s – 1.7 GB/s across days), so the JSON
     # records the H2D rate this number was taken at.  The sync fetch's
     # own round-trip latency (~1-2 s) is measured with a 4-byte upload
     # and subtracted, otherwise a fast tunnel reads ~5 MB/s.  The probe
     # runs in a daemon thread with a hard join timeout so a dead/
-    # crawling tunnel cannot eat the measurement budget.
+    # crawling tunnel cannot eat the measurement budget (the connection
+    # is already warm here, so a healthy tunnel answers in ~2 s).
     rate_box = {}
 
     def _probe():
@@ -461,6 +480,32 @@ def _child(d, plan, deadline_s):
     t1 = run_pipeline(d, n)
     out(n, t1)
     t_last, n_last = t1, n
+
+    # Device-resident compute-only metric from THIS warm process (a
+    # separate subprocess would pay the first-contact warm-up again).
+    # Stage ladder: full chain first, smaller compile surfaces as
+    # fallbacks; each compile that lands also ratchets the cache.
+    if left() > 90:
+        try:
+            import json as _json
+
+            from siril_tpu.tools.compute_probe import device_compute_probe
+
+            for pstage in ("full", "nodetect", "stack"):
+                if left() < 60:
+                    break
+                try:
+                    r = device_compute_probe(n=8, size=4096, iters=3,
+                                             stage=pstage)
+                    print("BENCH_COMPUTE_ONLY " + _json.dumps(r),
+                          flush=True)
+                    break
+                except Exception as e:      # noqa: BLE001
+                    print(f"BENCH_NOTE compute probe [{pstage}] "
+                          f"failed: {e}", flush=True)
+        except Exception as e:              # noqa: BLE001
+            print(f"BENCH_NOTE compute probe import failed: {e}",
+                  flush=True)
     # Escalate / tighten until the budget runs dry.  The first pass's
     # time includes compile + tunnel warm-up, so a linear scaling can
     # OVERestimate an escalated pass by 30×; a hot rerun of the current
@@ -538,6 +583,7 @@ def measure_tpu(d, plan, cap=None):
                 _, n_s, t_s = line.split()
                 results.append((int(n_s), float(t_s)))
                 stall["s"] = 0.0
+                stall.pop("warm", None)
                 status(f"TPU pass {len(results)}: {n_s} frames in "
                        f"{float(t_s):.1f}s")
                 # record best-so-far immediately so a SIGTERM arriving
@@ -550,11 +596,29 @@ def measure_tpu(d, plan, cap=None):
                 tok = line.split()[1]
                 _best["compile_probe_s"] = (None if tok == "timeout"
                                             else float(tok))
-                status(f"compile probe: {tok}s for a trivial program")
+                status(f"compile probe: {tok} s for a trivial program")
+            elif line.startswith("BENCH_WARMUP"):
+                _best["tunnel_warmup_s"] = float(line.split()[1])
+                stall.pop("warm", None)
+                status(f"tunnel first-contact warm-up: "
+                       f"{_best['tunnel_warmup_s']:.0f}s")
+            elif line.startswith("BENCH_COMPUTE_ONLY"):
+                r = json.loads(line.split(None, 1)[1])
+                _best["compute_mpix_s"] = r["compute_mpix_s"]
+                _best["compute_probe"] = r
+                status(f"compute-only [{r['stage']}]: "
+                       f"{r['compute_mpix_s']} Mpix/s on device")
             else:
-                m = re.search(r"\[stall\].*after (\d+)s", line)
+                m = re.search(r"\[stall\].*'([^']*)'.*after (\d+)s", line)
                 if m:
-                    stall["s"] = max(stall["s"], float(m.group(1)))
+                    # the first-contact warm-up legitimately blocks for
+                    # 200-300 s on a degraded day and then succeeds —
+                    # give THAT stage a longer leash before declaring
+                    # the run dead
+                    key = ("warm" if "tunnel_warmup" in m.group(1)
+                           else "s")
+                    stall[key] = max(stall.get(key, 0.0),
+                                     float(m.group(2)))
                 status(f"  | {line[-150:]}")
 
     th = threading.Thread(target=pump, daemon=True)
@@ -564,15 +628,24 @@ def measure_tpu(d, plan, cap=None):
         time.sleep(0.5)
         if results and remaining() < 30:
             break
-        if stall["s"] >= STALL_KILL_S:
-            status(f"watchdog: stage stalled {stall['s']:.0f}s — "
+        if stall["s"] >= STALL_KILL_S or stall.get("warm", 0.0) >= 330.0:
+            status(f"watchdog: stage stalled "
+                   f"{max(stall['s'], stall.get('warm', 0.0)):.0f}s — "
                    "killing stalled TPU subprocess early")
             killed_stalled = True
             break
     if p.poll() is None:
         if not killed_stalled:
             status("watchdog: killing TPU subprocess")
-        p.kill()
+        # SIGTERM first: a SIGKILLed client leaves the chip lease
+        # dangling and the NEXT process's first contact then blocks for
+        # minutes waiting it out (observed 200-300 s on 2026-08-20); a
+        # clean exit lets the runtime release the device
+        p.terminate()
+        try:
+            p.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            p.kill()
     th.join(timeout=5)
     _best["_stall_killed"] = killed_stalled
     return bool(results)
@@ -583,37 +656,42 @@ def measure_compute(cap=None):
     fused chain looped on device inside one program; only a dispatch and
     a scalar ride the wire.  Captured in ``_best['compute_mpix_s']`` —
     the number that still evidences the chip on a degraded-tunnel day."""
-    deadline = remaining() - 15
-    if cap is not None:
-        deadline = min(deadline, cap)
-    if deadline < 45:
-        status("insufficient budget for compute-only probe")
-        return False
-    code = ("import sys, json; sys.path.insert(0, %r); "
+    for stage in ("full", "nodetect", "stack"):
+        deadline = remaining() - 15
+        if cap is not None:
+            deadline = min(deadline, cap)
+        if deadline < 45:
+            status("insufficient budget for compute-only probe")
+            return False
+        code = (
+            "import sys, json; sys.path.insert(0, %r); "
             "from siril_tpu.utils.jaxcache import enable_compilation_cache; "
             "enable_compilation_cache(); "
             "from siril_tpu.tools.compute_probe import device_compute_probe; "
-            "r = device_compute_probe(n=8, size=4096, iters=3); "
+            "r = device_compute_probe(n=8, size=4096, iters=3, stage=%r); "
             "print('BENCH_COMPUTE_ONLY', json.dumps(r), flush=True)"
-            % REPO)
-    status(f"compute-only probe: watchdog {deadline:.0f}s")
-    try:
-        p = subprocess.run([sys.executable, "-u", "-c", code],
-                           capture_output=True, text=True,
-                           timeout=deadline)
-    except subprocess.TimeoutExpired:
-        status("compute-only probe: timed out")
-        return False
-    for line in p.stdout.splitlines():
-        if line.startswith("BENCH_COMPUTE_ONLY"):
-            r = json.loads(line.split(None, 1)[1])
-            _best["compute_mpix_s"] = r["compute_mpix_s"]
-            _best["compute_probe"] = r
-            status(f"compute-only: {r['compute_mpix_s']} Mpix/s "
-                   f"(loop {r['t_loop_s']}s, rtt {r['t_rtt_s']}s)")
-            return True
-    tail = (p.stdout + p.stderr)[-300:].replace("\n", " | ")
-    status(f"compute-only probe failed: {tail}")
+            % (REPO, stage))
+        status(f"compute-only probe [{stage}]: watchdog {deadline:.0f}s")
+        try:
+            p = subprocess.run([sys.executable, "-u", "-c", code],
+                               capture_output=True, text=True,
+                               timeout=deadline)
+        except subprocess.TimeoutExpired:
+            # compile too slow for this chain — fall back to a smaller
+            # compile surface (the cache ratchets forward regardless)
+            status(f"compute-only probe [{stage}]: timed out")
+            continue
+        for line in p.stdout.splitlines():
+            if line.startswith("BENCH_COMPUTE_ONLY"):
+                r = json.loads(line.split(None, 1)[1])
+                _best["compute_mpix_s"] = r["compute_mpix_s"]
+                _best["compute_probe"] = r
+                status(f"compute-only [{stage}]: {r['compute_mpix_s']} "
+                       f"Mpix/s (loop {r['t_loop_s']}s, "
+                       f"rtt {r['t_rtt_s']}s)")
+                return True
+        tail = (p.stdout + p.stderr)[-300:].replace("\n", " | ")
+        status(f"compute-only probe [{stage}] failed: {tail}")
     return False
 
 
@@ -678,10 +756,12 @@ def main():
         # only (a transient tunnel hang often clears; a fresh process
         # re-probes and the compile cache is warmer than before).
         ok = measure_tpu(DATA_DIR, [4], cap=150)
-    # Tunnel-independent chip metric: capture whenever budget remains —
-    # on a degraded-tunnel day this is the only number that means
-    # anything; on a healthy day it quantifies the wire-vs-chip split.
-    measure_compute(cap=200 if ok else None)
+    # Tunnel-independent chip metric: normally captured inside the warm
+    # child (BENCH_COMPUTE_ONLY); this subprocess fallback only runs if
+    # the child died before reaching it — on a degraded-tunnel day this
+    # is the only number that means anything.
+    if not _best.get("compute_mpix_s"):
+        measure_compute(cap=200 if ok else None)
     if not ok:
         status("FAILED: no e2e TPU measurement")
         emit(final=True)

@@ -38,7 +38,7 @@ import numpy as np
 
 @functools.lru_cache(maxsize=4)
 def _probe_fn(n: int, size: int, iters: int, rtype: int, mode: int,
-              detect: bool):
+              stage: str):
     import jax
     import jax.numpy as jnp
     from jax import lax, random
@@ -55,7 +55,7 @@ def _probe_fn(n: int, size: int, iters: int, rtype: int, mode: int,
     H = W = size
     calib = make_calibrate_batch_kernel(True, True, True, False, False)
     stats_cand = None
-    if detect:
+    if stage == "full":
         p = StarFinderParams()
         R = detection_radius(H, W, p)
         stats_cand = _stats_cand_fit_fn(R, 500, float(p.sigma),
@@ -78,11 +78,19 @@ def _probe_fn(n: int, size: int, iters: int, rtype: int, mode: int,
         if stats_cand is not None:
             stats, vals, idx, fits = stats_cand(xf[:, 0])
             acc = acc + stats.sum() + fits.sum()
-        warped = shift_warp(xf, shifts + 1e-3 * i.astype(jnp.float32))
-        est = norm_estimators_hist_jax(warped[:, 0].reshape(n, -1))
-        scale = est["scale"][0] / jnp.where(est["scale"] == 0, 1.0,
-                                            est["scale"])
-        offset = scale * est["location"] - est["location"][0]
+        if stage == "stack":
+            # smallest compile surface: decode+calibrate+reject-stack
+            # (the pallas north-star kernel) — the fallback tier when
+            # the remote compile service can't finish the full chain
+            scale = jnp.ones(n, jnp.float32)
+            offset = jnp.zeros(n, jnp.float32)
+            warped = xf
+        else:
+            warped = shift_warp(xf, shifts + 1e-3 * i.astype(jnp.float32))
+            est = norm_estimators_hist_jax(warped[:, 0].reshape(n, -1))
+            scale = est["scale"][0] / jnp.where(est["scale"] == 0, 1.0,
+                                                est["scale"])
+            offset = scale * est["location"] - est["location"][0]
         mean, rl, rh = kernel(warped.reshape(n, -1), scale, offset,
                               jnp.ones(n, jnp.float32),
                               jnp.zeros((1, 1), jnp.float32),
@@ -109,15 +117,26 @@ def _probe_fn(n: int, size: int, iters: int, rtype: int, mode: int,
     return run
 
 
+def _status(msg: str) -> None:
+    import sys
+
+    print(f"[compute_probe] {msg}", file=sys.stderr, flush=True)
+
+
 def device_compute_probe(n: int = 8, size: int = 4096, iters: int = 3,
                          rtype: int | None = None, mode: int | None = None,
-                         detect: bool = True) -> dict:
+                         stage: str = "full") -> dict:
     """Measure device-resident fused-pipeline throughput.
 
+    ``stage``: "full" (decode+calibrate+detect+warp+estimators+stack),
+    "nodetect" (drops the PSF-fit stage), or "stack" (decode+calibrate+
+    stack only — the smallest compile surface; use as a fallback when the
+    remote compile service is degraded).
+
     Returns ``{"compute_mpix_s", "t_loop_s", "t_rtt_s", "n", "size",
-    "iters", "checksum"}``.  The first call compiles (persistent-cache
-    eligible); timing uses a second dispatch with a different seed, with
-    the null-program round-trip latency subtracted.
+    "iters", "stage", "checksum"}``.  The first call compiles
+    (persistent-cache eligible); timing uses a second dispatch with a
+    different seed, with the null-program round-trip latency subtracted.
     """
     import jax
     import jax.numpy as jnp
@@ -127,16 +146,22 @@ def device_compute_probe(n: int = 8, size: int = 4096, iters: int = 3,
 
     rtype = rj.WINSORIZED if rtype is None else rtype
     mode = ADDITIVE_SCALING if mode is None else mode
-    fn = _probe_fn(n, size, iters, rtype, mode, detect)
+    fn = _probe_fn(n, size, iters, rtype, mode, stage)
 
     # null round-trip: dispatch + scalar fetch latency through the tunnel
+    t0 = time.monotonic()
     null = jax.jit(lambda s: s * jnp.float32(1.000001))
     float(null(jnp.float32(1.0)))                      # warm/compile
+    _status(f"null program warm in {time.monotonic() - t0:.1f}s")
     t0 = time.monotonic()
     float(null(jnp.float32(2.0)))
     t_rtt = time.monotonic() - t0
+    _status(f"round-trip latency {t_rtt:.2f}s; compiling {stage} "
+            f"probe ({n}x{size}²×{iters})")
 
+    t0 = time.monotonic()
     chk = float(fn(0))                                 # compile + warm
+    _status(f"probe compiled+warm in {time.monotonic() - t0:.1f}s")
     t0 = time.monotonic()
     chk = float(fn(1))
     t_loop = time.monotonic() - t0
@@ -146,6 +171,6 @@ def device_compute_probe(n: int = 8, size: int = 4096, iters: int = 3,
         "compute_mpix_s": round(mpix / t_compute, 2),
         "t_loop_s": round(t_loop, 3),
         "t_rtt_s": round(t_rtt, 3),
-        "n": n, "size": size, "iters": iters,
+        "n": n, "size": size, "iters": iters, "stage": stage,
         "checksum": chk,
     }
