@@ -121,7 +121,7 @@ def fused_pipeline_step(mesh: Mesh, rtype: int, mode: int,
                         n_frames: int, height: int, width: int,
                         interp_method: int = 1, shift_warp: bool = False,
                         rot_warp: bool = False, aff_warp: bool = False,
-                        persp_warp: int = 0):
+                        persp_warp: int = 0, lite_norm: bool = True):
     """Multi-chip fused calibrate→warp→stack step (the sharded variant of
     siril_tpu/pipeline.py):
 
@@ -141,7 +141,7 @@ def fused_pipeline_step(mesh: Mesh, rtype: int, mode: int,
     from siril_tpu.ops.normalization import (ADDITIVE, ADDITIVE_SCALING,
                                              MULTIPLICATIVE,
                                              MULTIPLICATIVE_SCALING, NO_NORM)
-    from siril_tpu.ops.statistics import norm_estimators_jax
+    from siril_tpu.ops.statistics import norm_estimators_hist_jax
 
     frame_sh = NamedSharding(mesh, P("frame", None, None))
     rep = NamedSharding(mesh, P())
@@ -176,8 +176,12 @@ def fused_pipeline_step(mesh: Mesh, rtype: int, mode: int,
         # background noise on every non-reference frame, which would
         # bias post-warp scale estimates and make additive-scaling
         # amplify non-reference frames (see pipeline.py step 2 note)
-        est = norm_estimators_jax(x.reshape(n_frames, height * width),
-                                  lite=True)
+        # histogram medians (the real fused pipeline's estimator for u16
+        # sources, statistics.py norm_estimators_hist_jax): O(N+bins)
+        # instead of sorts — 3.5× faster per frame on the CPU-emulated
+        # mesh and the better TPU formulation as well
+        est = norm_estimators_hist_jax(x.reshape(n_frames, height * width),
+                                       lite=lite_norm)
         # per-frame warp: frame-parallel, no cross-chip traffic
         if shift_warp:
             # Hinvs carries (N, 2) translations on the fast path
