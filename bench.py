@@ -572,7 +572,12 @@ def measure_tpu(d, plan, cap=None):
                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                          text=True)
     results = []
-    stall = {"s": 0.0}
+    # stall[key] = (reported_s, monotonic_when_seen): heartbeats land
+    # only every 90 s, so the poll loop extrapolates the stall age from
+    # the last beat (otherwise a 185 s threshold fires at the 270 s
+    # beat); if the next expected beat never arrives the stage finished
+    # and the entry expires
+    stall = {}
     t_kill = time.monotonic() + deadline
     import threading
 
@@ -582,8 +587,7 @@ def measure_tpu(d, plan, cap=None):
             if line.startswith("BENCH_RESULT"):
                 _, n_s, t_s = line.split()
                 results.append((int(n_s), float(t_s)))
-                stall["s"] = 0.0
-                stall.pop("warm", None)
+                stall.clear()
                 status(f"TPU pass {len(results)}: {n_s} frames in "
                        f"{float(t_s):.1f}s")
                 # record best-so-far immediately so a SIGTERM arriving
@@ -600,6 +604,7 @@ def measure_tpu(d, plan, cap=None):
             elif line.startswith("BENCH_WARMUP"):
                 _best["tunnel_warmup_s"] = float(line.split()[1])
                 stall.pop("warm", None)
+                stall.pop("s", None)
                 status(f"tunnel first-contact warm-up: "
                        f"{_best['tunnel_warmup_s']:.0f}s")
             elif line.startswith("BENCH_COMPUTE_ONLY"):
@@ -617,8 +622,9 @@ def measure_tpu(d, plan, cap=None):
                     # the run dead
                     key = ("warm" if "tunnel_warmup" in m.group(1)
                            else "s")
-                    stall[key] = max(stall.get(key, 0.0),
-                                     float(m.group(2)))
+                    prev = stall.get(key, (0.0, 0.0))[0]
+                    stall[key] = (max(prev, float(m.group(2))),
+                                  time.monotonic())
                 status(f"  | {line[-150:]}")
 
     th = threading.Thread(target=pump, daemon=True)
@@ -628,9 +634,21 @@ def measure_tpu(d, plan, cap=None):
         time.sleep(0.5)
         if results and remaining() < 30:
             break
-        if stall["s"] >= STALL_KILL_S or stall.get("warm", 0.0) >= 330.0:
+        now = time.monotonic()
+
+        def _age(key):
+            rep, seen = stall.get(key, (0.0, 0.0))
+            if rep == 0.0:
+                return 0.0
+            since = now - seen
+            if since > 100.0:       # next 90 s beat never came: stage done
+                stall.pop(key, None)
+                return 0.0
+            return rep + since
+
+        if _age("s") >= STALL_KILL_S or _age("warm") >= 330.0:
             status(f"watchdog: stage stalled "
-                   f"{max(stall['s'], stall.get('warm', 0.0)):.0f}s — "
+                   f"{max(_age('s'), _age('warm')):.0f}s — "
                    "killing stalled TPU subprocess early")
             killed_stalled = True
             break
@@ -672,16 +690,27 @@ def measure_compute(cap=None):
             "print('BENCH_COMPUTE_ONLY', json.dumps(r), flush=True)"
             % (REPO, stage))
         status(f"compute-only probe [{stage}]: watchdog {deadline:.0f}s")
+        # Popen + SIGTERM-first: subprocess.run's timeout SIGKILLs,
+        # leaving the dangling single-client chip lease that stalls the
+        # NEXT process's first contact for minutes (the cascade would
+        # kill the remaining fallback stages too)
+        p = subprocess.Popen([sys.executable, "-u", "-c", code],
+                             stdout=subprocess.PIPE,
+                             stderr=subprocess.PIPE, text=True)
         try:
-            p = subprocess.run([sys.executable, "-u", "-c", code],
-                               capture_output=True, text=True,
-                               timeout=deadline)
+            out_s, err_s = p.communicate(timeout=deadline)
         except subprocess.TimeoutExpired:
+            p.terminate()
+            try:
+                out_s, err_s = p.communicate(timeout=10)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                out_s, err_s = p.communicate()
             # compile too slow for this chain — fall back to a smaller
             # compile surface (the cache ratchets forward regardless)
             status(f"compute-only probe [{stage}]: timed out")
             continue
-        for line in p.stdout.splitlines():
+        for line in out_s.splitlines():
             if line.startswith("BENCH_COMPUTE_ONLY"):
                 r = json.loads(line.split(None, 1)[1])
                 _best["compute_mpix_s"] = r["compute_mpix_s"]
@@ -690,7 +719,7 @@ def measure_compute(cap=None):
                        f"Mpix/s (loop {r['t_loop_s']}s, "
                        f"rtt {r['t_rtt_s']}s)")
                 return True
-        tail = (p.stdout + p.stderr)[-300:].replace("\n", " | ")
+        tail = (out_s + err_s)[-300:].replace("\n", " | ")
         status(f"compute-only probe [{stage}] failed: {tail}")
     return False
 
@@ -749,7 +778,10 @@ def main():
     # and tunnel warm-up.  (The _child skip-tier logic jumps straight
     # to the big tier on a healthy tunnel, so the micro tier costs
     # almost nothing when everything works.)
-    plan = sorted({4, min(N_FALLBACK, n), n})
+    # every tier clamped to the dataset size: a tier larger than the
+    # sequence would stack fewer frames than it reports and overstate
+    # the throughput
+    plan = sorted({min(4, n), min(N_FALLBACK, n), n})
     ok = measure_tpu(DATA_DIR, plan)
     if not ok:
         # Nothing captured — one fresh-process retry at the micro tier

@@ -728,11 +728,16 @@ struct Bits {
     const uint8_t* data;
     int64_t len, pos;
     int load_flags;
-    uint8_t buf[0x4000];
+    // 0x4002: byte = vbits>>3 ^ 0x3ff0 reaches 0x3fff at every 16 KB
+    // block boundary and the 16-bit read there touches buf[0x4000];
+    // the pad bytes stay zero (matching the Python oracle)
+    uint8_t buf[0x4002];
     int vbits;
 
     Bits(const uint8_t* d, int64_t l, int lf)
-        : data(d), len(l), pos(0), load_flags(lf), vbits(0) {}
+        : data(d), len(l), pos(0), load_flags(lf), vbits(0) {
+        buf[0x4000] = buf[0x4001] = 0;
+    }
 
     void fill(uint8_t* dst, int64_t n) {
         for (int64_t i = 0; i < n; i++)

@@ -765,7 +765,10 @@ def _pana_bits_decode_py(data: bytes, width: int, height: int,
                          load_flags: int = 0x2008) -> np.ndarray:
     """Scalar Python fallback of the v4 bitstream decode (exact
     pana_bits semantics; the native decoder is the fast path)."""
-    buf = bytearray(0x4000)
+    # 0x4002: an 8-bit read at a 16 KB block boundary addresses
+    # buf[0x3FFF] AND buf[0x4000] (byte = vbits>>3 ^ 0x3FF0 reaches
+    # 0x3FFF every block) — the two pad bytes stay zero
+    buf = bytearray(0x4002)
     pos = 0
     vbits = 0
     n = len(data)
@@ -955,7 +958,8 @@ def _read_tiff_cfa_strips(path: str, data: bytes, endian: str,
         # fall back to the largest strip-bearing IFD
         best = 0
         for cand in ifds:
-            if T_STRIP_OFF in cand and T_WIDTH in cand:
+            if T_STRIP_OFF in cand and T_WIDTH in cand \
+                    and T_LENGTH in cand:
                 a = _values(cand[T_WIDTH], endian)[0] * \
                     _values(cand[T_LENGTH], endian)[0]
                 if a > best:

@@ -23,25 +23,42 @@ _SRC = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "native", "sirilio.cpp")
 
 
-def _build_and_load() -> Optional[ctypes.CDLL]:
-    if not os.path.exists(_SRC):
+def _compile_so(src: str, prefix: str) -> Optional[ctypes.CDLL]:
+    """Digest-keyed g++ build → CDLL.  Compiles to a temp path and
+    os.replace()s into place so a timeout/kill mid-link can never pin a
+    corrupt .so under the final name (the digest wouldn't change, so it
+    would otherwise never be rebuilt)."""
+    if not os.path.exists(src):
         return None
-    with open(_SRC, "rb") as f:
+    with open(src, "rb") as f:
         digest = hashlib.sha256(f.read()).hexdigest()[:16]
-    cache = os.path.join(os.path.expanduser("~/.cache/siril_tpu_native"))
+    cache = os.path.expanduser("~/.cache/siril_tpu_native")
     os.makedirs(cache, exist_ok=True)
-    so = os.path.join(cache, f"sirilio_{digest}.so")
+    so = os.path.join(cache, f"{prefix}_{digest}.so")
     if not os.path.exists(so):
+        tmp = os.path.join(cache, f".{prefix}_{digest}_{os.getpid()}.tmp")
         cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared",
-               "-fPIC", _SRC, "-o", so]
+               "-fPIC", src, "-o", tmp]
         try:
-            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            subprocess.run(cmd, check=True, capture_output=True,
+                           timeout=120)
+            os.replace(tmp, so)
         except (subprocess.CalledProcessError, OSError,
                 subprocess.TimeoutExpired):
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
             return None
     try:
-        lib = ctypes.CDLL(so)
+        return ctypes.CDLL(so)
     except OSError:
+        return None
+
+
+def _build_and_load() -> Optional[ctypes.CDLL]:
+    lib = _compile_so(_SRC, "sirilio")
+    if lib is None:
         return None
     # signatures
     u8p = ctypes.POINTER(ctypes.c_uint8)
@@ -275,24 +292,8 @@ def get_twin_lib() -> Optional[ctypes.CDLL]:
     if _TWIN_TRIED:
         return _TWIN_LIB
     _TWIN_TRIED = True
-    if not os.path.exists(_TWIN_SRC):
-        return None
-    with open(_TWIN_SRC, "rb") as f:
-        digest = hashlib.sha256(f.read()).hexdigest()[:16]
-    cache = os.path.expanduser("~/.cache/siril_tpu_native")
-    os.makedirs(cache, exist_ok=True)
-    so = os.path.join(cache, f"cpu_twin_{digest}.so")
-    if not os.path.exists(so):
-        cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared",
-               "-fPIC", _TWIN_SRC, "-o", so]
-        try:
-            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        except (subprocess.CalledProcessError, OSError,
-                subprocess.TimeoutExpired):
-            return None
-    try:
-        lib = ctypes.CDLL(so)
-    except OSError:
+    lib = _compile_so(_TWIN_SRC, "cpu_twin")
+    if lib is None:
         return None
     f32p = ctypes.POINTER(ctypes.c_float)
     i64 = ctypes.c_int64

@@ -39,7 +39,11 @@ def seed_from_repo(path: str) -> int:
             # mid-copy (the bench watchdog kills arbitrarily) can never
             # leave a truncated entry that the exists-check would then
             # pin forever (JAX's LRUCache.put never overwrites a key)
-            tmp = os.path.join(path, f".seed_tmp_{os.getpid()}_{name}")
+            # suffix must NOT end in "-cache": a kill mid-copy leaves
+            # the temp behind, and anything *-cache is treated as a
+            # real entry by seed_compile_cache.py and entry counts
+            tmp = os.path.join(path,
+                               f".seed_{os.getpid()}_{name}.tmp")
             try:
                 shutil.copyfile(os.path.join(SEED_DIR, name), tmp)
                 os.replace(tmp, dst)

@@ -7,9 +7,9 @@ Two layers:
 
 - ``stage(name)`` context manager: wall-clock per pipeline stage,
   accumulated in a process-wide registry; ``report()`` renders it.
-  Each stage also spawns a daemon watcher thread that logs a stall
-  heartbeat to stderr if the stage blocks past SIRIL_TPU_STALL_LOG_S
-  (set 0 to disable and make stage() thread-free again).
+  A single shared daemon monitor thread logs a stall heartbeat to
+  stderr for any stage blocked past SIRIL_TPU_STALL_LOG_S (set 0 to
+  disable); per-stage cost is one dict insert/remove.
 - xprof device tracing: set ``SIRIL_TPU_TRACE=/path`` (or call
   ``start_device_trace``) to capture a ``jax.profiler`` trace viewable in
   TensorBoard/Perfetto — covers XLA kernels, transfers, and host gaps.
@@ -33,6 +33,45 @@ _device_trace_dir = None
 _STALL_S = float(os.environ.get("SIRIL_TPU_STALL_LOG_S", "90"))
 
 
+_active: Dict[int, list] = {}       # key -> [name, t0, beats_emitted]
+_next_key = 0
+_monitor_on = False
+
+
+def _monitor() -> None:
+    """ONE shared daemon thread heartbeats every stale active stage —
+    a thread-per-stage() watcher cost ~100 µs per invocation in the
+    per-chunk hot loops; registering in a dict costs nanoseconds."""
+    while True:
+        time.sleep(5.0)
+        now = time.perf_counter()
+        with _lock:
+            items = list(_active.items())
+        for key, rec in items:
+            name, t0, beats = rec
+            k = int((now - t0) // _STALL_S)
+            if k > beats:
+                rec[2] = k
+                # stderr: stdout may carry a line-oriented protocol
+                # (the bench child), and injecting from a background
+                # thread would corrupt it for strict consumers
+                print(f"[stall] stage '{name}' still running after "
+                      f"{k * _STALL_S:.0f}s (device compile/exec "
+                      "wait?)", file=sys.stderr, flush=True)
+
+
+def _register(name: str) -> int:
+    global _next_key, _monitor_on
+    with _lock:
+        key = _next_key
+        _next_key += 1
+        _active[key] = [name, time.perf_counter(), 0]
+        if not _monitor_on:
+            _monitor_on = True
+            threading.Thread(target=_monitor, daemon=True).start()
+    return key
+
+
 @contextmanager
 def stage(name: str) -> Iterator[None]:
     """Time one pipeline stage (show_time equivalent, accumulated).
@@ -43,25 +82,13 @@ def stage(name: str) -> Iterator[None]:
     run is indistinguishable from a dead one in the bench status stream
     (2026-08-20 diagnosis; 0 disables)."""
     t0 = time.perf_counter()
-    done = threading.Event()
-    watcher = None
-    if _STALL_S > 0:
-        def _watch():
-            k = 0
-            while not done.wait(_STALL_S):
-                k += 1
-                # stderr: stdout may carry a line-oriented protocol
-                # (the bench child), and injecting from a background
-                # thread would corrupt it for strict consumers
-                print(f"[stall] stage '{name}' still running after "
-                      f"{k * _STALL_S:.0f}s (device compile/exec wait?)",
-                      file=sys.stderr, flush=True)
-        watcher = threading.Thread(target=_watch, daemon=True)
-        watcher.start()
+    key = _register(name) if _STALL_S > 0 else None
     try:
         yield
     finally:
-        done.set()
+        if key is not None:
+            with _lock:
+                _active.pop(key, None)
         dt = time.perf_counter() - t0
         with _lock:
             _acc[name].append(dt)

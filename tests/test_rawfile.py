@@ -974,3 +974,20 @@ def test_pef_compressed_gated(tmp_path, rng):
     _write_tiff_cfa(p, sensor, b"II*\x00", comp=65535)
     with pytest.raises(ValueError, match="not supported|convert"):
         read_pef(p)
+
+
+def test_pana_bits_block_boundary(rng):
+    """Multi-16KB-block stream: the bit reader's 16-bit fetch at byte
+    0x3FFF touches the pad byte at every block boundary — C++ and the
+    Python oracle must agree across ≥3 refills (regression: a 0x4000
+    buffer crashed the oracle and silently corrupted native output)."""
+    from siril_tpu import native
+    from siril_tpu.io.rawfile import _pana_bits_decode_py
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    h, w = 288, 140                    # ~40k px -> >3 blocks consumed
+    blob = rng.integers(0, 256, 3 * 0x4000).astype(np.uint8).tobytes()
+    a = native.decode_panasonic(blob, w, h)
+    b = _pana_bits_decode_py(blob, w, h)
+    np.testing.assert_array_equal(a, b)
