@@ -519,9 +519,14 @@ def _child(d, plan, deadline_s):
         if rate is None and rate_box.get("rate") is not None:
             rate = rate_box["rate"]            # late probe landed
             print(f"BENCH_TUNNEL {rate:.0f}", flush=True)
-        # healthy tunnel + an intermediate tier whose bigger sibling
-        # already fits: skip straight to the biggest feasible tier
-        while (len(plan) > 1 and (rate or 0) >= 50
+        # an intermediate tier whose bigger sibling already fits: skip
+        # straight to the biggest feasible tier.  The timing check uses
+        # the freshest pass (hot after one rerun), which prices the
+        # day's real wire rate in — the probe's rate only vetoes on
+        # clearly-collapsed tunnels (it read 8 MB/s on a day the actual
+        # transfer ran at 30, and that conservatism cost the 100-frame
+        # capture)
+        while (len(plan) > 1 and (rate is None or rate >= 15)
                and t_last * (plan[1] / n_last) <= left() * 1.3):
             print(f"BENCH_SKIP_TIER {plan[0]}", flush=True)
             plan.pop(0)
