@@ -359,6 +359,13 @@ def _child(d, plan, deadline_s):
     deadline; otherwise re-run the current n hot to tighten it."""
     t_start = time.monotonic()
 
+    # A SIGTERM must unwind Python (SystemExit → client teardown) so
+    # the chip lease is released: the default handler terminates with
+    # no cleanup, and the NEXT process then stalls minutes on the
+    # dangling lease.  (No effect while blocked inside a C device wait
+    # — the parent's 10 s SIGKILL fallback covers that.)
+    signal.signal(signal.SIGTERM, lambda *_: sys.exit(0))
+
     def left():
         return deadline_s - (time.monotonic() - t_start)
 
@@ -515,6 +522,16 @@ def _child(d, plan, deadline_s):
     # result is streamed immediately, so a watchdog-killed attempt loses
     # nothing.
     passes = 1
+    # Re-prove the rate HOT before any escalation decision: the first
+    # pass's time includes compile + connection warm-up and overstates
+    # the steady rate 2-3×, which blocks the direct jump to the top
+    # tier (observed: cold 30 s vs hot 14 s at n=4 — only the hot rate
+    # proves 4→100 fits).  One micro-tier hot pass costs ~15 s.
+    if plan and left() > 45:
+        t = run_pipeline(d, n_last)
+        out(n_last, t)
+        t_last = min(t_last, t)
+        passes += 1
     while left() > 30 and passes < 8:
         if rate is None and rate_box.get("rate") is not None:
             rate = rate_box["rate"]            # late probe landed
@@ -651,7 +668,11 @@ def measure_tpu(d, plan, cap=None):
                 return 0.0
             return rep + since
 
-        if _age("s") >= STALL_KILL_S or _age("warm") >= 330.0:
+        # warm leash 280 s: longest OBSERVED successful warm-up is
+        # 264.6 s, and killing later leaves the micro-tier retry too
+        # little budget to pay ITS warm-up (r4g: killed at 332 s, the
+        # retry had 68 s and missed banking a pass by ~10 s)
+        if _age("s") >= STALL_KILL_S or _age("warm") >= 280.0:
             status(f"watchdog: stage stalled "
                    f"{max(_age('s'), _age('warm')):.0f}s — "
                    "killing stalled TPU subprocess early")
