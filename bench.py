@@ -449,7 +449,13 @@ def _child(d, plan, deadline_s):
             # the probe exists to detect
             k = 3 + (os.getpid() * 7919
                      + int.from_bytes(os.urandom(2), "little")) % 89
-            f = jax.jit(lambda x: (x * 1.0000001 + 0.5).sum())
+            # a per-run random CONSTANT is baked into the HLO so this
+            # probe can never hit the persistent cache — committed
+            # cache_seed/ entries would otherwise make a slow-compile
+            # day read "fast" on a fresh VM (89 shapes collide
+            # eventually; 2^32 constants do not)
+            c = 1.0 + int.from_bytes(os.urandom(4), "little") / 2 ** 52
+            f = jax.jit(lambda x: (x * c + 0.5).sum())
             tc = time.monotonic()
             f.lower(jax.ShapeDtypeStruct((k, 257), jnp.float32)).compile()
             comp_box["s"] = time.monotonic() - tc
@@ -566,6 +572,8 @@ def _child(d, plan, deadline_s):
 
 
 STALL_KILL_S = float(os.environ.get("BENCH_STALL_KILL_S", "185"))
+# heartbeat cadence MUST match the child's trace.py knob
+BEAT_S = float(os.environ.get("SIRIL_TPU_STALL_LOG_S", "90"))
 
 
 def measure_tpu(d, plan, cap=None):
@@ -594,11 +602,16 @@ def measure_tpu(d, plan, cap=None):
                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                          text=True)
     results = []
-    # stall[key] = (reported_s, monotonic_when_seen): heartbeats land
-    # only every 90 s, so the poll loop extrapolates the stall age from
-    # the last beat (otherwise a 185 s threshold fires at the 270 s
-    # beat); if the next expected beat never arrives the stage finished
-    # and the entry expires
+    # stall[stage_name] = (reported_s, monotonic_when_seen).  Heartbeats
+    # land every BEAT_S (trace.py SIRIL_TPU_STALL_LOG_S — read the SAME
+    # knob, a mismatched hardcode silently disables the watchdog), so
+    # the poll loop extrapolates the stall age from the last beat; a
+    # kill additionally requires a SECOND-beat-confirmed report
+    # (rep >= threshold − BEAT − margin): after a single beat we cannot
+    # distinguish "completed at 91 s" from "still stuck at 184 s", and
+    # entries whose next beat never arrives expire as completed.
+    # Per-NAME keying: merging stages into one bucket let a recovered
+    # stage's old age leak onto a later stage's first beat.
     stall = {}
     t_kill = time.monotonic() + deadline
     import threading
@@ -625,8 +638,7 @@ def measure_tpu(d, plan, cap=None):
                 status(f"compile probe: {tok} s for a trivial program")
             elif line.startswith("BENCH_WARMUP"):
                 _best["tunnel_warmup_s"] = float(line.split()[1])
-                stall.pop("warm", None)
-                stall.pop("s", None)
+                stall.clear()
                 status(f"tunnel first-contact warm-up: "
                        f"{_best['tunnel_warmup_s']:.0f}s")
             elif line.startswith("BENCH_COMPUTE_ONLY"):
@@ -642,11 +654,10 @@ def measure_tpu(d, plan, cap=None):
                     # 200-300 s on a degraded day and then succeeds —
                     # give THAT stage a longer leash before declaring
                     # the run dead
-                    key = ("warm" if "tunnel_warmup" in m.group(1)
-                           else "s")
-                    prev = stall.get(key, (0.0, 0.0))[0]
-                    stall[key] = (max(prev, float(m.group(2))),
-                                  time.monotonic())
+                    name = m.group(1)
+                    prev = stall.get(name, (0.0, 0.0))[0]
+                    stall[name] = (max(prev, float(m.group(2))),
+                                   time.monotonic())
                 status(f"  | {line[-150:]}")
 
     th = threading.Thread(target=pump, daemon=True)
@@ -657,25 +668,31 @@ def measure_tpu(d, plan, cap=None):
         if results and remaining() < 30:
             break
         now = time.monotonic()
-
-        def _age(key):
-            rep, seen = stall.get(key, (0.0, 0.0))
-            if rep == 0.0:
-                return 0.0
+        dead = None
+        for name in list(stall):
+            rep, seen = stall[name]
             since = now - seen
-            if since > 100.0:       # next 90 s beat never came: stage done
-                stall.pop(key, None)
-                return 0.0
-            return rep + since
-
-        # warm leash 280 s: longest OBSERVED successful warm-up is
-        # 264.6 s, and killing later leaves the micro-tier retry too
-        # little budget to pay ITS warm-up (r4g: killed at 332 s, the
-        # retry had 68 s and missed banking a pass by ~10 s)
-        if _age("s") >= STALL_KILL_S or _age("warm") >= 280.0:
-            status(f"watchdog: stage stalled "
-                   f"{max(_age('s'), _age('warm')):.0f}s — "
-                   "killing stalled TPU subprocess early")
+            if since > BEAT_S + 10.0:   # next beat never came: stage done
+                stall.pop(name, None)
+                continue
+            # warm leash 280 s: longest OBSERVED successful warm-up is
+            # 264.6 s, and killing later leaves the micro-tier retry
+            # too little budget to pay ITS warm-up (r4g: killed at
+            # 332 s, the retry had 68 s and missed a bank by ~10 s)
+            thr = 280.0 if "tunnel_warmup" in name else STALL_KILL_S
+            # require the LAST beat below the threshold to have been
+            # reported (second-beat confirmation): after one 90 s beat
+            # alone, "completed at 91 s" and "stuck at 184 s" are
+            # indistinguishable and extrapolation would kill healthy
+            # children
+            rep_min = int((thr - 1.0) // BEAT_S) * BEAT_S
+            if rep >= rep_min and rep + since >= thr:
+                dead = (name, rep + since)
+                break
+        if dead is not None:
+            status(f"watchdog: stage '{dead[0]}' stalled "
+                   f"{dead[1]:.0f}s — killing stalled TPU subprocess "
+                   "early")
             killed_stalled = True
             break
     if p.poll() is None:
@@ -708,7 +725,9 @@ def measure_compute(cap=None):
             status("insufficient budget for compute-only probe")
             return False
         code = (
-            "import sys, json; sys.path.insert(0, %r); "
+            "import sys, json, signal; "
+            "signal.signal(signal.SIGTERM, lambda *a: sys.exit(0)); "
+            "sys.path.insert(0, %r); "
             "from siril_tpu.utils.jaxcache import enable_compilation_cache; "
             "enable_compilation_cache(); "
             "from siril_tpu.tools.compute_probe import device_compute_probe; "

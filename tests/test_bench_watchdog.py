@@ -128,3 +128,42 @@ def test_warmup_stall_past_leash_killed(fake_popen):
     assert not ok
     assert bench._best.get("_stall_killed") is True
     assert time.monotonic() - t0 < 40
+
+
+def test_single_beat_then_completion_not_killed(fake_popen, monkeypatch):
+    """A stage that beats ONCE and then completes (no further beats)
+    must never be killed — after one beat, 'completed just after' and
+    'still stuck' are indistinguishable, so the kill requires the last
+    beat below the threshold (second-beat confirmation)."""
+    monkeypatch.setattr(bench, "BEAT_S", 2.0)
+    monkeypatch.setattr(bench, "STALL_KILL_S", 5.0)
+    fake = fake_popen([
+        (0.2, "[stall] stage 'fused.fetch_pre' still running after "
+              "2s (device compile/exec wait?)"),
+        # stage completed; pass later succeeds
+        (6.0, "BENCH_RESULT 4 30.0"),
+        (6.5, None),
+    ])
+    ok = bench.measure_tpu("/nonexistent", [4], cap=60)
+    assert ok
+    assert bench._best.get("_stall_killed") is False
+
+
+def test_recovered_stage_age_not_leaked_to_next_stage(fake_popen,
+                                                      monkeypatch):
+    """Stage A's old confirmed age must not combine with stage B's
+    first beat (per-name keying): B alone at one beat is not a kill."""
+    monkeypatch.setattr(bench, "BEAT_S", 2.0)
+    monkeypatch.setattr(bench, "STALL_KILL_S", 5.0)
+    fake = fake_popen([
+        (0.2, "[stall] stage 'A' still running after 4s "
+              "(device compile/exec wait?)"),
+        # A recovers (next beat for A never comes); B starts beating
+        (1.0, "BENCH_RESULT 4 25.0"),      # progress clears everything
+        (1.5, "[stall] stage 'B' still running after 2s "
+              "(device compile/exec wait?)"),
+        (2.5, None),
+    ])
+    ok = bench.measure_tpu("/nonexistent", [4], cap=60)
+    assert ok
+    assert bench._best.get("_stall_killed") is False
