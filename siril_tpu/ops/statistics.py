@@ -347,11 +347,16 @@ def hist_median_jax(x, valid, bins: int = _HIST_BINS):
     sorting.c:577,644) — exact to f32 for ANY value grid, u16 or
     continuous (drizzled/processed sequences).
 
-    TPU-first formulation: value-space bisection with a fused
+    TPU-first formulation: value-space multiway bisection with a fused
     count-below reduce per step.  A scatter-add histogram serializes on
-    TPU (~2 s/frame at 16 Mpix) and a full sort is no better; 32
-    compare+sum passes are pure VPU/HBM streaming (~ms/frame), and XLA
-    fuses the compare into the reduction so nothing is materialized."""
+    TPU (~2 s/frame at 16 Mpix) and a full sort is no better.  The data
+    pass is the cost (HBM streaming — the compare+count is fused into
+    the reduce, nothing is materialized), so passes are minimized two
+    ways: the interval splits 8-way per pass (7 count thresholds per
+    data read: 11 passes reach the 2³² shrink 32 binary passes gave),
+    and BOTH order-statistic ranks (lower/upper median) bisect inside
+    the same passes, sharing every read.  Net: 11 reads of the array
+    instead of 64 for the same exact result."""
     import jax.numpy as jnp
     from jax import lax
 
@@ -359,23 +364,44 @@ def hist_median_jax(x, valid, bins: int = _HIST_BINS):
     big = jnp.float32(3.4e38)
     top = jnp.max(jnp.where(valid, x, -big), axis=-1)
     bot = jnp.min(jnp.where(valid, x, big), axis=-1) - jnp.float32(1e-7)
+    t_lo = ((n + 1) // 2).astype(jnp.int32)[:, None]   # lower-median rank
+    t_hi = (n // 2 + 1).astype(jnp.int32)[:, None]     # upper-median rank
 
-    def rank_value(target):
-        # invariant: count(≤hi) ≥ target, count(≤lo) < target; 32 f32
-        # bisections pin hi to the exact sample value
-        def body(_, lohi):
-            lo, hi = lohi
-            mid = 0.5 * (lo + hi)
-            cnt = (valid & (x <= mid[:, None])).sum(axis=-1
-                                                    ).astype(jnp.int32)
-            ok = cnt >= target
-            return jnp.where(ok, lo, mid), jnp.where(ok, mid, hi)
+    B = 8                                   # interval split per pass
+    frac = jnp.arange(1, B, dtype=jnp.float32)[None, :] / B   # [1, B-1]
 
-        _, hi = lax.fori_loop(0, 32, body, (bot, top))
-        return hi
+    def shrink(lo, hi, cnt, target):
+        # mids ascending ⇒ counts nondecreasing; the first index with
+        # cnt ≥ target bounds the value from above, its predecessor
+        # from below (invariant: count(≤hi) ≥ target > count(≤lo))
+        mids = lo[:, None] + frac * (hi - lo)[:, None]
+        k = (cnt < target).sum(axis=-1)                       # [rows]
+        lo_n = jnp.where(k > 0,
+                         jnp.take_along_axis(
+                             mids, jnp.maximum(k - 1, 0)[:, None],
+                             axis=-1)[:, 0], lo)
+        hi_n = jnp.where(k < B - 1,
+                         jnp.take_along_axis(
+                             mids, jnp.minimum(k, B - 2)[:, None],
+                             axis=-1)[:, 0], hi)
+        return lo_n, hi_n
 
-    v_lo = rank_value(((n + 1) // 2).astype(jnp.int32))
-    v_hi = rank_value((n // 2 + 1).astype(jnp.int32))
+    def body(_, state):
+        lo1, hi1, lo2, hi2 = state
+        m1 = lo1[:, None] + frac * (hi1 - lo1)[:, None]       # [rows, B-1]
+        m2 = lo2[:, None] + frac * (hi2 - lo2)[:, None]
+        # ONE data read: 2(B−1) fused compare+counts per element
+        c1 = (valid[:, None, :] & (x[:, None, :] <= m1[:, :, None])
+              ).sum(axis=-1).astype(jnp.int32)                # [rows, B-1]
+        c2 = (valid[:, None, :] & (x[:, None, :] <= m2[:, :, None])
+              ).sum(axis=-1).astype(jnp.int32)
+        lo1, hi1 = shrink(lo1, hi1, c1, t_lo)
+        lo2, hi2 = shrink(lo2, hi2, c2, t_hi)
+        return lo1, hi1, lo2, hi2
+
+    # 8^11 = 2^33 ≥ the 2^32 shrink of the binary version: hi lands on
+    # the exact sample value wherever the binary formulation did
+    _, v_lo, _, v_hi = lax.fori_loop(0, 11, body, (bot, top, bot, top))
     # average the middle pair for even n (masked_median_jax semantics);
     # rows with no valid samples (dead frames) report 0.0, not ±inf
     med = jnp.where(n % 2 == 0, 0.5 * (v_lo + v_hi), v_lo)

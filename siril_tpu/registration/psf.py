@@ -144,69 +144,171 @@ from functools import lru_cache
 @lru_cache(maxsize=16)
 def _get_fitter(S: int, moffat: bool, free_beta: bool, beta_fixed,
                 fixed_beta: float, iters: int):
-    """Cached jitted vmapped LM fitter for one patch/profile config."""
+    """Cached jitted batched LM fitter for one patch/profile config.
+
+    Batch-major TPU formulation (not a vmapped scalar fit): the
+    Jacobian is ANALYTIC (jacfwd re-evaluated the model once per
+    parameter), normal equations come from two batched matmuls, and the
+    damped (npar × npar) solve is an UNROLLED Cholesky — static Python
+    loops over 7×7 index space, vectorized over the K candidates.
+    ``jnp.linalg.solve``'s batched pivoting LU dominated the whole
+    detection stage on TPU (~40 ms per 500-candidate frame; the chain
+    profile attributed 2.47 ms/Mpix to this fit — more than the
+    rejection stack itself)."""
     import jax
     import jax.numpy as jnp
 
     npar = 8 if free_beta else 7
-    ii, jj = np.mgrid[0:S, 0:S].astype(np.float32)
+    P = S * S
+    ii2, jj2 = np.mgrid[0:S, 0:S].astype(np.float32)
+    iif = jnp_ii = ii2.ravel()
+    jjf = jj2.ravel()
 
-    def residual(params, y):
-        m = _model(params, ii, jj, moffat, beta_fixed)
-        return (m - y).ravel()
+    def model_only(p, y):
+        """p: [K, npar] → model [K, P]."""
+        B, A, x0, y0, lsx, lsy, al = (p[:, c:c + 1] for c in range(7))
+        sx = jnp.exp(lsx)
+        sy = jnp.exp(lsy)
+        ca = jnp.cos(al)
+        sa = jnp.sin(al)
+        u = jjf[None, :] + 0.5 - x0
+        v = iif[None, :] + 0.5 - y0
+        tx = ca * u - sa * v
+        ty = sa * u + ca * v
+        d2 = tx * tx / sx + ty * ty / sy
+        if moffat:
+            beta = beta_fixed if beta_fixed is not None else \
+                1.0 + jnp.exp(p[:, 7:8])
+            return B + A * jnp.power(1.0 + d2, -beta)
+        return B + A * jnp.exp(-d2)
 
-    jac = jax.jacfwd(residual)
+    def model_and_jac(p, y):
+        """p: [K, npar] → model [K, P], J [K, npar, P] (analytic —
+        same math as jax.jacfwd of ``_model``, shared subexpressions)."""
+        B, A, x0, y0, lsx, lsy, al = (p[:, c:c + 1] for c in range(7))
+        sx = jnp.exp(lsx)
+        sy = jnp.exp(lsy)
+        ca = jnp.cos(al)
+        sa = jnp.sin(al)
+        u = jjf[None, :] + 0.5 - x0
+        v = iif[None, :] + 0.5 - y0
+        tx = ca * u - sa * v
+        ty = sa * u + ca * v
+        qx = tx * tx / sx
+        qy = ty * ty / sy
+        d2 = qx + qy
+        if moffat:
+            beta = beta_fixed if beta_fixed is not None else \
+                1.0 + jnp.exp(p[:, 7:8])
+            base = 1.0 + d2
+            g = jnp.power(base, -beta)
+            dmdd2 = -A * beta * g / base
+        else:
+            g = jnp.exp(-d2)
+            dmdd2 = -A * g
+        m = B + A * g
+        txs = 2.0 * tx / sx
+        tys = 2.0 * ty / sy
+        cols = [
+            jnp.ones_like(m),                              # ∂/∂B
+            g,                                             # ∂/∂A
+            dmdd2 * (-(txs * ca + tys * sa)),              # ∂/∂x0
+            dmdd2 * (txs * sa - tys * ca),                 # ∂/∂y0
+            dmdd2 * (-qx),                                 # ∂/∂log sx
+            dmdd2 * (-qy),                                 # ∂/∂log sy
+            dmdd2 * (tys * tx - txs * ty),                 # ∂/∂α
+        ]
+        if free_beta:
+            # ∂β/∂lβ = exp(lβ) = β − 1
+            cols.append(A * g * (-jnp.log1p(d2)) * (beta - 1.0))
+        return m, jnp.stack(cols, axis=1)
+
+    def chol_solve(H, g):
+        """Solve H x = g for SPD [K, npar, npar] H — unrolled Cholesky,
+        K-vectorized elementwise ops only (no lax.linalg)."""
+        L = [[None] * npar for _ in range(npar)]
+        for i in range(npar):
+            for j in range(i + 1):
+                s = H[:, i, j]
+                for k in range(j):
+                    s = s - L[i][k] * L[j][k]
+                if i == j:
+                    L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-20))
+                else:
+                    L[i][j] = s / L[j][j]
+        z = [None] * npar
+        for i in range(npar):
+            s = g[:, i]
+            for k in range(i):
+                s = s - L[i][k] * z[k]
+            z[i] = s / L[i][i]
+        x = [None] * npar
+        for i in reversed(range(npar)):
+            s = z[i]
+            for k in range(i + 1, npar):
+                s = s - L[k][i] * x[k]
+            x[i] = s / L[i][i]
+        return jnp.stack(x, axis=1)
 
     def init_params(y):
-        B0 = jnp.percentile(y, 10.0)
-        A0 = jnp.maximum(y.max() - B0, 1e-5)
-        w = jnp.maximum(y - B0, 0.0)
-        tot = jnp.maximum(w.sum(), 1e-9)
-        cy = (w * ii).sum() / tot
-        cx = (w * jj).sum() / tot
-        vy = jnp.maximum((w * (ii - cy) ** 2).sum() / tot, 0.25)
-        vx = jnp.maximum((w * (jj - cx) ** 2).sum() / tot, 0.25)
+        """y: [K, P] → p0 [K, npar] (moment init, PSF.c psf_init_data)."""
+        B0 = jnp.percentile(y, 10.0, axis=-1)
+        A0 = jnp.maximum(y.max(axis=-1) - B0, 1e-5)
+        w = jnp.maximum(y - B0[:, None], 0.0)
+        tot = jnp.maximum(w.sum(axis=-1), 1e-9)
+        cy = (w * iif[None, :]).sum(axis=-1) / tot
+        cx = (w * jjf[None, :]).sum(axis=-1) / tot
+        vy = jnp.maximum((w * (iif[None, :] - cy[:, None]) ** 2
+                          ).sum(axis=-1) / tot, 0.25)
+        vx = jnp.maximum((w * (jjf[None, :] - cx[:, None]) ** 2
+                          ).sum(axis=-1) / tot, 0.25)
         base = [B0, A0, cx, cy, jnp.log(2.0 * vx), jnp.log(2.0 * vy),
-                jnp.zeros(())]
+                jnp.zeros_like(B0)]
         if free_beta:
-            base.append(jnp.full((), np.log(max(fixed_beta - 1.0, 0.1))))
-        return jnp.stack([jnp.asarray(b, jnp.float32) for b in base])
+            base.append(jnp.full_like(
+                B0, np.log(max(fixed_beta - 1.0, 0.1))))
+        return jnp.stack([b.astype(jnp.float32) for b in base], axis=1)
 
-    def fit_one(y):
+    def fit(patches):
+        K = patches.shape[0]
+        y = patches.reshape(K, P).astype(jnp.float32)
         p0 = init_params(y)
 
         def body(state, _):
             p, lam, best_p, best_cost = state
-            r = residual(p, y)
-            J = jac(p, y)
-            g = J.T @ r
-            H = J.T @ J
-            Hd = H + lam * jnp.eye(npar) * jnp.maximum(jnp.diag(H), 1e-8)
-            step = jnp.linalg.solve(Hd, g)
+            m, J = model_and_jac(p, y)
+            r = m - y
+            g = jnp.einsum("knp,kp->kn", J, r)
+            H = jnp.einsum("knp,kmp->knm", J, J)
+            diag = jnp.maximum(jnp.diagonal(H, axis1=1, axis2=2), 1e-8)
+            Hd = H + lam[:, None, None] * diag[:, :, None] * \
+                jnp.eye(npar, dtype=jnp.float32)[None]
+            step = chol_solve(Hd, g)
             p_new = p - step
-            r_new = residual(p_new, y)
-            c_old = (r * r).sum()
-            c_new = (r_new * r_new).sum()
+            r_new = model_only(p_new, y) - y
+            c_old = (r * r).sum(axis=-1)
+            c_new = (r_new * r_new).sum(axis=-1)
             improved = (c_new < c_old) & jnp.isfinite(c_new)
-            p_next = jnp.where(improved, p_new, p)
+            p_next = jnp.where(improved[:, None], p_new, p)
             lam_next = jnp.where(improved, jnp.maximum(lam * 0.5, 1e-7),
                                  jnp.minimum(lam * 4.0, 1e6))
             better = c_new < best_cost
-            best_p = jnp.where(better, p_new, best_p)
+            best_p = jnp.where(better[:, None], p_new, best_p)
             best_cost = jnp.where(better, c_new, best_cost)
             return (p_next, lam_next, best_p, best_cost), None
 
-        r0 = residual(p0, y)
-        state0 = (p0, jnp.float32(1e-2), p0, (r0 * r0).sum())
+        r0 = model_only(p0, y) - y
+        state0 = (p0, jnp.full((K,), 1e-2, jnp.float32), p0,
+                  (r0 * r0).sum(axis=-1))
         (_, _, best_p, best_cost), _ = jax.lax.scan(body, state0,
                                                     None, length=iters)
-        rmse = jnp.sqrt(best_cost / (S * S))
+        rmse = jnp.sqrt(best_cost / P)
         # pack params+rmse into one row: the caller fetches ONE array
         # (each device->host fetch costs ~1-2 s of latency through the
         # axon tunnel, so two fetches per fit call doubled the bill)
-        return jnp.concatenate([best_p, rmse[None]])
+        return jnp.concatenate([best_p, rmse[:, None]], axis=1)
 
-    return jax.jit(jax.vmap(fit_one))
+    return jax.jit(fit)
 
 
 def fwhm_from_s(s: np.ndarray, beta: np.ndarray) -> np.ndarray:
