@@ -107,7 +107,45 @@ def _cache_entries():
         return 0
 
 
+_PROBE_CHAIN = {
+    "full": "decode+calibrate+detect+warp+estimators+stack",
+    "nodetect": "decode+calibrate+warp+estimators+stack (detect absent "
+                "— fallback compile surface)",
+    "stack": "decode+calibrate+stack only (smallest fallback compile "
+             "surface)",
+}
+
+
+def _finish_probe_fields():
+    """Merge the stage ladder / deep-run captures into compute_probe and
+    derive the north-star scale model (VERDICT r4 asks #2/#3)."""
+    cp = _best.get("compute_probe")
+    if cp is not None:
+        if _best.get("_stages"):
+            cp["stages_mpix_s"] = _best["_stages"]
+        if _best.get("_deep"):
+            cp["deep_n24"] = _best["_deep"]
+    cpu = _best.get("cpu_baseline") or {}
+    compute = _best.get("compute_mpix_s")
+    percore = cpu.get("native_e2e_mpix_s")
+    if compute and percore:
+        _best["northstar"] = {
+            "native_e2e_percore_mpix_s": percore,
+            "chip_compute_mpix_s": compute,
+            "vs_multicore_model": {
+                str(c): round(compute / (percore * c), 2)
+                for c in (8, 16, 32)},
+            "note": "SCALE MODEL, not a measurement: chip device-"
+                    "resident fused-chain rate ÷ (native C++ e2e CPU "
+                    "twin per-core rate × N cores); the twin's stages "
+                    "are frame/row-parallel so ×cores is its best case",
+        }
+    if _best.get("_wall"):
+        _best["wall_split_s"] = _best["_wall"]
+
+
 def emit(final=False):
+    _finish_probe_fields()
     if _best.get("value"):
         prior = _load_best_prior()
         if prior and (int(prior.get("n") or 0),
@@ -121,16 +159,23 @@ def emit(final=False):
     elif final and _best.get("compute_mpix_s"):
         # No e2e capture, but the tunnel-independent chip metric landed:
         # headline it (clearly labeled compute-only) — a degraded tunnel
-        # must not zero out the chip's evidenced capability.
+        # must not zero out the chip's evidenced capability.  Metric
+        # name/note derive from the stage that actually captured
+        # (ADVICE r4: a fallback-stage capture must not be labeled as
+        # the full chain).
+        cp = _best.get("compute_probe") or {}
+        pstage = cp.get("stage", "full")
+        pn = cp.get("n", 8)
         out = {
-            "metric": "device_compute_only_fused_pipeline_8x16Mpix",
+            "metric": f"device_compute_only_{pstage}_{pn}x16Mpix",
             "value": _best["compute_mpix_s"], "unit": "Mpix/s",
             "vs_baseline": None,
             "note": "e2e capture failed this run (degraded tunnel); "
-                    "value is the DEVICE-RESIDENT fused-chain rate "
-                    "(decode+calibrate+detect+warp+estimators+stack), "
-                    "zero wire traffic",
-            "compute_probe": _best.get("compute_probe"),
+                    "value is the DEVICE-RESIDENT rate of: "
+                    + _PROBE_CHAIN.get(pstage, pstage)
+                    + ", zero wire traffic",
+            "compute_probe": cp,
+            "northstar": _best.get("northstar"),
             "compile_probe_s": _best.get("compile_probe_s"),
             "tunnel_h2d_mbs": _best.get("tunnel_h2d_mbs"),
             "cache_entries": _cache_entries(),
@@ -488,9 +533,28 @@ def _child(d, plan, deadline_s):
         if rate < 4 and plan[0] > 4:
             plan = [4] + list(plan)
 
+    def run_and_report(n_run):
+        """One pipeline pass + its upload-vs-device wall split from the
+        trace registry (VERDICT r4 ask #3: the captured pass's split must
+        be readable from the JSON, not from ARCHITECTURE.md)."""
+        from siril_tpu.utils import trace
+
+        trace.reset()
+        t = run_pipeline(d, n_run)
+        try:
+            import json as _json
+
+            split = {k: round(v[1], 2) for k, v in trace.timings().items()
+                     if k.startswith("fused.")}
+            if split:
+                print("BENCH_WALL " + _json.dumps(split), flush=True)
+        except Exception:       # noqa: BLE001 — diagnostics only
+            pass
+        return t
+
     plan = list(plan)
     n = plan.pop(0)
-    t1 = run_pipeline(d, n)
+    t1 = run_and_report(n)
     out(n, t1)
     t_last, n_last = t1, n
 
@@ -502,7 +566,10 @@ def _child(d, plan, deadline_s):
         try:
             import json as _json
 
-            from siril_tpu.tools.compute_probe import device_compute_probe
+            from siril_tpu.tools.compute_probe import (
+                device_compute_probe,
+                device_stage_probe,
+            )
 
             for pstage in ("full", "nodetect", "stack"):
                 if left() < 60:
@@ -516,6 +583,33 @@ def _child(d, plan, deadline_s):
                 except Exception as e:      # noqa: BLE001
                     print(f"BENCH_NOTE compute probe [{pstage}] "
                           f"failed: {e}", flush=True)
+            # per-stage attribution ladder + a deeper n=24 run (VERDICT
+            # r4 asks #1/#2) — cache_seed makes these a few seconds each
+            # on a warm cache; the deadline keeps a cold compile service
+            # from starving the e2e escalation below
+            if left() > 300:
+                try:
+                    r2 = device_stage_probe(
+                        ("stats", "cand", "detect", "warp", "est",
+                         "stack", "nodetect", "full"),
+                        n=8, size=4096, iters=3,
+                        deadline_s=min(left() - 180, 150))
+                    if r2.get("stages_mpix_s"):
+                        print("BENCH_STAGES "
+                              + _json.dumps(r2["stages_mpix_s"]),
+                              flush=True)
+                except Exception as e:      # noqa: BLE001
+                    print(f"BENCH_NOTE stage ladder failed: {e}",
+                          flush=True)
+            if left() > 240:
+                try:
+                    r3 = device_compute_probe(n=24, size=4096, iters=1,
+                                              stage="full")
+                    print("BENCH_COMPUTE_DEEP " + _json.dumps(r3),
+                          flush=True)
+                except Exception as e:      # noqa: BLE001
+                    print(f"BENCH_NOTE deep probe failed: {e}",
+                          flush=True)
         except Exception as e:              # noqa: BLE001
             print(f"BENCH_NOTE compute probe import failed: {e}",
                   flush=True)
@@ -534,7 +628,7 @@ def _child(d, plan, deadline_s):
     # tier (observed: cold 30 s vs hot 14 s at n=4 — only the hot rate
     # proves 4→100 fits).  One micro-tier hot pass costs ~15 s.
     if plan and left() > 45:
-        t = run_pipeline(d, n_last)
+        t = run_and_report(n_last)
         out(n_last, t)
         t_last = min(t_last, t)
         passes += 1
@@ -555,7 +649,7 @@ def _child(d, plan, deadline_s):
             plan.pop(0)
         if plan and t_last * (plan[0] / n_last) <= left() * 1.3:
             nxt = plan.pop(0)
-            t = run_pipeline(d, nxt)
+            t = run_and_report(nxt)
             out(nxt, t)
             t_last, n_last = t, nxt
         else:
@@ -563,7 +657,7 @@ def _child(d, plan, deadline_s):
                 print(f"BENCH_DEFER {plan[0]} "
                       f"est={t_last * plan[0] / n_last:.0f}s "
                       f"left={left():.0f}s — hot rerun first", flush=True)
-            t = run_pipeline(d, n_last)
+            t = run_and_report(n_last)
             out(n_last, t)
             t_last = min(t_last, t)
         passes += 1
@@ -647,6 +741,18 @@ def measure_tpu(d, plan, cap=None):
                 _best["compute_probe"] = r
                 status(f"compute-only [{r['stage']}]: "
                        f"{r['compute_mpix_s']} Mpix/s on device")
+            elif line.startswith("BENCH_STAGES"):
+                _best["_stages"] = json.loads(line.split(None, 1)[1])
+                stall.clear()
+                status(f"stage ladder: {_best['_stages']}")
+            elif line.startswith("BENCH_COMPUTE_DEEP"):
+                _best["_deep"] = json.loads(line.split(None, 1)[1])
+                stall.clear()
+                status(f"deep probe n=24: "
+                       f"{_best['_deep']['compute_mpix_s']} Mpix/s")
+            elif line.startswith("BENCH_WALL"):
+                _best["_wall"] = json.loads(line.split(None, 1)[1])
+                status(f"wall split: {_best['_wall']}")
             else:
                 m = re.search(r"\[stall\].*'([^']*)'.*after (\d+)s", line)
                 if m:

@@ -10,6 +10,12 @@ Only entries >= MIN_KB are copied (small programs recompile in seconds
 even on a degraded remote-compile day; the multi-minute hazards are the
 big fused/Mosaic programs), and the seed is capped at CAP_MB by dropping
 the smallest entries first.
+
+The seed MIRRORS the selection: committed entries that are no longer in
+the live cache (or fell outside the size window) are DELETED, so entries
+invalidated by a jaxlib upgrade or superseded kernels don't accumulate
+in git history forever (ADVICE r4).  Set SEED_KEEP_STALE=1 to disable
+the pruning for a purely additive snapshot.
 """
 
 import os
@@ -43,13 +49,22 @@ entries.sort(reverse=True)
 
 total = 0
 copied = 0
+selected = set()
 for sz, name in entries:
     if total + sz > CAP_MB << 20:
         continue        # smaller remaining entries may still fit the cap
     shutil.copyfile(os.path.join(src, name), os.path.join(dst, name))
+    selected.add(name)
     total += sz
     copied += 1
 
+pruned = 0
+if not os.environ.get("SEED_KEEP_STALE"):
+    for name in os.listdir(dst):
+        if name.endswith("-cache") and name not in selected:
+            os.unlink(os.path.join(dst, name))
+            pruned += 1
+
 print(f"seeded {copied}/{len(entries)} entries, "
-      f"{total / 1e6:.1f} MB -> {dst}")
+      f"{total / 1e6:.1f} MB -> {dst} (pruned {pruned} stale)")
 sys.exit(0)

@@ -147,7 +147,19 @@ def _clip_window(xs, lo, hi, r, center, spread, siglow, sighigh, active):
     honoring the cumulative N−r≤4 guard (frame order = ascending value
     order, i.e. low-side candidates are 'first').
 
-    Returns (new_lo, new_hi, new_r, changed).
+    When the guard TRUNCATES the high side mid-scan (n_high <
+    cand_high), the C scan — ascending — rejects the SMALLEST high
+    candidates and keeps the largest ones (rejection_float.c:189-196:
+    once ``N − r <= 4`` the remaining frames are kept verbatim).  The
+    kept top slice [hi−cand_high+n_high, hi) is returned as a segment
+    (seg_lo, seg_hi); the iterating window drops ALL high candidates.
+    The budget algebra makes truncation terminal — the next round's
+    ``max_acc`` is negative, so no further rejection can occur and the
+    segment never needs to participate in later rounds' statistics.
+
+    Returns (new_lo, new_hi, new_r, changed, n_low, n_high,
+    seg_lo, seg_hi); the segment is empty (seg_lo == seg_hi) without
+    truncation.
     """
     N = xs.shape[0]
     idx = lax.broadcasted_iota(jnp.int32, xs.shape, 0)
@@ -162,11 +174,15 @@ def _clip_window(xs, lo, hi, r, center, spread, siglow, sighigh, active):
     accept = cand & (rank <= max_acc[None, :]) & active[None, :]
     n_low = (accept & low_cand).sum(axis=0).astype(jnp.int32)
     n_high = (accept & high_cand).sum(axis=0).astype(jnp.int32)
+    cand_high = (high_cand & active[None, :]).sum(axis=0).astype(jnp.int32)
+    trunc = (n_high > 0) & (n_high < cand_high)
     new_lo = lo + n_low
-    new_hi = hi - n_high
+    new_hi = hi - jnp.where(trunc, cand_high, n_high)
+    seg_lo = jnp.where(trunc, hi - cand_high + n_high, 0)
+    seg_hi = jnp.where(trunc, hi, 0)
     new_r = r + n_low + n_high
     changed = (n_low + n_high) > 0
-    return new_lo, new_hi, new_r, changed, n_low, n_high
+    return new_lo, new_hi, new_r, changed, n_low, n_high, seg_lo, seg_hi
 
 
 def _sigma_or_mad(xs, nvalid, siglow, sighigh, use_mad: bool, max_iter: int):
@@ -195,27 +211,38 @@ def _sigma_or_mad(xs, nvalid, siglow, sighigh, use_mad: bool, max_iter: int):
         return sd
 
     def body(state):
-        lo_, hi_, r_, rejl_, rejh_, med_, first, active, _ = state
+        (lo_, hi_, r_, rejl_, rejh_, med_, first, active, _,
+         sl_, sh_) = state
         spread = spread_fn(lo_, hi_, med_)
         med_new = jnp.where(first, med_, _window_median(xs, lo_, hi_))
-        nlo, nhi, nr, changed, n_low, n_high = _clip_window(
-            xs, lo_, hi_, r_, med_new, spread, siglow, sighigh, active)
+        nlo, nhi, nr, changed, n_low, n_high, seg_lo, seg_hi = \
+            _clip_window(xs, lo_, hi_, r_, med_new, spread, siglow,
+                         sighigh, active)
         act_next = active & changed & ((nhi - nlo) > 3)
+        # a truncation is terminal, so an existing segment is never
+        # overwritten — keep the first one recorded
+        new_seg = seg_hi > seg_lo
         return (nlo, nhi, nr, rejl_ + n_low, rejh_ + n_high,
-                med_new, jnp.zeros_like(first), act_next, changed.any())
+                med_new, jnp.zeros_like(first), act_next, changed.any(),
+                jnp.where(new_seg, seg_lo, sl_),
+                jnp.where(new_seg, seg_hi, sh_))
 
     def cond(state):
         return state[8]
 
     first = jnp.ones(P, bool)
     active = ~dead
-    state = (lo, hi, r, rejl, rejh, median0, first, active, jnp.array(True))
+    state = (lo, hi, r, rejl, rejh, median0, first, active,
+             jnp.array(True), jnp.zeros(P, jnp.int32),
+             jnp.zeros(P, jnp.int32))
     # bounded while: at most N rejection rounds
     state = lax.while_loop(cond, body, state)
     lo, hi, r, rejl, rejh = state[0], state[1], state[2], state[3], state[4]
+    seg_lo, seg_hi = state[9], state[10]
     hi = jnp.where(dead, jnp.zeros_like(hi), hi)
     lo = jnp.where(dead, jnp.zeros_like(lo), lo)
-    return lo, hi, rejl, rejh
+    seg_hi = jnp.where(dead, jnp.zeros_like(seg_hi), seg_hi)
+    return lo, hi, rejl, rejh, seg_lo, seg_hi
 
 
 def _percentile(xs, nvalid, plow, phigh):
@@ -252,13 +279,21 @@ def _winsorized(xs, nvalid, siglow, sighigh, max_iter: int):
 
     def winsor_sd(lo_, hi_, med_):
         """Iterated winsorized sigma: clamp window values to med±1.5σ,
-        σ ← 1.134·sd(clamped), until relative change ≤ 5e-4."""
+        σ ← 1.134·sd(clamped), until relative change ≤ 5e-4.
+
+        Per-PIXEL convergence freeze (the C loop exits per pixel: a
+        lane's σ is the first σ_k with |σ_k−σ_{k−1}| ≤ 5e-4·σ_{k−1};
+        the old batch-wide `.any()` kept refining converged lanes until
+        the slowest pixel finished) + Aitken Δ² extrapolation every
+        third step for the slow-converging tail — the same structure as
+        the Pallas kernel (pallas/reject_stack.py winsor_sd) so both
+        paths produce identical σ trajectories."""
         _, sd0 = _window_mean_sd(s1, s2, lo_, hi_)
         inwin = (idx >= lo_[None, :]) & (idx < hi_[None, :])
         n = jnp.maximum((hi_ - lo_).astype(jnp.float32), 1.0)
 
-        def wbody(st):
-            sigma, _, it = st
+        def plain(st):
+            sigma, h1, h2, frozen, it = st
             m0 = med_ - 1.5 * sigma
             m1 = med_ + 1.5 * sigma
             w = jnp.clip(xs, m0[None, :], m1[None, :])
@@ -268,31 +303,47 @@ def _winsorized(xs, nvalid, siglow, sighigh, max_iter: int):
             var = (jnp.where(inwin, (w - mean) ** 2, 0.0)).sum(axis=0) / \
                 jnp.maximum(n - 1.0, 1.0)
             new_sig = 1.134 * jnp.sqrt(jnp.maximum(var, 0.0))
-            return new_sig, sigma, it + 1
+            conv = jnp.abs(new_sig - sigma) <= sigma * 5e-4
+            return (jnp.where(frozen, sigma, new_sig), sigma, h1,
+                    frozen | conv, it + 1)
+
+        def wbody(st):
+            st = plain(plain(plain(st)))
+            sk, h1, h2, frozen, it = st
+            den = sk - 2.0 * h1 + h2
+            num = (sk - h1) * (sk - h1)
+            ok = jnp.abs(den) > 1e-12
+            sa = sk - num / jnp.where(ok, den, 1.0)
+            good = ok & (sa > 0.0) & (jnp.abs(sa - sk) < sk) & ~frozen
+            return jnp.where(good, sa, sk), h1, h2, frozen, it
 
         def wcond(st):
-            sigma, sigma0, it = st
-            notconv = jnp.abs(sigma - sigma0) > sigma0 * 5e-4
-            return notconv.any() & (it < 50)
+            return (~st[3]).any() & (st[4] < 48)
 
-        sig, _, _ = lax.while_loop(wcond, wbody,
-                                   (1.134 * sd0, sd0 + 1.0, jnp.int32(0)))
+        st0 = (1.134 * sd0, sd0 + 1.0, jnp.zeros_like(sd0),
+               (hi_ - lo_) <= 1, jnp.int32(0))
+        sig, _, _, _, _ = lax.while_loop(wcond, wbody, st0)
         return sig
 
     def body(state):
-        lo_, hi_, r_, rejl_, rejh_, active, _ = state
+        lo_, hi_, r_, rejl_, rejh_, active, _, sl_, sh_ = state
         med = _window_median(xs, lo_, hi_)
         sig = winsor_sd(lo_, hi_, med)
-        nlo, nhi, nr, changed, n_low, n_high = _clip_window(
-            xs, lo_, hi_, r_, med, sig, siglow, sighigh, active)
+        nlo, nhi, nr, changed, n_low, n_high, seg_lo, seg_hi = \
+            _clip_window(xs, lo_, hi_, r_, med, sig, siglow, sighigh,
+                         active)
         act_next = active & changed & ((nhi - nlo) > 3)
+        new_seg = seg_hi > seg_lo
         return (nlo, nhi, nr, rejl_ + n_low, rejh_ + n_high, act_next,
-                changed.any())
+                changed.any(),
+                jnp.where(new_seg, seg_lo, sl_),
+                jnp.where(new_seg, seg_hi, sh_))
 
-    state = (lo, hi, r, rejl, rejh, ~dead, jnp.array(True))
+    state = (lo, hi, r, rejl, rejh, ~dead, jnp.array(True),
+             jnp.zeros(P, jnp.int32), jnp.zeros(P, jnp.int32))
     state = lax.while_loop(lambda s: s[6], body, state)
     lo, hi, rejl, rejh = state[0], state[1], state[3], state[4]
-    return lo, hi, rejl, rejh
+    return lo, hi, rejl, rejh, state[7], state[8]
 
 
 # ---------------------------------------------------------------------------
@@ -519,13 +570,18 @@ def rejection_mean(stack, rtype: int, siglow: float, sighigh: float,
         keep_sorted = _window_mask(xs.shape, lo, hi)
         values = xs
     elif rtype in (SIGMA, MAD):
-        lo, hi, rejl, rejh = _sigma_or_mad(xs, nvalid, siglow, sighigh,
-                                           rtype == MAD, N)
-        keep_sorted = _window_mask(xs.shape, lo, hi)
+        lo, hi, rejl, rejh, seg_lo, seg_hi = _sigma_or_mad(
+            xs, nvalid, siglow, sighigh, rtype == MAD, N)
+        # kept = window ∪ the guard-truncated kept-top segment (the C
+        # ascending scan keeps the LARGEST high candidates once N−r≤4)
+        keep_sorted = _window_mask(xs.shape, lo, hi) | \
+            _window_mask(xs.shape, seg_lo, seg_hi)
         values = xs
     elif rtype == WINSORIZED:
-        lo, hi, rejl, rejh = _winsorized(xs, nvalid, siglow, sighigh, N)
-        keep_sorted = _window_mask(xs.shape, lo, hi)
+        lo, hi, rejl, rejh, seg_lo, seg_hi = _winsorized(
+            xs, nvalid, siglow, sighigh, N)
+        keep_sorted = _window_mask(xs.shape, lo, hi) | \
+            _window_mask(xs.shape, seg_lo, seg_hi)
         values = xs
     elif rtype == SIGMEDIAN:
         values, rejl, rejh = _sigmedian(xs, nvalid, siglow, sighigh)

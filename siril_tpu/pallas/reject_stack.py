@@ -84,8 +84,11 @@ _INF = float("inf")   # plain float: jnp scalars would be captured tracers
 PALLAS_RTYPES = frozenset({NO_REJEC, PERCENTILE, SIGMA, MAD, SIGMEDIAN,
                            WINSORIZED, LINEARFIT, GESDT})
 
-# rows in the int32 state scratch
+# rows in the int32 state scratch; _SL/_SH hold the guard-truncated
+# kept-top segment of the window modes (SIGMA/MAD/WINSORIZED) and are
+# only aliased with _LF by GESDT, which uses neither
 _LO, _HI, _R, _RL, _RH, _FIRST, _LF = 0, 1, 2, 3, 4, 5, 6
+_SL, _SH = 6, 7
 
 
 def _next_pow2(n: int) -> int:
@@ -185,7 +188,10 @@ def _window_mean_sd(s1, s2, lo, hi):
 def _clip_counts(lo, hi, r, n_low_cand, n_high_cand):
     """Closed-form N−r≤4 guard (rejection_float.c:188-196): low candidates
     precede high candidates in the sorted window, so the 'first max_acc in
-    order' rule is two mins."""
+    order' rule is two mins.  When the high side truncates
+    (n_high < n_high_cand), the ascending C scan rejected the SMALLEST
+    high candidates — the caller must keep the top slice
+    [hi−cand_high+n_high, hi) as a segment (see _SL/_SH)."""
     n_cur = hi - lo
     max_acc = jnp.maximum(n_cur - r - 4, 0)
     n_low = jnp.minimum(n_low_cand, max_acc)
@@ -283,6 +289,8 @@ def _build_kernel(rtype: int, mode: int, siglow: float, sighigh: float,
             st_ref[_R:_R + 1] = zero
             st_ref[_RL:_RL + 1] = zero
             st_ref[_RH:_RH + 1] = zero
+            st_ref[_SL:_SL + 1] = zero
+            st_ref[_SH:_SH + 1] = zero
             st_ref[_FIRST:_FIRST + 1] = jnp.where(dead, 0, 1)  # 1=active+first
             sf_ref[0:1] = median0
 
@@ -306,7 +314,16 @@ def _build_kernel(rtype: int, mode: int, siglow: float, sighigh: float,
                 ncl = jnp.where(active, ncl, 0)
                 nch = jnp.where(active, nch, 0)
                 n_low, n_high = _clip_counts(lo_, hi_, r_, ncl, nch)
-                nlo, nhi = lo_ + n_low, hi_ - n_high
+                # truncated high side: ascending scan keeps the TOP of
+                # the suffix — record it as the kept segment (terminal:
+                # next round's budget is negative, so at most one ever)
+                trunc = (n_high > 0) & (n_high < nch)
+                nlo = lo_ + n_low
+                nhi = hi_ - jnp.where(trunc, nch, n_high)
+                st_ref[_SL:_SL + 1] = jnp.where(
+                    trunc, hi_ - nch + n_high, st_ref[_SL:_SL + 1])
+                st_ref[_SH:_SH + 1] = jnp.where(
+                    trunc, hi_, st_ref[_SH:_SH + 1])
                 changed = (n_low + n_high) > 0
                 act_next = active & changed & ((nhi - nlo) > 3)
                 st_ref[_LO:_LO + 1] = nlo
@@ -339,19 +356,40 @@ def _build_kernel(rtype: int, mode: int, siglow: float, sighigh: float,
             st_ref[_R:_R + 1] = zero
             st_ref[_RL:_RL + 1] = zero
             st_ref[_RH:_RH + 1] = zero
+            st_ref[_SL:_SL + 1] = zero
+            st_ref[_SH:_SH + 1] = zero
             st_ref[_FIRST:_FIRST + 1] = jnp.where(dead, 0, 1)
 
             def winsor_sd(lo_, hi_, med_):
                 # rejection_float.c:222-236: clamp to med±1.5σ,
-                # σ ← 1.134·sd, until |σ−σ0| ≤ 5e-4·σ0
+                # σ ← 1.134·sd, until |σ−σ0| ≤ 5e-4·σ0.
+                #
+                # Per-PIXEL convergence freeze (the C loop is per pixel;
+                # the old tile-wide `.any()` kept refining already-
+                # converged pixels' σ until the slowest lane finished —
+                # mean per-pixel iterations ≈ 6, tile-max ≈ 46, i.e.
+                # ~85% wasted body work) + Aitken Δ² extrapolation every
+                # third step for the slow linear-convergence tail
+                # (bimodal hot-pixel columns), with the loop condition
+                # checked once per 3 plain steps to amortize the
+                # vector→scalar sync.  A frozen lane's σ is the first
+                # σ_k with |σ_k−σ_{k−1}| ≤ 5e-4·σ_{k−1} — exactly the C
+                # per-pixel exit value; the Aitken jump only moves a
+                # NOT-yet-converged lane and is always followed by plain
+                # steps, so every final σ still satisfies the same
+                # 5e-4 stopping band as the reference loop.
                 _, sd0 = _window_mean_sd(s1, s2, lo_, hi_)
                 inwin = (rows >= lo_) & (rows < hi_)
                 n_w = jnp.maximum((hi_ - lo_).astype(jnp.float32), 1.0)
-                sf_ref[1:2] = 1.134 * sd0
-                sf_ref[2:3] = sd0 + 1.0
+                sf_ref[1:2] = 1.134 * sd0                  # σ_k
+                sf_ref[2:3] = sd0 + 1.0                    # σ_{k−1}
+                sf_ref[3:4] = jnp.zeros_like(sd0)          # σ_{k−2}
+                sf_ref[4:5] = jnp.where((hi_ - lo_) > 1,
+                                        0.0, 1.0)          # frozen mask
 
-                def wbody(it):
+                def plain_step():
                     sigma = sf_ref[1:2]
+                    frozen = sf_ref[4:5] > 0.5
                     m0 = med_ - 1.5 * sigma
                     m1 = med_ + 1.5 * sigma
                     w = jnp.clip(xs, m0, m1)
@@ -359,16 +397,37 @@ def _build_kernel(rtype: int, mode: int, siglow: float, sighigh: float,
                     t1 = w.sum(axis=0, keepdims=True)
                     mn = t1 / n_w
                     var = (jnp.where(inwin, (w - mn) ** 2, 0.0)
-                           ).sum(axis=0, keepdims=True) / jnp.maximum(n_w - 1.0, 1.0)
-                    sf_ref[1:2] = 1.134 * jnp.sqrt(jnp.maximum(var, 0.0))
+                           ).sum(axis=0, keepdims=True) / \
+                        jnp.maximum(n_w - 1.0, 1.0)
+                    newsig = 1.134 * jnp.sqrt(jnp.maximum(var, 0.0))
+                    conv = jnp.abs(newsig - sigma) <= sigma * 5e-4
+                    sf_ref[3:4] = sf_ref[2:3]
                     sf_ref[2:3] = sigma
-                    return it + 1
+                    sf_ref[1:2] = jnp.where(frozen, sigma, newsig)
+                    sf_ref[4:5] = jnp.where(frozen | conv, 1.0, 0.0)
+
+                def wbody(it):
+                    plain_step()
+                    plain_step()
+                    plain_step()
+                    # Aitken Δ²: σ_A = σ_k − (Δσ_k)²/(Δ²σ) on lanes with
+                    # a sane denominator; plain steps after the jump
+                    # re-establish the convergence check
+                    sk = sf_ref[1:2]
+                    sk1 = sf_ref[2:3]
+                    sk2 = sf_ref[3:4]
+                    den = sk - 2.0 * sk1 + sk2
+                    num = (sk - sk1) * (sk - sk1)
+                    ok = jnp.abs(den) > 1e-12
+                    sa = sk - num / jnp.where(ok, den, 1.0)
+                    frozen = sf_ref[4:5] > 0.5
+                    good = ok & (sa > 0.0) & (jnp.abs(sa - sk) < sk) & \
+                        ~frozen
+                    sf_ref[1:2] = jnp.where(good, sa, sk)
+                    return it + 3
 
                 def wcond(it):
-                    sigma = sf_ref[1:2]
-                    sigma0 = sf_ref[2:3]
-                    return ((jnp.abs(sigma - sigma0) > sigma0 * 5e-4).any()
-                            & (it < 50))
+                    return ((sf_ref[4:5] < 0.5).any() & (it < 48))
 
                 lax.while_loop(wcond, wbody, jnp.int32(0))
                 return sf_ref[1:2]
@@ -384,7 +443,13 @@ def _build_kernel(rtype: int, mode: int, siglow: float, sighigh: float,
                 ncl = jnp.where(active, ncl, 0)
                 nch = jnp.where(active, nch, 0)
                 n_low, n_high = _clip_counts(lo_, hi_, r_, ncl, nch)
-                nlo, nhi = lo_ + n_low, hi_ - n_high
+                trunc = (n_high > 0) & (n_high < nch)
+                nlo = lo_ + n_low
+                nhi = hi_ - jnp.where(trunc, nch, n_high)
+                st_ref[_SL:_SL + 1] = jnp.where(
+                    trunc, hi_ - nch + n_high, st_ref[_SL:_SL + 1])
+                st_ref[_SH:_SH + 1] = jnp.where(
+                    trunc, hi_, st_ref[_SH:_SH + 1])
                 changed = (n_low + n_high) > 0
                 act_next = active & changed & ((nhi - nlo) > 3)
                 st_ref[_LO:_LO + 1] = nlo
@@ -612,6 +677,12 @@ def _build_kernel(rtype: int, mode: int, siglow: float, sighigh: float,
             lo = jnp.where(trivial, 0, lo)
             hi = jnp.where(trivial, nvalid, hi)
             keep = (rows >= lo) & (rows < hi)
+            if rtype in (SIGMA, MAD, WINSORIZED):
+                # ∪ the guard-truncated kept-top segment (ascending C
+                # scan keeps the LARGEST high candidates once N−r≤4)
+                seg_lo = st_ref[_SL:_SL + 1]
+                seg_hi = jnp.where(trivial, 0, st_ref[_SH:_SH + 1])
+                keep = keep | ((rows >= seg_lo) & (rows < seg_hi))
         rejl = jnp.where(trivial, 0, rejl)
         rejh = jnp.where(trivial, 0, rejh)
         nkept = keep.sum(axis=0, keepdims=True).astype(jnp.float32)
@@ -660,7 +731,10 @@ def _build_kernel(rtype: int, mode: int, siglow: float, sighigh: float,
 
 def _pick_tile(n: int, dtype) -> int:
     """Pixel-tile width: keep ~7 live (N, TILE) f32 planes under ~8 MB of
-    VMEM, lane-aligned."""
+    VMEM, lane-aligned.  SIRIL_TPU_PALLAS_TILE overrides (perf tuning)."""
+    env = os.environ.get("SIRIL_TPU_PALLAS_TILE")
+    if env:
+        return max(512, (int(env) // 512) * 512)
     budget = 8 * 1024 * 1024
     per_col = max(n, 8) * 4 * 7
     t = budget // per_col

@@ -58,7 +58,9 @@ def _candidate_fn(r: int, k: int):
     @jax.jit
     def candidates(x, thr):
         # max pooling is separable: two 1-D windows are (4r+2) ops/pixel
-        # vs (2r+1)² for the 2-D window — ~10× fewer at r=10
+        # vs (2r+1)² for the 2-D window — ~10× fewer at r=10 (XLA's
+        # stride-1 reduce_window lowering measured FASTER than a manual
+        # log-doubling shifted-max ladder on TPU, so keep it)
         mp = lax.reduce_window(x, -jnp.inf, lax.max,
                                (2 * r + 1, 1), (1, 1), "SAME")
         mp = lax.reduce_window(mp, -jnp.inf, lax.max,
@@ -70,34 +72,31 @@ def _candidate_fn(r: int, k: int):
             (xx >= r) & (xx < x.shape[1] - r)
         resp = jnp.where(mask & inb, x, -jnp.inf)
         flat = resp.ravel()
-        # hierarchical top-k: XLA's top_k over a 16 Mpix ravel is a full
-        # sort (~seconds per frame on TPU).  Preselect per 2-D tile:
-        # candidates are local maxima of a (2r+1)² window, so two can be
-        # no closer than r+1 px — a (bh, bw) tile holds at most
-        # ceil(bh/(r+1))·ceil(bw/(r+1)) of them, and keeping that many
-        # per tile is LOSSLESS (a 1-D ravel tile had no such bound and
-        # silently dropped stars in dense fields)
+        # cell-argmax compaction before top-k: two DISTINCT-valued local
+        # maxima of a (2r+1)² window are > r apart (each would sit in
+        # the other's window), so any (r+1)×(r+1) cell holds at most one
+        # non-tied candidate and per-cell argmax is LOSSLESS (tied twins
+        # within one cell collapse, exactly as the min-separation dedup
+        # would collapse them anyway).  This shrinks the top-k input
+        # ~(r+1)² fold: a full-image top_k cost ~1 ms/Mpix on TPU and
+        # dominated the candidate stage.
         Himg, Wimg = x.shape
-        bh, bw = 64, 128
-        ksub = (-(-bh // (r + 1))) * (-(-bw // (r + 1)))
-        ntiles = (-(-Himg // bh)) * (-(-Wimg // bw))
-        if Himg * Wimg >= 1 << 22 and ksub < bh * bw and \
-                ntiles * ksub >= k:
-            hp = -(-Himg // bh) * bh
-            wp = -(-Wimg // bw) * bw
+        c = r + 1
+        ncy, ncx = -(-Himg // c), -(-Wimg // c)
+        if Himg * Wimg >= 1 << 22 and ncy * ncx >= k:
+            hp, wp = ncy * c, ncx * c
             padded = jnp.pad(resp, ((0, hp - Himg), (0, wp - Wimg)),
                              constant_values=-jnp.inf)
-            nby, nbx = hp // bh, wp // bw
-            blocks = padded.reshape(nby, bh, nbx, bw).transpose(
-                0, 2, 1, 3).reshape(nby * nbx, bh * bw)
-            sub_v, sub_i = lax.top_k(blocks, ksub)     # per tile
-            bi = jnp.arange(nby * nbx)[:, None]
-            by = (bi // nbx) * bh + sub_i // bw
-            bx = (bi % nbx) * bw + sub_i % bw
-            cand_v = jnp.where((by < Himg) & (bx < Wimg),
-                               sub_v, -jnp.inf).ravel()
-            cand_i = (by * Wimg + bx).ravel()
-            v, j = lax.top_k(cand_v, k)
+            cells = padded.reshape(ncy, c, ncx, c).transpose(
+                0, 2, 1, 3).reshape(ncy * ncx, c * c)
+            sub_i = jnp.argmax(cells, axis=-1)             # [ncells]
+            sub_v = jnp.take_along_axis(cells, sub_i[:, None],
+                                        axis=-1)[:, 0]
+            ci = jnp.arange(ncy * ncx, dtype=jnp.int32)
+            by = (ci // ncx) * c + (sub_i // c).astype(jnp.int32)
+            bx = (ci % ncx) * c + (sub_i % c).astype(jnp.int32)
+            v, j = lax.top_k(sub_v, k)                     # k of ~H·W/c²
+            cand_i = (by * Wimg + bx).astype(jnp.int32)
             return v, jnp.clip(cand_i[j], 0, Himg * Wimg - 1)
         return lax.top_k(flat, k)
 
