@@ -949,6 +949,35 @@ def _unpack12_le(raw: bytes, count: int) -> np.ndarray:
     return out[:count]
 
 
+def _unpack12_msb(raw: bytes, count: int) -> np.ndarray:
+    """MSB-first 12-bit packing (dcraw packed_load_raw order for
+    big-endian TIFF bodies, e.g. Pentax "MM" PEF): v0 = b0 << 4 |
+    b1 >> 4; v1 = (b1 & 0xF) << 8 | b2."""
+    b = np.frombuffer(raw, np.uint8)
+    ntrip = len(b) // 3
+    b = b[:ntrip * 3].reshape(ntrip, 3).astype(np.uint16)
+    v0 = (b[:, 0] << 4) | (b[:, 1] >> 4)
+    v1 = ((b[:, 1] & 0xF) << 8) | b[:, 2]
+    out = np.empty(ntrip * 2, np.uint16)
+    out[0::2] = v0
+    out[1::2] = v1
+    return out[:count]
+
+
+def _cfa_roughness(img: np.ndarray) -> float:
+    """Plausibility score for a decoded CFA mosaic: median |Δ| between
+    same-CFA-column neighbors, relative to the p99 level.  A correctly
+    unpacked natural image scores a few percent; a wrong bit-packing
+    decodes to quasi-random values scoring ~0.3 (ADVICE r4: the packing
+    order was only validated against the suite's own writer, so a real
+    camera file hitting the wrong branch must fail loudly, not decode
+    to garbage)."""
+    s = img[:: max(img.shape[0] // 64, 1)].astype(np.int32)
+    d = np.abs(s[:, 2:] - s[:, :-2])
+    level = float(np.percentile(s, 99))
+    return float(np.median(d)) / max(level, 1.0)
+
+
 def _read_tiff_cfa_strips(path: str, data: bytes, endian: str,
                           vendor: str) -> SirilImage:
     ifds = _walk_ifds(data, endian)
@@ -984,7 +1013,28 @@ def _read_tiff_cfa_strips(path: str, data: bytes, endian: str,
         img = np.frombuffer(raw, endian + "u2", count=n).reshape(
             height, width)
     elif len(raw) * 2 >= n * 3 and bits == 12:
-        img = _unpack12_le(raw, n).reshape(height, width)
+        # packing order follows the container's byte order (dcraw
+        # packed_load_raw: big-endian bodies pack MSB-first), but real
+        # bodies vary — decode BOTH orders and keep the one whose CFA
+        # statistics are plausible; if neither is, gate instead of
+        # silently returning garbage
+        first, second = (_unpack12_msb, _unpack12_le) \
+            if endian == ">" else (_unpack12_le, _unpack12_msb)
+        img_a = first(raw, n).reshape(height, width)
+        ra = _cfa_roughness(img_a)
+        if ra <= 0.15:
+            img = img_a
+        else:
+            img_b = second(raw, n).reshape(height, width)
+            rb = _cfa_roughness(img_b)
+            if rb <= 0.15 or rb < ra * 0.5:
+                img = img_b
+            else:
+                raise ValueError(
+                    f"{path}: 12-bit {vendor} strip decodes implausibly "
+                    f"in both packing orders (roughness {ra:.2f}/"
+                    f"{rb:.2f}) — likely a vendor-compressed variant; "
+                    "convert to DNG")
     else:
         raise ValueError(
             f"{path}: {vendor} raw strips are smaller than the sensor "

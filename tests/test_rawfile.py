@@ -950,11 +950,24 @@ def test_pef_uncompressed(tmp_path, rng):
                                atol=1e-6)
 
 
+def _natural_sensor(rng, h, w, maxv=4095):
+    """CFA mosaic with natural statistics (smooth scene + per-channel
+    offsets + mild noise) — the packed12 plausibility gate (ADVICE r4)
+    rejects pure-random 'sensors', which no camera produces."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = 1200 + 900 * np.sin(xx / w * 3.0) + 700 * (yy / h)
+    chan = np.zeros((h, w), np.float32)
+    chan[0::2, 1::2] += 300.0            # R offsets
+    chan[1::2, 0::2] += 150.0            # B offsets
+    img = base + chan + rng.normal(0, 25.0, (h, w))
+    return np.clip(img, 0, maxv).astype(np.uint16)
+
+
 def test_orf_packed12(tmp_path, rng):
     from siril_tpu.io.conversion import load_any
 
-    h, w = 8, 24
-    sensor = rng.integers(0, 4096, (h, w)).astype(np.uint16)
+    h, w = 16, 24
+    sensor = _natural_sensor(rng, h, w)
     p = str(tmp_path / "t.orf")
     _write_tiff_cfa(p, sensor, b"IIRO", packed=True,
                     cfa_vals=(1, 0, 2, 1))
@@ -963,6 +976,34 @@ def test_orf_packed12(tmp_path, rng):
     np.testing.assert_allclose(img.host()[0],
                                sensor.astype(np.float32) / 4095.0,
                                atol=1e-6)
+
+
+def test_packed12_wrong_order_rejected(tmp_path, rng):
+    """A 12-bit strip whose bytes only decode plausibly in the OTHER
+    packing order must not be returned as garbage: either the decoder
+    picks the plausible order, or it raises the convert-to-DNG gate
+    (ADVICE r4 — real PEF/ORF packing order was never validated against
+    a camera file, so wrong-order decodes must fail loudly)."""
+    from siril_tpu.io.rawfile import (
+        _cfa_roughness,
+        _unpack12_le,
+        _unpack12_msb,
+    )
+
+    h, w = 16, 24
+    sensor = _natural_sensor(rng, h, w)
+    # pack MSB-first, then decode LE: result must score implausible
+    vals = sensor.reshape(-1)
+    b = np.zeros(len(vals) // 2 * 3, np.uint8)
+    v0, v1 = vals[0::2].astype(np.uint16), vals[1::2].astype(np.uint16)
+    b[0::3] = (v0 >> 4).astype(np.uint8)
+    b[1::3] = (((v0 & 0xF) << 4) | (v1 >> 8)).astype(np.uint8)
+    b[2::3] = (v1 & 0xFF).astype(np.uint8)
+    raw = b.tobytes()
+    good = _unpack12_msb(raw, h * w).reshape(h, w)
+    np.testing.assert_array_equal(good, sensor)
+    bad = _unpack12_le(raw, h * w).reshape(h, w)
+    assert _cfa_roughness(bad) > 0.15 > _cfa_roughness(good)
 
 
 def test_pef_compressed_gated(tmp_path, rng):
