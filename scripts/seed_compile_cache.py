@@ -23,7 +23,7 @@ import shutil
 import sys
 
 MIN_KB = int(os.environ.get("SEED_MIN_KB", "24"))
-CAP_MB = int(os.environ.get("SEED_CAP_MB", "120"))
+CAP_MB = int(os.environ.get("SEED_CAP_MB", "220"))
 
 repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 src = os.environ.get("SIRIL_TPU_JAX_CACHE",

@@ -1015,26 +1015,24 @@ def _read_tiff_cfa_strips(path: str, data: bytes, endian: str,
     elif len(raw) * 2 >= n * 3 and bits == 12:
         # packing order follows the container's byte order (dcraw
         # packed_load_raw: big-endian bodies pack MSB-first), but real
-        # bodies vary — decode BOTH orders and keep the one whose CFA
-        # statistics are plausible; if neither is, gate instead of
-        # silently returning garbage
+        # bodies vary — decode BOTH orders, keep the smoother CFA
+        # (the wrong order scrambles mid-bits: measured 2-5× rougher on
+        # natural scenes), and gate when even the smoother decode looks
+        # like noise (a vendor-compressed bitstream mislabeled comp=1)
         first, second = (_unpack12_msb, _unpack12_le) \
             if endian == ">" else (_unpack12_le, _unpack12_msb)
         img_a = first(raw, n).reshape(height, width)
+        img_b = second(raw, n).reshape(height, width)
         ra = _cfa_roughness(img_a)
-        if ra <= 0.15:
-            img = img_a
-        else:
-            img_b = second(raw, n).reshape(height, width)
-            rb = _cfa_roughness(img_b)
-            if rb <= 0.15 or rb < ra * 0.5:
-                img = img_b
-            else:
-                raise ValueError(
-                    f"{path}: 12-bit {vendor} strip decodes implausibly "
-                    f"in both packing orders (roughness {ra:.2f}/"
-                    f"{rb:.2f}) — likely a vendor-compressed variant; "
-                    "convert to DNG")
+        rb = _cfa_roughness(img_b)
+        # prefer the container-implied order unless the other is
+        # clearly smoother
+        img, r_best = (img_a, ra) if ra <= rb * 1.25 else (img_b, rb)
+        if r_best > 0.2:
+            raise ValueError(
+                f"{path}: 12-bit {vendor} strip decodes implausibly in "
+                f"both packing orders (roughness {ra:.2f}/{rb:.2f}) — "
+                "likely a vendor-compressed variant; convert to DNG")
     else:
         raise ValueError(
             f"{path}: {vendor} raw strips are smaller than the sensor "

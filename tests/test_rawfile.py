@@ -904,9 +904,11 @@ def test_cr3_gated_with_clear_error(tmp_path):
 
 
 def _write_tiff_cfa(path, sensor, magic, bits=12, comp=1, packed=False,
-                    cfa_vals=(0, 1, 1, 2)):
+                    cfa_vals=(0, 1, 1, 2), raw_override=None):
     h, w = sensor.shape
-    if packed:
+    if raw_override is not None:
+        raw = raw_override
+    elif packed:
         b = sensor.astype(np.uint16).ravel()
         trip = np.empty((len(b) // 2, 3), np.uint8)
         v0, v1 = b[0::2], b[1::2]
@@ -990,7 +992,9 @@ def test_packed12_wrong_order_rejected(tmp_path, rng):
         _unpack12_msb,
     )
 
-    h, w = 16, 24
+    # large enough that the scene gradient per pixel is gentle — the
+    # roughness contrast between orders grows with resolution
+    h, w = 64, 96
     sensor = _natural_sensor(rng, h, w)
     # pack MSB-first, then decode LE: result must score implausible
     vals = sensor.reshape(-1)
@@ -1003,7 +1007,22 @@ def test_packed12_wrong_order_rejected(tmp_path, rng):
     good = _unpack12_msb(raw, h * w).reshape(h, w)
     np.testing.assert_array_equal(good, sensor)
     bad = _unpack12_le(raw, h * w).reshape(h, w)
-    assert _cfa_roughness(bad) > 0.15 > _cfa_roughness(good)
+    # the wrong order is clearly rougher, so the comparative picker in
+    # _read_tiff_cfa_strips selects the right one even against the
+    # container-implied preference
+    assert _cfa_roughness(bad) > 2.0 * _cfa_roughness(good)
+
+    # full-path proof: an "IIRO" (little-endian) container holding
+    # MSB-packed strips still decodes to the sensor via the picker
+    from siril_tpu.io.conversion import load_any
+
+    p = str(tmp_path / "swapped.orf")
+    _write_tiff_cfa(p, sensor, b"IIRO", cfa_vals=(1, 0, 2, 1),
+                    raw_override=raw)
+    img = load_any(p)
+    np.testing.assert_allclose(img.host()[0],
+                               sensor.astype(np.float32) / 4095.0,
+                               atol=1e-6)
 
 
 def test_pef_compressed_gated(tmp_path, rng):
