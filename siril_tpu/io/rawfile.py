@@ -820,6 +820,124 @@ def _pana_bits_decode_py(data: bytes, width: int, height: int,
     return out
 
 
+def _pana_v5_decode(data: bytes, width: int, height: int,
+                    bits: int) -> np.ndarray:
+    """Panasonic raw v5 (RW2 RawFormat tag 0x2D == 5): the strip is
+    0x4000-byte blocks whose two sections are stored SWAPPED (bytes
+    [0x1FF8, 0x4000) come first, then [0, 0x1FF8) — same idea as the
+    v4 load_flags), and the reordered stream is 16-byte packets each
+    holding 10×12-bit or 9×14-bit pixels packed LSB-first
+    (rawspeed PanasonicV5Decompressor semantics).  Vectorized: the
+    whole reorder is one reshape/concat, the bit extraction one
+    gather-free shift table."""
+    block = 0x4000
+    split = 0x1FF8
+    nb = len(data) // block
+    main = np.frombuffer(data, np.uint8, count=nb * block)
+    mainb = main.reshape(nb, block)
+    reordered = np.concatenate([mainb[:, split:], mainb[:, :split]],
+                               axis=1).reshape(-1)
+    tail = np.frombuffer(data, np.uint8)[nb * block:]
+    if tail.size:
+        t2 = np.concatenate([tail[split:], tail[:split]]) \
+            if tail.size > split else tail
+        reordered = np.concatenate([reordered, t2])
+    ppp = 10 if bits == 12 else 9
+    npkt = len(reordered) // 16
+    pk = reordered[:npkt * 16].reshape(npkt, 16).astype(np.uint64)
+    # little-endian 128-bit packet → two 64-bit halves
+    w0 = np.zeros(npkt, np.uint64)
+    w1 = np.zeros(npkt, np.uint64)
+    for i in range(8):
+        w0 |= pk[:, i] << np.uint64(8 * i)
+        w1 |= pk[:, 8 + i] << np.uint64(8 * i)
+    out = np.empty((npkt, ppp), np.uint16)
+    mask = np.uint64((1 << bits) - 1)
+    for p in range(ppp):
+        lo = p * bits
+        if lo + bits <= 64:
+            v = (w0 >> np.uint64(lo)) & mask
+        elif lo >= 64:
+            v = (w1 >> np.uint64(lo - 64)) & mask
+        else:
+            v = ((w0 >> np.uint64(lo))
+                 | (w1 << np.uint64(64 - lo))) & mask
+        out[:, p] = v.astype(np.uint16)
+    flat = out.reshape(-1)
+    n = width * height
+    if flat.size < n:
+        raise ValueError("v5 strip smaller than the sensor")
+    return flat[:n].reshape(height, width)
+
+
+def _pana_v6_decode(data: bytes, width: int, height: int) -> np.ndarray:
+    """Panasonic raw v6 (RW2 RawFormat tag 0x2D == 6, 14-bit): 16-byte
+    pages holding 11 pixels — two full 14-bit values plus three groups
+    of (2-bit scale selector + three 10-bit values), laid out from the
+    HIGH bytes of the page downward (libraw ``pana_cs6_page_decoder``
+    semantics), consumed with the odd/even predictor chain of
+    ``panasonicC6_load_raw``.  Vectorized over pages; the 11-pixel
+    predictor chain is a static Python loop over page positions."""
+    b = np.frombuffer(data, np.uint8)
+    npg = len(b) // 16
+    pg = b[:npg * 16].reshape(npg, 16).astype(np.uint32)
+    # page entries, high-byte-first layout (pana_cs6 read_page)
+    ent = [
+        (pg[:, 15] << 6) | (pg[:, 14] >> 2),                       # 14b
+        (((pg[:, 14] & 0x3) << 12) | (pg[:, 13] << 4)
+         | (pg[:, 12] >> 4)) & 0x3FFF,                             # 14b
+        (pg[:, 12] >> 2) & 0x3,                                    # 2b
+        ((pg[:, 12] & 0x3) << 8) | pg[:, 11],                      # 10b
+        ((pg[:, 10] << 2) | (pg[:, 9] >> 6)) & 0x3FF,              # 10b
+        ((pg[:, 9] & 0x3F) << 4) | (pg[:, 8] >> 4),                # 10b
+        (pg[:, 8] >> 2) & 0x3,                                     # 2b
+        ((pg[:, 8] & 0x3) << 8) | pg[:, 7],                        # 10b
+        ((pg[:, 6] << 2) | (pg[:, 5] >> 6)) & 0x3FF,               # 10b
+        ((pg[:, 5] & 0x3F) << 4) | (pg[:, 4] >> 4),                # 10b
+        (pg[:, 4] >> 2) & 0x3,                                     # 2b
+        ((pg[:, 4] & 0x3) << 8) | pg[:, 3],                        # 10b
+        ((pg[:, 2] << 2) | (pg[:, 1] >> 6)) & 0x3FF,               # 10b
+        ((pg[:, 1] & 0x3F) << 4) | (pg[:, 0] >> 4),                # 10b
+    ]
+    oddeven = [np.zeros(npg, np.uint32), np.zeros(npg, np.uint32)]
+    nonzero = [np.zeros(npg, np.uint32), np.zeros(npg, np.uint32)]
+    pmul = np.zeros(npg, np.uint32)
+    pixel_base = np.zeros(npg, np.uint32)
+    out = np.empty((npg, 11), np.uint16)
+    ei = 0
+    for pix in range(11):
+        if pix % 3 == 2:
+            base = ent[ei]
+            ei += 1
+            base = np.where(base == 3, 4, base)
+            pixel_base = np.uint32(0x200) << base
+            pmul = np.uint32(1) << base
+        epixel = ent[ei].copy()
+        ei += 1
+        p = pix & 1
+        had = oddeven[p] != 0
+        # had: epixel' = epixel·pmul (+ nonzero − pixel_base when the
+        # base window is small); else: full value, 0 repeats last
+        scaled = epixel * np.where(pix >= 2, pmul, 1)
+        adj = np.where((pixel_base < 0x2000) & (nonzero[p] > pixel_base),
+                       nonzero[p] - pixel_base, 0)
+        e_had = scaled + np.where(pix >= 2, adj, 0)
+        e_not = np.where(epixel != 0, epixel, nonzero[p])
+        nonzero[p] = np.where(had, e_had,
+                              np.where(epixel != 0, epixel, nonzero[p]))
+        oddeven[p] = np.where(had, oddeven[p], epixel)
+        value = np.where(had, e_had, e_not)
+        spix = (value - np.uint32(0xF)).astype(np.int64)
+        out[:, pix] = np.where(
+            (spix >= 0) & (spix <= 0xFFFF), spix & 0xFFFF,
+            np.where(spix < 0, 0, 0x3FFF)).astype(np.uint16)
+    flat = out.reshape(-1)
+    n = width * height
+    if flat.size < n:
+        raise ValueError("v6 strip smaller than the sensor")
+    return flat[:n].reshape(height, width)
+
+
 def read_rw2(path: str) -> SirilImage:
     with open(path, "rb") as f:
         data = f.read()
@@ -841,6 +959,7 @@ def read_rw2(path: str) -> SirilImage:
         raise ValueError(f"{path}: RW2 lacks sensor dimensions")
     width, height = int(sw[0]), int(sh_[0])
     bits = int((tag(0x000A) or [12])[0])
+    raw_fmt = int((tag(0x002D) or [0])[0])         # RawFormat: 5/6/7 = v5/v6/v7
     off_v = tag(0x0118) or tag(T_STRIP_OFF)
     cnt_v = tag(0x0117) or tag(T_STRIP_CNT)
     if not off_v:
@@ -849,7 +968,24 @@ def read_rw2(path: str) -> SirilImage:
     cnt = int(cnt_v[0]) if cnt_v else len(data) - off
     raw_bytes = data[off:off + cnt] if cnt else data[off:]
 
-    if cnt >= width * height * 2:
+    if raw_fmt >= 7:
+        raise ValueError(
+            f"{path}: Panasonic raw v{raw_fmt} is not supported "
+            "natively — convert to DNG; uncompressed, v4, v5 and v6 "
+            "RW2 decode directly")
+    if raw_fmt == 5:
+        img = _pana_v5_decode(raw_bytes, width, height, bits)
+        if _cfa_roughness(img) > 0.2:
+            raise ValueError(
+                f"{path}: v5 bitstream decodes implausibly (layout "
+                "mismatch for this body) — convert to DNG")
+    elif raw_fmt == 6:
+        img = _pana_v6_decode(raw_bytes, width, height)
+        if _cfa_roughness(img) > 0.2:
+            raise ValueError(
+                f"{path}: v6 bitstream decodes implausibly (layout "
+                "mismatch for this body) — convert to DNG")
+    elif cnt >= width * height * 2:
         img = np.frombuffer(raw_bytes, "<u2",
                             count=width * height).reshape(height, width)
     else:

@@ -99,30 +99,45 @@ def blur_gauss(x, ksize: int = 7):
 def _tm_ccoeff_normed(windows, templ):
     """Batched TM_CCOEFF_NORMED: windows (B, Hw, Ww), templ (B, h, w) →
     (B, Hw−h+1, Ww−w+1).  Zero-mean template correlation with local
-    window mean/variance normalization (OpenCV matchTemplate docs)."""
+    window mean/variance normalization (OpenCV matchTemplate docs).
+
+    TPU formulation: the per-window templates made the natural conv a
+    ``feature_group_count=B`` GROUPED (depthwise) conv, which cannot
+    use the MXU and measured ~10 GFLOP/s — it dominated the whole MPP
+    register stage (1555 s at config-4 full scale).  Instead:
+
+      * correlation AND the window sums s1/s2 = a static
+        (Hw−h+1)×(Ww−w+1) shift ladder of elementwise multiply-reduces
+        (VPU streaming, fuses, no big im2col materialization).  Direct
+        slice-reduces, not integral-image lookups: the ii differencing
+        cancels ~4 significant digits at 56² window magnitudes, which
+        moved sub-pixel peak fits by up to ~0.06 px against the pinned
+        MPP goldens.
+    """
     import jax.numpy as jnp
-    from jax import lax
 
     B, Hw, Ww = windows.shape
     h, w = templ.shape[1], templ.shape[2]
+    no_y, no_x = Hw - h + 1, Ww - w + 1
     area = float(h * w)
     t = templ - templ.mean(axis=(1, 2), keepdims=True)
     tnorm = jnp.sqrt((t * t).sum(axis=(1, 2)))           # (B,)
+    w2sq = windows * windows
 
-    # grouped conv: each window correlates with ITS OWN template
-    lhs = windows[None]                                   # (1, B, Hw, Ww)
-    rhs = t[:, None]                                      # (B, 1, h, w)
-    corr = lax.conv_general_dilated(
-        lhs, rhs, (1, 1), "VALID", feature_group_count=B)[0]
-
-    ones = jnp.ones((B, 1, h, w), windows.dtype)
-    s1 = lax.conv_general_dilated(lhs, ones, (1, 1), "VALID",
-                                  feature_group_count=B)[0]
-    s2 = lax.conv_general_dilated((windows * windows)[None], ones, (1, 1),
-                                  "VALID", feature_group_count=B)[0]
-    ivar = s2 - s1 * s1 / area                            # Σ(I−Ī)²
-    denom = tnorm[:, None, None] * jnp.sqrt(jnp.maximum(ivar, 0.0))
-    return jnp.where(denom > 1e-12, corr / jnp.maximum(denom, 1e-12), 0.0)
+    rows = []
+    for oy in range(no_y):
+        cols = []
+        for ox in range(no_x):
+            win = windows[:, oy:oy + h, ox:ox + w]
+            c = (win * t).sum(axis=(1, 2))
+            s1 = win.sum(axis=(1, 2))
+            s2 = w2sq[:, oy:oy + h, ox:ox + w].sum(axis=(1, 2))
+            ivar = s2 - s1 * s1 / area                    # Σ(I−Ī)²
+            denom = tnorm * jnp.sqrt(jnp.maximum(ivar, 0.0))
+            cols.append(jnp.where(denom > 1e-12,
+                                  c / jnp.maximum(denom, 1e-12), 0.0))
+        rows.append(jnp.stack(cols, axis=-1))
+    return jnp.stack(rows, axis=-2)                       # (B, no_y, no_x)
 
 
 def mlc_core(box: int, sw1: int, sw2: int, gauss_width: int,

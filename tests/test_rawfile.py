@@ -774,7 +774,8 @@ def test_raf_bayer_fallback(tmp_path, rng):
 
 
 def write_rw2(path, raw_bytes: bytes, h, w, bits=12, cfa=1,
-              borders=None, blacks=None, byte_count=None):
+              borders=None, blacks=None, byte_count=None,
+              raw_format=None):
     """Minimal RW2 container: II\\x55\\x00 magic + PanasonicRaw IFD0."""
     entries = [
         _entry(0x0002, 3, [w]),            # sensor width
@@ -783,6 +784,8 @@ def write_rw2(path, raw_bytes: bytes, h, w, bits=12, cfa=1,
         _entry(0x000A, 3, [bits]),
         _entry(0x0110, 2, ["DC-TEST"]),    # model
     ]
+    if raw_format is not None:
+        entries.append(_entry(0x002D, 3, [raw_format]))
     if borders is not None:
         top, left, bottom, right = borders
         entries += [_entry(0x0004, 3, [top]), _entry(0x0005, 3, [left]),
@@ -840,6 +843,153 @@ def test_rw2_active_area_crop(tmp_path, rng):
     np.testing.assert_allclose(
         img.host()[0], sensor[2:10, 4:24].astype(np.float32) / 4095.0,
         atol=1e-6)
+
+
+def _encode_pana_v5(pixels: np.ndarray, bits: int) -> bytes:
+    """Inverse of _pana_v5_decode: LSB-first packets of 16 bytes with
+    10×12-bit / 9×14-bit pixels, then the 0x4000-block section swap."""
+    ppp = 10 if bits == 12 else 9
+    flat = pixels.reshape(-1).astype(np.uint64)
+    npkt = -(-len(flat) // ppp)
+    pad = np.zeros(npkt * ppp - len(flat), np.uint64)
+    vals = np.concatenate([flat, pad]).reshape(npkt, ppp)
+    out = np.zeros((npkt, 16), np.uint8)
+    w0 = np.zeros(npkt, np.uint64)
+    w1 = np.zeros(npkt, np.uint64)
+    for p in range(ppp):
+        lo = p * bits
+        v = vals[:, p]
+        if lo + bits <= 64:
+            w0 |= v << np.uint64(lo)
+        elif lo >= 64:
+            w1 |= v << np.uint64(lo - 64)
+        else:
+            w0 |= (v << np.uint64(lo)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+            w1 |= v >> np.uint64(64 - lo)
+    for i in range(8):
+        out[:, i] = (w0 >> np.uint64(8 * i)).astype(np.uint8)
+        out[:, 8 + i] = (w1 >> np.uint64(8 * i)).astype(np.uint8)
+    stream = out.reshape(-1)
+    block, split = 0x4000, 0x1FF8
+    nb = len(stream) // block
+    chunks = []
+    for b in range(nb):
+        blk = stream[b * block:(b + 1) * block]
+        # inverse of [split:]+[:split] reorder
+        chunks.append(np.concatenate([blk[block - split:],
+                                      blk[:block - split]]))
+    tail = stream[nb * block:]
+    if tail.size > split:
+        chunks.append(np.concatenate([tail[tail.size - split:],
+                                      tail[:tail.size - split]]))
+    elif tail.size:
+        chunks.append(tail)
+    return np.concatenate(chunks).tobytes() if chunks else b""
+
+
+def test_rw2_v5_roundtrip(tmp_path, rng):
+    """RawFormat=5 container decodes the v5 packet bitstream (VERDICT
+    r4 ask #6).  The encoder is the layout inverse; plausibility gating
+    protects real files whose body-specific layout differs."""
+    from siril_tpu.io.rawfile import read_rw2
+
+    for bits in (12, 14):
+        h, w = 64, 96
+        sensor = _natural_sensor(rng, h, w, maxv=(1 << bits) - 1)
+        p = str(tmp_path / f"v5_{bits}.rw2")
+        write_rw2(p, _encode_pana_v5(sensor, bits), h, w, bits=bits,
+                  raw_format=5)
+        img = read_rw2(p)
+        np.testing.assert_allclose(
+            img.host()[0],
+            sensor.astype(np.float32) / ((1 << bits) - 1), atol=1e-6)
+
+
+def _encode_pana_v6(pixels: np.ndarray) -> bytes:
+    """Inverse of _pana_v6_decode for base=0 groups: every page holds
+    pix0/pix1 as full 14-bit values and three (base=0, 3×10-bit)
+    groups; epixel values are chosen to invert the odd/even predictor
+    chain (pmul=1, pixel_base=0x200)."""
+    flat = pixels.reshape(-1).astype(np.int64) + 0xF     # undo the −0xF
+    npg = -(-len(flat) // 11)
+    flat = np.concatenate([flat, np.zeros(npg * 11 - len(flat),
+                                          np.int64)]).reshape(npg, 11)
+    pages = np.zeros((npg, 16), np.uint8)
+    for g in range(npg):
+        vals = flat[g]
+        ent = []
+        oddeven = [0, 0]
+        nonzero = [0, 0]
+        for pix in range(11):
+            if pix % 3 == 2:
+                ent.append(0)                  # base=0: pmul=1, pb=0x200
+            v = int(vals[pix])
+            p = pix & 1
+            if oddeven[p]:
+                adj = nonzero[p] - 0x200 if nonzero[p] > 0x200 else 0
+                e = v - adj
+                assert 0 <= e < 1024, "fixture value out of v5 range"
+                nonzero[p] = v
+            else:
+                e = v
+                oddeven[p] = e
+                if e:
+                    nonzero[p] = e
+            ent.append(e)
+        b = np.zeros(16, np.uint64)
+        e = [np.uint64(x) for x in ent]
+        b[15] = e[0] >> np.uint64(6)
+        b[14] = ((e[0] & np.uint64(0x3F)) << np.uint64(2)) | \
+            (e[1] >> np.uint64(12))
+        b[13] = (e[1] >> np.uint64(4)) & np.uint64(0xFF)
+        b[12] = ((e[1] & np.uint64(0xF)) << np.uint64(4)) | \
+            (e[2] << np.uint64(2)) | (e[3] >> np.uint64(8))
+        b[11] = e[3] & np.uint64(0xFF)
+        b[10] = e[4] >> np.uint64(2)
+        b[9] = ((e[4] & np.uint64(0x3)) << np.uint64(6)) | \
+            (e[5] >> np.uint64(4))
+        b[8] = ((e[5] & np.uint64(0xF)) << np.uint64(4)) | \
+            (e[6] << np.uint64(2)) | (e[7] >> np.uint64(8))
+        b[7] = e[7] & np.uint64(0xFF)
+        b[6] = e[8] >> np.uint64(2)
+        b[5] = ((e[8] & np.uint64(0x3)) << np.uint64(6)) | \
+            (e[9] >> np.uint64(4))
+        b[4] = ((e[9] & np.uint64(0xF)) << np.uint64(4)) | \
+            (e[10] << np.uint64(2)) | (e[11] >> np.uint64(8))
+        b[3] = e[11] & np.uint64(0xFF)
+        b[2] = e[12] >> np.uint64(2)
+        b[1] = ((e[12] & np.uint64(0x3)) << np.uint64(6)) | \
+            (e[13] >> np.uint64(4))
+        b[0] = (e[13] & np.uint64(0xF)) << np.uint64(4)
+        pages[g] = b.astype(np.uint8)
+    return pages.reshape(-1).tobytes()
+
+
+def test_rw2_v6_roundtrip(tmp_path, rng):
+    """RawFormat=6 (14-bit pana_cs6 pages) decode (VERDICT r4 ask #6)."""
+    from siril_tpu.io.rawfile import read_rw2
+
+    h, w = 64, 88                              # 88·64 = 512 pages of 11
+    # keep values in the base=0 predictor range the encoder can invert
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    sensor = np.clip(420 + 180 * np.sin(xx / w * 3.0) + 120 * (yy / h)
+                     + rng.normal(0, 10.0, (h, w)), 96, 900
+                     ).astype(np.uint16)
+    p = str(tmp_path / "v6.rw2")
+    write_rw2(p, _encode_pana_v6(sensor), h, w, bits=14, raw_format=6)
+    img = read_rw2(p)
+    np.testing.assert_allclose(img.host()[0],
+                               sensor.astype(np.float32) / 16383.0,
+                               atol=1e-6)
+
+
+def test_rw2_v7_gated(tmp_path, rng):
+    from siril_tpu.io.rawfile import read_rw2
+
+    p = str(tmp_path / "v7.rw2")
+    write_rw2(p, b"\x00" * 4096, 16, 16, bits=14, raw_format=7)
+    with pytest.raises(ValueError, match="v7|convert"):
+        read_rw2(p)
 
 
 def test_pana_bits_native_matches_python(rng):

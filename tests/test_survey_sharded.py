@@ -100,7 +100,9 @@ class TestSurveySharded:
         sampled block recomputed through the single-device kernel path
         with coefficients re-derived by the same estimator code."""
         _require_devices(8)
-        n, L, H, W = 4, 1, 9568, 6388          # 61.1 Mpix, uneven W%8
+        # n=5: the smallest stack where the N−r≤4 guard still admits a
+        # rejection (n=4 would pin max_acc to 0 and reject nothing)
+        n, L, H, W = 5, 1, 9568, 6388          # 61.1 Mpix, uneven W%8
         reader = _make_reader(n, L, H, W, seed=23)
         budget = 192 << 20                     # forces several blocks
         mesh8 = make_mesh(1, 8)
@@ -144,8 +146,19 @@ class TestSurveySharded:
                              ADDITIVE_SCALING)
         mean, _, _ = rj.rejection_mean(normed, rj.WINSORIZED, 3.0, 3.0,
                                        n_full=n)
-        np.testing.assert_array_equal(
-            np.asarray(mean).reshape(y1 - y0, W), res.data[0, y0:y1])
+        got = np.asarray(mean).reshape(y1 - y0, W)
+        exp = res.data[0, y0:y1]
+        # NOT bit-equality: the sharded kernel and this plain-path
+        # recompute are two separate XLA compilations, and winsorized
+        # rejection is DISCONTINUOUS in σ — ulp-level reduction-order
+        # differences flip borderline candidates at a ~1e-5 pixel rate
+        # (measured 25/2.5M at this geometry).  The same-builder
+        # 8-dev-vs-1-dev test above retains the bit-equality claim.
+        d = np.abs(got - exp)
+        flips = (d > 1e-4).sum()
+        assert flips <= d.size * 1e-4, f"{flips} kept-set flips"
+        assert float(np.median(d)) == 0.0
+        assert d.max() <= float(buf.max() - buf.min())
 
     def test_config5_chain_platesolve_pcc(self, rng):
         """Sharded stack → plate solve → PCC end-to-end (small field)."""
