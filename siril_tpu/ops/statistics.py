@@ -401,6 +401,8 @@ def hist_median_jax(x, valid, bins: int = _HIST_BINS):
 
     # 8^11 = 2^33 ≥ the 2^32 shrink of the binary version: hi lands on
     # the exact sample value wherever the binary formulation did
+    # (B=16 was measured SLOWER on-chip: the 2× compare cost outweighs
+    # the 11→8 pass saving — the medians sit near the VPU/HBM balance)
     _, v_lo, _, v_hi = lax.fori_loop(0, 11, body, (bot, top, bot, top))
     # average the middle pair for even n (masked_median_jax semantics);
     # rows with no valid samples (dead frames) report 0.0, not ±inf
