@@ -124,7 +124,8 @@ def _finish_probe_fields():
         if _best.get("_stages"):
             cp["stages_mpix_s"] = _best["_stages"]
         if _best.get("_deep"):
-            cp["deep_n24"] = _best["_deep"]
+            d = _best["_deep"]
+            cp[f"deep_n{d.get('n', 32)}"] = d
     cpu = _best.get("cpu_baseline") or {}
     compute = _best.get("compute_mpix_s")
     percore = cpu.get("native_e2e_mpix_s")
@@ -571,17 +572,21 @@ def _child(d, plan, deadline_s):
                 device_stage_probe,
             )
 
-            for pstage in ("full", "nodetect", "stack"):
+            # headline tier first at n=24 (the VERDICT r4 ask #1 done-
+            # criterion is the chain rate at n≥16; per-frame fixed costs
+            # amortize with depth), then smaller compile surfaces
+            for pstage, pn, pit in (("full", 24, 1), ("full", 8, 3),
+                                    ("nodetect", 8, 3), ("stack", 8, 3)):
                 if left() < 60:
                     break
                 try:
-                    r = device_compute_probe(n=8, size=4096, iters=3,
+                    r = device_compute_probe(n=pn, size=4096, iters=pit,
                                              stage=pstage)
                     print("BENCH_COMPUTE_ONLY " + _json.dumps(r),
                           flush=True)
                     break
                 except Exception as e:      # noqa: BLE001
-                    print(f"BENCH_NOTE compute probe [{pstage}] "
+                    print(f"BENCH_NOTE compute probe [{pstage} n={pn}] "
                           f"failed: {e}", flush=True)
             # per-stage attribution ladder + a deeper n=24 run (VERDICT
             # r4 asks #1/#2) — cache_seed makes these a few seconds each
@@ -603,7 +608,7 @@ def _child(d, plan, deadline_s):
                           flush=True)
             if left() > 240:
                 try:
-                    r3 = device_compute_probe(n=24, size=4096, iters=1,
+                    r3 = device_compute_probe(n=32, size=4096, iters=1,
                                               stage="full")
                     print("BENCH_COMPUTE_DEEP " + _json.dumps(r3),
                           flush=True)
@@ -837,9 +842,9 @@ def measure_compute(cap=None):
             "from siril_tpu.utils.jaxcache import enable_compilation_cache; "
             "enable_compilation_cache(); "
             "from siril_tpu.tools.compute_probe import device_compute_probe; "
-            "r = device_compute_probe(n=8, size=4096, iters=3, stage=%r); "
+            "r = device_compute_probe(n=24 if %r == 'full' else 8, size=4096, iters=1 if %r == 'full' else 3, stage=%r); "
             "print('BENCH_COMPUTE_ONLY', json.dumps(r), flush=True)"
-            % (REPO, stage))
+            % (REPO, stage, stage, stage))
         status(f"compute-only probe [{stage}]: watchdog {deadline:.0f}s")
         # Popen + SIGTERM-first: subprocess.run's timeout SIGKILLs,
         # leaving the dangling single-client chip lease that stalls the
