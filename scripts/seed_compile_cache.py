@@ -23,7 +23,7 @@ import shutil
 import sys
 
 MIN_KB = int(os.environ.get("SEED_MIN_KB", "24"))
-CAP_MB = int(os.environ.get("SEED_CAP_MB", "220"))
+CAP_MB = int(os.environ.get("SEED_CAP_MB", "300"))
 
 repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 src = os.environ.get("SIRIL_TPU_JAX_CACHE",
@@ -45,7 +45,12 @@ for name in names:
         sz = os.path.getsize(p)
         if sz >= MIN_KB << 10:
             entries.append((sz, name))
-entries.sort(reverse=True)
+# SMALLEST first: the driver's bench gates on the many small-to-medium
+# pipeline programs; the handful of ~20 MB probe giants then take
+# whatever remains of the cap (several are stale experiment programs
+# anyway).  Size-descending greedy previously evicted every pipeline
+# program whenever a few giants landed.
+entries.sort()
 
 total = 0
 copied = 0
