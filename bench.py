@@ -592,13 +592,13 @@ def _child(d, plan, deadline_s):
             # r4 asks #1/#2) — cache_seed makes these a few seconds each
             # on a warm cache; the deadline keeps a cold compile service
             # from starving the e2e escalation below
-            if left() > 300:
+            if left() > 240:
                 try:
                     r2 = device_stage_probe(
                         ("stats", "cand", "detect", "warp", "est",
                          "stack", "nodetect", "full"),
                         n=8, size=4096, iters=3,
-                        deadline_s=min(left() - 180, 150))
+                        deadline_s=min(left() - 150, 150))
                     if r2.get("stages_mpix_s"):
                         print("BENCH_STAGES "
                               + _json.dumps(r2["stages_mpix_s"]),
@@ -606,7 +606,7 @@ def _child(d, plan, deadline_s):
                 except Exception as e:      # noqa: BLE001
                     print(f"BENCH_NOTE stage ladder failed: {e}",
                           flush=True)
-            if left() > 240:
+            if left() > 200:
                 try:
                     r3 = device_compute_probe(n=32, size=4096, iters=1,
                                               stage="full")
