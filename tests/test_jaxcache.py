@@ -9,7 +9,6 @@ guard in utils/jaxcache must skip exactly those entries.
 
 import os
 
-import numpy as np
 import pytest
 
 from siril_tpu.utils import jaxcache
