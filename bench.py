@@ -753,7 +753,7 @@ def measure_tpu(d, plan, cap=None):
             elif line.startswith("BENCH_COMPUTE_DEEP"):
                 _best["_deep"] = json.loads(line.split(None, 1)[1])
                 stall.clear()
-                status(f"deep probe n=24: "
+                status(f"deep probe n={_best['_deep'].get('n')}: "
                        f"{_best['_deep']['compute_mpix_s']} Mpix/s")
             elif line.startswith("BENCH_WALL"):
                 _best["_wall"] = json.loads(line.split(None, 1)[1])
