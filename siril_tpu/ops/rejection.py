@@ -278,51 +278,58 @@ def _winsorized(xs, nvalid, siglow, sighigh, max_iter: int):
     dead = nvalid <= 1
 
     def winsor_sd(lo_, hi_, med_):
-        """Iterated winsorized sigma: clamp window values to med±1.5σ,
-        σ ← 1.134·sd(clamped), until relative change ≤ 5e-4.
+        """Iterated winsorized sigma — EXACT C iteration
+        (rejection_float.c:222-236): σ starts at the plain window sd,
+        the clamp applies to the ACCUMULATED w (each round re-clips the
+        previous w, not the original values — ``w_stack`` in C), and
+        the loop exits when |σ−σ0| ≤ 5e-4·σ0.  On bimodal stacks the
+        accumulated-clip fixed point differs from re-clipping the
+        originals (found by an adversarial guard-truncation fixture).
 
-        Per-PIXEL convergence freeze (the C loop exits per pixel: a
-        lane's σ is the first σ_k with |σ_k−σ_{k−1}| ≤ 5e-4·σ_{k−1};
-        the old batch-wide `.any()` kept refining converged lanes until
-        the slowest pixel finished) + Aitken Δ² extrapolation every
-        third step for the slow-converging tail — the same structure as
-        the Pallas kernel (pallas/reject_stack.py winsor_sd) so both
-        paths produce identical σ trajectories."""
+        Per-PIXEL convergence freeze (the C loop exits per pixel; a
+        batch-wide `.any()` kept refining converged lanes until the
+        slowest pixel finished) + Aitken Δ² extrapolation every third
+        step for the slow-converging tail — σ is monotone non-
+        increasing under accumulated clipping, so the guarded jump
+        stays consistent with the not-yet-applied clips.  Same
+        structure as the Pallas kernel (pallas/reject_stack.py
+        winsor_sd) so both paths produce identical σ trajectories."""
         _, sd0 = _window_mean_sd(s1, s2, lo_, hi_)
         inwin = (idx >= lo_[None, :]) & (idx < hi_[None, :])
         n = jnp.maximum((hi_ - lo_).astype(jnp.float32), 1.0)
 
         def plain(st):
-            sigma, h1, h2, frozen, it = st
+            w, sigma, h1, h2, frozen, it = st
             m0 = med_ - 1.5 * sigma
             m1 = med_ + 1.5 * sigma
-            w = jnp.clip(xs, m0[None, :], m1[None, :])
-            w = jnp.where(inwin, w, 0.0)
-            t1 = w.sum(axis=0)
+            w2 = jnp.clip(w, m0[None, :], m1[None, :])
+            wm = jnp.where(inwin, w2, 0.0)
+            t1 = wm.sum(axis=0)
             mean = t1 / n
-            var = (jnp.where(inwin, (w - mean) ** 2, 0.0)).sum(axis=0) / \
+            var = (jnp.where(inwin, (w2 - mean) ** 2, 0.0)).sum(axis=0) / \
                 jnp.maximum(n - 1.0, 1.0)
             new_sig = 1.134 * jnp.sqrt(jnp.maximum(var, 0.0))
             conv = jnp.abs(new_sig - sigma) <= sigma * 5e-4
-            return (jnp.where(frozen, sigma, new_sig), sigma, h1,
+            return (jnp.where(frozen[None, :], w, w2),
+                    jnp.where(frozen, sigma, new_sig), sigma, h1,
                     frozen | conv, it + 1)
 
         def wbody(st):
             st = plain(plain(plain(st)))
-            sk, h1, h2, frozen, it = st
+            w, sk, h1, h2, frozen, it = st
             den = sk - 2.0 * h1 + h2
             num = (sk - h1) * (sk - h1)
             ok = jnp.abs(den) > 1e-12
             sa = sk - num / jnp.where(ok, den, 1.0)
             good = ok & (sa > 0.0) & (jnp.abs(sa - sk) < sk) & ~frozen
-            return jnp.where(good, sa, sk), h1, h2, frozen, it
+            return w, jnp.where(good, sa, sk), h1, h2, frozen, it
 
         def wcond(st):
-            return (~st[3]).any() & (st[4] < 48)
+            return (~st[4]).any() & (st[5] < 48)
 
-        st0 = (1.134 * sd0, sd0 + 1.0, jnp.zeros_like(sd0),
+        st0 = (xs, sd0, sd0 + 1.0, jnp.zeros_like(sd0),
                (hi_ - lo_) <= 1, jnp.int32(0))
-        sig, _, _, _, _ = lax.while_loop(wcond, wbody, st0)
+        _, sig, _, _, _, _ = lax.while_loop(wcond, wbody, st0)
         return sig
 
     def body(state):

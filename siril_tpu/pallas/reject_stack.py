@@ -210,6 +210,7 @@ def _build_kernel(rtype: int, mode: int, siglow: float, sighigh: float,
       st_ref:  (8, T)   i32 — rows _LO.._LF of per-pixel loop state
       sf_ref:  (8, T)   f32 — rows 0..2: med / sigma / sigma0
       aux_ref: (npad, T) i32 — keep mask (LINEARFIT / GESDT)
+      wacc_ref: (npad, T) f32 — accumulated winsorized w (WINSORIZED)
     """
     siglow = float(siglow)
     sighigh = float(sighigh)
@@ -234,7 +235,7 @@ def _build_kernel(rtype: int, mode: int, siglow: float, sighigh: float,
 
     def kernel(stack_ref, scale_ref, offset_ref, mul_ref, w_ref, crit_ref,
                mean_ref, rejl_ref, rejh_ref, xs_ref, x_ref, st_ref, sf_ref,
-               aux_ref):
+               aux_ref, wacc_ref):
         x = stack_ref[:]
         if in_dtype == jnp.int16:
             # raw FITS i16 (BZERO 32768) → [0,1] (image_format_fits.c:449)
@@ -361,8 +362,12 @@ def _build_kernel(rtype: int, mode: int, siglow: float, sighigh: float,
             st_ref[_FIRST:_FIRST + 1] = jnp.where(dead, 0, 1)
 
             def winsor_sd(lo_, hi_, med_):
-                # rejection_float.c:222-236: clamp to med±1.5σ,
-                # σ ← 1.134·sd, until |σ−σ0| ≤ 5e-4·σ0.
+                # EXACT C iteration (rejection_float.c:222-236): σ
+                # starts at the PLAIN window sd, and the clamp applies
+                # to the ACCUMULATED w (each round re-clips the previous
+                # w — C's w_stack — not the original values; on bimodal
+                # stacks the fixed points differ), until
+                # |σ−σ0| ≤ 5e-4·σ0.
                 #
                 # Per-PIXEL convergence freeze (the C loop is per pixel;
                 # the old tile-wide `.any()` kept refining already-
@@ -375,13 +380,14 @@ def _build_kernel(rtype: int, mode: int, siglow: float, sighigh: float,
                 # vector→scalar sync.  A frozen lane's σ is the first
                 # σ_k with |σ_k−σ_{k−1}| ≤ 5e-4·σ_{k−1} — exactly the C
                 # per-pixel exit value; the Aitken jump only moves a
-                # NOT-yet-converged lane and is always followed by plain
-                # steps, so every final σ still satisfies the same
-                # 5e-4 stopping band as the reference loop.
+                # NOT-yet-converged lane's σ (its accumulated w catches
+                # up on the following plain steps — σ is monotone non-
+                # increasing under accumulated clipping).
                 _, sd0 = _window_mean_sd(s1, s2, lo_, hi_)
                 inwin = (rows >= lo_) & (rows < hi_)
                 n_w = jnp.maximum((hi_ - lo_).astype(jnp.float32), 1.0)
-                sf_ref[1:2] = 1.134 * sd0                  # σ_k
+                wacc_ref[:] = xs
+                sf_ref[1:2] = sd0                          # σ_k
                 sf_ref[2:3] = sd0 + 1.0                    # σ_{k−1}
                 sf_ref[3:4] = jnp.zeros_like(sd0)          # σ_{k−2}
                 sf_ref[4:5] = jnp.where((hi_ - lo_) > 1,
@@ -392,15 +398,17 @@ def _build_kernel(rtype: int, mode: int, siglow: float, sighigh: float,
                     frozen = sf_ref[4:5] > 0.5
                     m0 = med_ - 1.5 * sigma
                     m1 = med_ + 1.5 * sigma
-                    w = jnp.clip(xs, m0, m1)
-                    w = jnp.where(inwin, w, 0.0)
-                    t1 = w.sum(axis=0, keepdims=True)
+                    w2 = jnp.clip(wacc_ref[:], m0, m1)
+                    wm = jnp.where(inwin, w2, 0.0)
+                    t1 = wm.sum(axis=0, keepdims=True)
                     mn = t1 / n_w
-                    var = (jnp.where(inwin, (w - mn) ** 2, 0.0)
+                    var = (jnp.where(inwin, (w2 - mn) ** 2, 0.0)
                            ).sum(axis=0, keepdims=True) / \
                         jnp.maximum(n_w - 1.0, 1.0)
                     newsig = 1.134 * jnp.sqrt(jnp.maximum(var, 0.0))
                     conv = jnp.abs(newsig - sigma) <= sigma * 5e-4
+                    fz = frozen.astype(jnp.float32)
+                    wacc_ref[:] = wacc_ref[:] * fz + w2 * (1.0 - fz)
                     sf_ref[3:4] = sf_ref[2:3]
                     sf_ref[2:3] = sigma
                     sf_ref[1:2] = jnp.where(frozen, sigma, newsig)
@@ -813,6 +821,7 @@ def pallas_reject_mean(stack, scale, offset, mul, weights=None,
             pltpu.VMEM((8, tile), jnp.int32),        # int loop state
             pltpu.VMEM((8, tile), jnp.float32),      # float loop state
             pltpu.VMEM((npad, tile), jnp.int32),     # keep mask (aux)
+            pltpu.VMEM((npad, tile), jnp.float32),   # winsor accum w
         ],
         interpret=_interpret(),
     )(stack, scale.reshape(n, 1), offset.reshape(n, 1), mul.reshape(n, 1),

@@ -185,3 +185,66 @@ def test_stack_sequence_pallas_path(tmp_path, rng, monkeypatch):
     np.testing.assert_allclose(r_pal.image.host(), r_jnp.image.host(),
                                rtol=0, atol=2e-6)
     assert r_pal.total_rejected == r_jnp.total_rejected
+
+
+def test_guard_truncation_kept_top_segment(rng):
+    """The N−r≤4 guard truncating the HIGH side mid-scan keeps the
+    LARGEST high candidates (ascending C scan; the r5 kept-top-segment
+    fix found by the adversarial 'heavy' golden case).  Exact parity
+    pallas vs jnp vs the per-pixel oracle on stacks engineered so the
+    budget exhausts inside the high-candidate suffix — with and without
+    frame weights (pmin/pmax must include the segment)."""
+    from tests import reference_impl as ref
+
+    n, p = 12, 192
+    # tight core + a heavy high tail on every pixel: many high
+    # candidates, budget max_acc = n−4 = 8 < candidates on some pixels
+    stack = (0.2 + 0.01 * rng.random((n, p))).astype(np.float32)
+    ntail = 6
+    stack[-ntail:, :] += rng.uniform(0.3, 0.7, (ntail, p)).astype(np.float32)
+    stack[:2, :] -= 0.15                        # low candidates first
+    stack = np.clip(stack, 0.001, 1.0)
+    scale = np.ones(n, np.float32)
+    offset = np.zeros(n, np.float32)
+    mul = np.ones(n, np.float32)
+
+    for rt, name in ((rj.SIGMA, "sigma"), (rj.MAD, "mad"),
+                     (rj.WINSORIZED, "winsorized")):
+        jm, jl, jh = rj.rejection_mean(jnp.asarray(stack), rt, 1.0, 1.0,
+                                       n_full=n)
+        pm, plo, phi = pallas_reject_mean(
+            jnp.asarray(stack), jnp.asarray(scale), jnp.asarray(offset),
+            jnp.asarray(mul), rtype=rt, mode=NO_NORM,
+            siglow=1.0, sighigh=1.0)
+        np.testing.assert_allclose(np.asarray(pm), np.asarray(jm),
+                                   rtol=0, atol=2e-6, err_msg=name)
+        np.testing.assert_array_equal(np.asarray(plo), np.asarray(jl),
+                                      err_msg=name)
+        np.testing.assert_array_equal(np.asarray(phi), np.asarray(jh),
+                                      err_msg=name)
+        # oracle spot-check on a sample of pixels (scalar loop is slow)
+        hit_trunc = 0
+        for q in range(0, p, 16):
+            kept, rl, rh, m = ref.reject_pixel(stack[:, q], name, 1.0,
+                                               1.0, n_full=n)
+            assert int(np.asarray(jl)[q]) == rl, (name, q)
+            assert int(np.asarray(jh)[q]) == rh, (name, q)
+            assert np.isclose(float(np.asarray(jm)[q]), m, rtol=2e-5,
+                              atol=2e-6), (name, q)
+            # truncation actually exercised: some kept set must contain
+            # a value ABOVE a rejected one (non-contiguous kept window)
+            if rh > 0 and kept.size and kept.max() > 0.4:
+                hit_trunc += 1
+        assert hit_trunc > 0, f"{name}: fixture never truncated"
+
+    # weights: pmin/pmax membership must span the kept-top segment
+    w = (0.5 + rng.random((n, p))).astype(np.float32)
+    jm, _, _ = rj.rejection_mean(jnp.asarray(stack), rj.WINSORIZED, 1.0,
+                                 1.0, weights=jnp.asarray(w), n_full=n,
+                                 with_weights=True)
+    pmw, _, _ = pallas_reject_mean(
+        jnp.asarray(stack), jnp.asarray(scale), jnp.asarray(offset),
+        jnp.asarray(mul), jnp.asarray(w), rtype=rj.WINSORIZED,
+        mode=NO_NORM, siglow=1.0, sighigh=1.0, with_weights=True)
+    np.testing.assert_allclose(np.asarray(pmw), np.asarray(jm),
+                               rtol=0, atol=2e-6)
